@@ -1,0 +1,54 @@
+"""Portable hashing helpers.
+
+The dedup/similarity extension operators need hash functions that
+produce IDENTICAL values in Spark and in the DuckDB oracle, so the
+driver's value-hash comparison can verify them. md5 is the common
+denominator: both engines emit the same lowercase hex digest for the
+same UTF-8 string. A 15-hex-digit (60-bit) prefix fits a signed int64
+in both (Spark ``conv(x,16,10)``, DuckDB ``('0x'||x)::BIGINT``).
+
+Spark's native ``xxhash64``/``hash``/``crc32`` are faster and are used
+on the non-oracle fast paths (e.g. ingest checksum A2 at scale);
+``md5_long`` is the cross-engine-verifiable variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: 15 hex digits = 60 bits, always positive in a signed 64-bit int.
+_HEX_DIGITS = 15
+
+
+def md5_long(col: Column | str, seed: str | int | None = None) -> Column:
+    """Deterministic 60-bit integer hash of a string column.
+
+    ``seed`` lets callers derive independent hash families (MinHash
+    permutations, hyperplane components) — it is simply prefixed into
+    the hashed payload.
+
+    DuckDB twin:
+    ``CAST('0x' || substr(md5(<seed> || col), 1, 15) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}|"), c)
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, _HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_long_sql(expr: str, seed: str | int | None = None) -> str:
+    """The DuckDB-side twin of :func:`md5_long` as a SQL fragment."""
+    payload = f"'{seed}|' || {expr}" if seed is not None else expr
+    return f"CAST('0x' || substr(md5({payload}), 1, {_HEX_DIGITS}) AS BIGINT)"
+
+
+def crc32_xor_checksum(content: Column) -> Column:
+    """Aggregate building block for the reference's archive fingerprint:
+    XOR of per-member CRC32s (``data_provider/operators.py:145-152``) —
+    order-independent by construction. Use as
+    ``df.groupBy(archive).agg(F.bit_xor(crc32_xor_checksum(col)))``.
+    """
+    return F.crc32(content)

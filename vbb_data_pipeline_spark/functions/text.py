@@ -1,0 +1,116 @@
+"""Text-analysis column expressions (north-star extensions).
+
+Tokenization, quality metrics, language-ID heuristics, and document
+fingerprints as pure built-in expressions so the 100 TB path stays in
+whole-stage codegen and every op has a DuckDB oracle twin. The regex
+dialects (Java regex vs RE2) agree on the restricted patterns used
+here.
+
+Extends the reference's scalar surface (SURVEY.md §2.7: F5 regex
+extraction at ``extract_dag.py:21-54``, F6 sanitization at
+``database_loader/operators.py:162``) to corpus-scale text analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Non-alphanumeric split — portable between Java regex and RE2.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Tiny deterministic stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "mit", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "en", "que"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased alphanumeric tokens, empty strings removed.
+
+    DuckDB twin:
+    ``list_filter(string_split_regex(lower(col), '[^a-z0-9]+'), x -> x <> '')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-ish token count (training-data token accounting)."""
+    return F.size(tokens(col))
+
+
+def ngrams(arr: Column, n: int) -> Column:
+    """Word n-grams (joined with ``_``) from a token array.
+
+    Built with ``transform`` over index positions + ``slice`` — stays
+    JVM-side. DuckDB twin uses ``list_transform(range(...))``.
+    """
+    # positions 1 .. size-n+1
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws("_", F.slice(arr, i, n)),
+    )
+
+
+def char_ngrams(col: Column | str, n: int) -> Column:
+    """Character n-gram shingles of the lower-cased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(low) - F.lit(n - 1), F.lit(0))),
+        lambda i: low.substr(i, F.lit(n)),
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), "[a-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (language-ID)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic document quality score in [0,1]:
+    rewards moderate length, low punctuation noise, some stopwords
+    (C4/Gopher-style heuristics, public recipe shapes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    noise = punct_ratio(c)
+    sw = stopword_ratio(c, "en")
+    return F.round(
+        F.lit(0.5) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(noise * 5, F.lit(1.0)))
+        + F.lit(0.2) * F.least(sw * 4, F.lit(1.0)),
+        6,
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set. Near-identical docs that differ only in token order or
+    duplication collide — the cheap exact-ish dedup key.
+
+    DuckDB twin: ``md5(array_to_string(list_sort(list_distinct(toks)), ' '))``.
+    """
+    toks = tokens(col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

@@ -1,0 +1,115 @@
+"""Core relational operators (SURVEY.md §2.2-§2.6).
+
+Thin typed wrappers over the DataFrame API. They exist to (a) give the
+reference's operator inventory an explicit, testable surface, and
+(b) centralize the scale-conscious defaults (broadcast hints for dim
+tables, deterministic top-k, anti-join-based set difference) so query
+code stays declarative and Catalyst keeps full optimization freedom.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def project(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """P1/P2 projection (GtfsDAO.java:37-43)."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, predicate: Column) -> DataFrame:
+    """P3-P9 predicates — deterministic predicates are pushed to the
+    scan by Catalyst (verify with plans/explain.py)."""
+    return df.filter(predicate)
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1 composite-key equi-join (GtfsDAO.java:44-46).
+
+    ``broadcast_right`` hints a map-side join for dimension tables —
+    at 100 TB the fact side never shuffles for a broadcastable dim.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, list(on), how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J2/J3 set-difference on keys — the reference's new-run detection
+    (database_loader/operators.py:68-90) and ON CONFLICT DO NOTHING
+    (utils/__init__.py:55-56) are both left-anti joins."""
+    return left.join(right, list(on), "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """EXISTS: keep left rows with a match, no right columns."""
+    return left.join(right, list(on), "left_semi")
+
+
+def aggregate(
+    df: DataFrame, keys: Sequence[str], *aggs: Column
+) -> DataFrame:
+    """A1-style grouped aggregation; partial (map-side) aggregation is
+    automatic for all algebraic aggregates."""
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def global_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """O1 total order (GtfsDAO.java:48) — range-partitioned sort; at
+    scale this is the one unavoidable full-data exchange, so callers
+    should sort only final, reduced outputs."""
+    return df.orderBy(*cols)
+
+
+def topk(df: DataFrame, k: int, *order: Column | str) -> DataFrame:
+    """ORDER BY + LIMIT → Spark TakeOrderedAndProject (no full sort,
+    per-partition heaps + driver merge). Include a unique tiebreaker in
+    ``order`` for deterministic results."""
+    return df.orderBy(*order).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame, keys: Sequence[str], k: int, *order: Column | str
+) -> DataFrame:
+    """Top-k rows per group via row_number window; include a unique
+    tiebreaker for determinism."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """§2.6 set-op parity (by name, tolerant of column order)."""
+    return a.unionByName(b)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def distinct_rows(df: DataFrame) -> DataFrame:
+    return df.distinct()
+
+
+def pivot_counts(
+    df: DataFrame, key: str, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """Pivot with an explicit value list — never let Spark run the
+    distinct-scan job to discover pivot values at 100 TB."""
+    return df.groupBy(key).pivot(pivot_col, list(values)).count()

@@ -1,0 +1,185 @@
+"""Deduplication operators (north-star extensions).
+
+Exact, fingerprint, MinHash+LSH, SimHash and n-gram-Jaccard dedup over
+a document corpus — the operations a 100 TB training-data pipeline
+runs before anything else. All variants are expressed with built-in
+DataFrame ops (explode → agg → band-join); the hash primitive is the
+cross-engine ``md5_long`` (functions/hashing.py) so every stage is
+verifiable against the DuckDB oracle. Swap ``md5_long`` for
+``xxhash64`` on the pure-Spark fast path if oracle parity is not
+needed.
+
+Scale design: no pairwise O(n²) anywhere — candidate generation is
+always a hash-bucket equi-join (LSH banding / simhash buckets /
+fingerprint groups), which shuffles on the band key and stays linear
+in corpus size. This follows the standard MinHash/LSH construction
+(Broder; Leskovec-Rajaraman-Ullman, Mining of Massive Datasets ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vbb_data_pipeline_spark.functions.hashing import md5_long
+from vbb_data_pipeline_spark.functions.text import fingerprint, ngrams, tokens
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per key group.
+
+    Deterministic (unlike ``dropDuplicates``, whose survivor depends on
+    partitioning) so results are oracle-comparable and stable across
+    cluster sizes. Implemented as a min-id semi-join rather than a
+    window over the full payload: the wide columns never shuffle.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, key_cols + [id_col], "left_semi")
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the sorted-token-set fingerprint — catches
+    reordered / re-duplicated token content at hash-join cost."""
+    fp = df.withColumn("_fp", fingerprint(text_col))
+    return exact_dedup(fp, ["_fp"], id_col).drop("_fp")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures from word-``shingle_n``-gram shingles.
+
+    One row per doc: ``id_col, mh_0 .. mh_{H-1}`` where
+    ``mh_i = min over shingles of md5_long(shingle, seed=i)``.
+    Explode → groupBy-min is a single shuffle on doc id with map-side
+    partial mins; signature width is a constant.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(ngrams(tokens(text_col), shingle_n))
+        ).alias("_shingle"),
+    )
+    aggs = [
+        F.min(md5_long(F.col("_shingle"), seed=i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes // bands`` rows; docs sharing any band hash are
+    candidate near-duplicates.
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. The
+    band-bucket self-join is the scale path: shuffle on band key,
+    never O(n²).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", F.lit(str(b)), *parts)).alias(f"band_{b}")
+        )
+    banded = signatures.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bucket"),
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    pairs = (
+        a.join(b, "_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the re-rank step
+    after LSH): join token-shingle sets in, compute
+    |∩| / |∪| with array built-ins."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(ngrams(tokens(text_col), shingle_n)).alias("_set"),
+    )
+    out = (
+        candidates.join(
+            sets_df.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets_df.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("_union", F.size(F.array_union("_sa", "_sb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / F.greatest(F.col("_union"), F.lit(1)), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash (Charikar) over word tokens with ``bits``-bit output.
+
+    Bit b of the hash is the sign of Σ_tokens (±1 depending on bit b of
+    the token's md5 hash). Near-duplicates have small Hamming distance
+    (compare with ``bit_count(simhash_a ^ simhash_b)``).
+    One explode + one groupBy; the per-bit sums are algebraic
+    aggregates with map-side combine.
+    """
+    tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t"))
+    h = md5_long(F.col("_t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("_t").isNull(), F.lit(0)).otherwise(
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+            )
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    summed = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def dedup_rank(
+    df: DataFrame, group_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Survivor selection within duplicate groups: rank by id and keep
+    the first (stable across runs/partitionings)."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(group_col).orderBy(order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

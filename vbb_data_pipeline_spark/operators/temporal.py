@@ -1,0 +1,120 @@
+"""Temporal operators — the calendar→arrivals expansion (G1) and the
+service filters P3-P5 (SURVEY.md §2.8, §2.2).
+
+This is the reference's flagship computation
+(``streaming/.../data/GtfsDAO.java:83-123``): join calendar ⋈ trips ⋈
+stop_times ⋈ stops, enumerate every concrete service date in the query
+window, keep dates whose weekday flag is set AND that fall inside the
+service validity range, and emit one arrival event per surviving
+(date, stop_time) pair.
+
+Spark-first restatement: one declarative expression tree —
+``join → explode(sequence(...)) → filter → project → sort`` — that
+Catalyst plans with pushdown + AQE. Two deliberate divergences
+(SURVEY.md §7.2), both implementing *intended* semantics:
+
+* validity filter uses AND; the reference uses ``||``
+  (GtfsDAO.java:115) and accepts almost everything;
+* date enumeration uses real DateType ``sequence()``; the reference
+  increments YYYYMMDD ints and fabricates invalid dates across month
+  boundaries (GtfsDAO.java:75-78).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.functions.temporal import (
+    date_from_int,
+    event_timestamp,
+    weekday_flag,
+)
+from vbb_data_pipeline_spark.operators.core import equi_join
+
+
+def service_window_filter(
+    df: DataFrame, start_int: int, end_int: int
+) -> DataFrame:
+    """P3 (GtfsDAO.java:47,87-89): keep services whose validity range
+    overlaps [start, end) — both sides YYYYMMDD ints; pushed to the
+    scan by Catalyst."""
+    return df.filter(
+        (F.col("end_date") >= F.lit(start_int)) & (F.col("start_date") < F.lit(end_int))
+    )
+
+
+def expand_arrivals(
+    calendar: DataFrame,
+    trips: DataFrame,
+    stop_times: DataFrame,
+    stops: DataFrame,
+    start: dt.date,
+    end: dt.date,
+    broadcast_stops: bool = False,
+) -> DataFrame:
+    """G1: the scheduled-arrivals table function (GtfsDAO.java:83-123).
+
+    Returns one row per concrete arrival event:
+    ``(ts, stop_name, stop_lat, stop_lon)`` ordered by ts — the exact
+    shape the reference's Kafka producer replays
+    (``GtfsArrivalsProducer.java:143-190``).
+
+    Scale notes: the 4-way join shuffles on the composite keys
+    (J1, GtfsDAO.java:44-46); ``stops`` is broadcastable when it is a
+    genuine dimension. The explode multiplies rows *after* all
+    selective filters, and the weekday/validity predicates are applied
+    on the exploded day before the wide projection.
+    """
+    start_int = int(start.strftime("%Y%m%d"))
+    end_int = int(end.strftime("%Y%m%d"))
+
+    cal = service_window_filter(calendar, start_int, end_int)
+    joined = equi_join(cal, trips, ["run_id", "service_id"])
+    joined = equi_join(joined, stop_times, ["run_id", "trip_id"])
+    joined = equi_join(
+        joined, stops, ["run_id", "stop_id"], broadcast_right=broadcast_stops
+    )
+
+    # Window ∩ service-validity day range, enumerated as real dates.
+    day_lo = F.greatest(F.lit(start), date_from_int("start_date"))
+    day_hi = F.least(F.date_sub(F.lit(end), 1), F.date_sub(date_from_int("end_date"), 1))
+    expanded = joined.withColumn(
+        "service_day",
+        F.explode(
+            F.when(day_lo <= day_hi, F.sequence(day_lo, day_hi)).otherwise(
+                F.array().cast("array<date>")
+            )
+        ),
+    )
+
+    # P4 weekday flag + (P5 validity is already folded into the
+    # sequence bounds above with the corrected AND semantics).
+    filtered = expanded.filter(weekday_flag(F.col("service_day")))
+
+    return filtered.select(
+        event_timestamp(F.col("service_day"), F.col("arrival_time")).alias("ts"),
+        F.col("stop_name"),
+        F.col("stop_lat"),
+        F.col("stop_lon"),
+    ).orderBy("ts", "stop_name")
+
+
+def expand_days(
+    df: DataFrame,
+    start_col: Column,
+    end_col: Column,
+    out_col: str = "day",
+) -> DataFrame:
+    """Generic 1→N day expansion (F3 restated): one output row per date
+    in [start_col, end_col] inclusive. Empty when start > end."""
+    return df.withColumn(
+        out_col,
+        F.explode(
+            F.when(start_col <= end_col, F.sequence(start_col, end_col)).otherwise(
+                F.array().cast("array<date>")
+            )
+        ),
+    )

@@ -1,0 +1,526 @@
+"""Core relational queries: projections, filters, joins, aggregates,
+sorts, set ops, scalar functions (SURVEY.md §2.2-§2.7) — each with its
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.functions.geo import haversine_m
+from vbb_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
+from vbb_data_pipeline_spark.functions.temporal import date_int, event_timestamp, iso_dow
+from vbb_data_pipeline_spark.operators import core as ops
+from vbb_data_pipeline_spark.queries import load_table, register
+
+
+# ---------------------------------------------------------------------------
+# A-class aggregation: TPC-H Q1-style pricing summary
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="§2.4 A1 (groupBy aggregates); §2.2 P3 (range predicate)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = ops.filter_rows(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return ops.aggregate(
+        filtered,
+        ["l_returnflag", "l_linestatus"],
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3: range predicate + projection
+# ---------------------------------------------------------------------------
+@register(
+    "p3_range_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+    survey="§2.2 P3 (service-validity range predicate, GtfsDAO.java:47)",
+)
+def p3_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pred = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    return ops.project(
+        ops.filter_rows(o, pred), "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4: weekday filter (GtfsDAO.java:108-112 restated on events)
+# ---------------------------------------------------------------------------
+@register(
+    "p4_weekday_filter",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE isodow(ts) <= 5 AND event_type <> 'error'
+    """,
+    survey="§2.2 P4 (weekday service filter)",
+)
+def p4_weekday_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return ops.project(
+        ops.filter_rows(e, (iso_dow("ts") <= 5) & (F.col("event_type") != "error")),
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/F4: geo-radius predicate via native haversine
+# ---------------------------------------------------------------------------
+_GEO_CENTER = (10.0, 20.0)
+_GEO_RADIUS_M = 5_000_000.0
+
+_GEO_SQL_DIST = f"""
+    2 * 6371000.0 * atan2(
+        sqrt(
+            sin(radians(lat - {_GEO_CENTER[0]}) / 2) * sin(radians(lat - {_GEO_CENTER[0]}) / 2)
+            + cos(radians({_GEO_CENTER[0]})) * cos(radians(lat))
+            * sin(radians(lon - {_GEO_CENTER[1]}) / 2) * sin(radians(lon - {_GEO_CENTER[1]}) / 2)
+        ),
+        sqrt(1 - (
+            sin(radians(lat - {_GEO_CENTER[0]}) / 2) * sin(radians(lat - {_GEO_CENTER[0]}) / 2)
+            + cos(radians({_GEO_CENTER[0]})) * cos(radians(lat))
+            * sin(radians(lon - {_GEO_CENTER[1]}) / 2) * sin(radians(lon - {_GEO_CENTER[1]}) / 2)
+        ))
+    )
+"""
+
+
+@register(
+    "p6_geo_radius",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id,
+               CAST((user_id * 7) % 180 - 90 AS DOUBLE)   AS lat,
+               CAST((event_id * 13) % 360 - 180 AS DOUBLE) AS lon
+        FROM events
+    )
+    SELECT event_id, lat, lon,
+           CAST(round({_GEO_SQL_DIST}) AS BIGINT) AS dist_m
+    FROM pts
+    WHERE {_GEO_SQL_DIST} <= {_GEO_RADIUS_M}
+    """,
+    survey="§2.2 P6 + §2.7 F4 (haversine radius, GeoPredicate.java:29-51)",
+    note="coordinates synthesized deterministically from keys; distance "
+    "rounded to whole metres before hashing (libm ulp differences)",
+)
+def p6_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        ((F.col("user_id") * 7) % 180 - 90).cast("double").alias("lat"),
+        ((F.col("event_id") * 13) % 360 - 180).cast("double").alias("lon"),
+    )
+    dist = haversine_m(
+        F.col("lat"), F.col("lon"), F.lit(_GEO_CENTER[0]), F.lit(_GEO_CENTER[1])
+    )
+    return pts.filter(dist <= _GEO_RADIUS_M).select(
+        "event_id",
+        "lat",
+        "lon",
+        F.round(dist).cast("long").alias("dist_m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: multi-table equi-join (4-way, GtfsDAO.java:44-46 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "j1_dim_join_agg",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*)                        AS n_orders,
+           round(sum(o.o_totalprice), 2)   AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    survey="§2.3 J1 (4-table equi-join) + §2.4 A1",
+    note="dims broadcast: fact side never shuffles for the join at scale",
+)
+def j1_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return ops.aggregate(
+        j,
+        ["r_name", "n_name"],
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: anti join (new-run detection shape, database_loader/operators.py:68-90)
+# ---------------------------------------------------------------------------
+@register(
+    "j2_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey="§2.3 J2/J3 (left-anti join)",
+)
+def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return ops.project(ops.anti_join(c, o, ["c_custkey"]), "c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J3: semi join
+# ---------------------------------------------------------------------------
+@register(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+    survey="§2.3 (left-semi join, EXISTS)",
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return ops.project(ops.semi_join(c, f_orders, ["c_custkey"]), "c_custkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# A1+A2: counts + order-independent XOR checksum (portable hash)
+# ---------------------------------------------------------------------------
+@register(
+    "a2_group_checksum",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           bit_xor({md5_long_sql("CAST(o_orderkey AS VARCHAR)")}) AS checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    survey="§2.4 A1 (counts) + A2 (XOR content checksum, "
+    "data_provider/operators.py:145-152)",
+    note="cross-engine md5-int64; the pure-Spark fast path would use "
+    "crc32/xxhash64 (functions/hashing.crc32_xor_checksum)",
+)
+def a2_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return ops.aggregate(
+        o,
+        ["o_orderstatus"],
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(md5_long(F.col("o_orderkey").cast("string"))).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1: deterministic global top-k (TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+@register(
+    "o1_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    survey="§2.5 O1 (global sort) + top-k extension",
+)
+def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return ops.project(
+        ops.topk(o, 100, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations
+# ---------------------------------------------------------------------------
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    survey="§2.6 (union distinct)",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return ops.distinct_rows(ops.union_all(a, b))
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    survey="§2.6 (intersect)",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return ops.intersect(year(1995), year(1996))
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    survey="§2.6 (except) — the reference's new-run set-difference shape",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    # EXCEPT is distinct set-difference in both engines.
+    return ops.distinct_rows(year(1995)).exceptAll(ops.distinct_rows(year(1996)))
+
+
+# ---------------------------------------------------------------------------
+# F1/F2: date-int extraction and timestamp reassembly (incl. >24h seconds)
+# ---------------------------------------------------------------------------
+@register(
+    "f1_f2_date_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS d_int,
+           o_orderdate + ((o_orderkey * 37) % 100000) * INTERVAL 1 SECOND AS event_ts
+    FROM orders
+    """,
+    survey="§2.7 F1 (extractDateInt) + F2 (createLocalDateTime); §7 "
+    "hard-part 1 (GTFS >24:00:00 seconds roll into the next day)",
+)
+def f1_f2_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    secs = (F.col("o_orderkey") * 37) % 100000
+    return o.select(
+        "o_orderkey",
+        date_int("o_orderdate").alias("d_int"),
+        event_timestamp(F.col("o_orderdate"), secs).alias("event_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: day enumeration across month boundaries (the reference's bug zone)
+# ---------------------------------------------------------------------------
+@register(
+    "f3_day_enumeration",
+    oracle="""
+    SELECT isodow(CAST(d AS DATE)) AS dow, count(*) AS n_days,
+           CAST(min(CAST(d AS DATE)) AS TIMESTAMP) AS first_day,
+           CAST(max(CAST(d AS DATE)) AS TIMESTAMP) AS last_day
+    FROM (
+        SELECT unnest(generate_series(DATE '2024-01-25', DATE '2024-03-05',
+                                      INTERVAL 1 DAY)) AS d
+    )
+    GROUP BY 1
+    """,
+    survey="§2.7 F3 (detectWeekDays) — correct across month boundaries, "
+    "diverging from GtfsDAO.java:75-78 numeric YYYYMMDD increments "
+    "(SURVEY.md §7.2)",
+)
+def f3_day_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-25").cast("date"), F.lit("2024-03-05").cast("date")
+            )
+        ).alias("d")
+    )
+    return base.groupBy(iso_dow("d").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(F.col("d").cast("timestamp")).alias("first_day"),
+        F.max(F.col("d").cast("timestamp")).alias("last_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5: regex extraction (extract_dag.py:21-54 restated)
+# ---------------------------------------------------------------------------
+@register(
+    "f5_regex_extract",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS name_num,
+           regexp_replace(c_name, '[^a-z]', '', 'g') AS name_alpha
+    FROM customer
+    """,
+    survey="§2.7 F5 (regex URL extraction) + F6 (header sanitization "
+    "regexp_replace, database_loader/operators.py:162)",
+)
+def f5_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#([0-9]+)", 1).cast("long").alias("name_num"),
+        F.regexp_replace("c_name", "[^a-z]", "").alias("name_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10/P9: JSON parse (from_json) — arrival wire-format shape
+# ---------------------------------------------------------------------------
+@register(
+    "f10_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    survey="§2.7 F10 (JSON serde) + §2.2 P9 (parse-or-drop, "
+    "GeoPredicate.java:42-48)",
+)
+def f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("_p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("_p.k").isNotNull())
+        .select("event_id", "event_type", F.col("_p.k").alias("k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (explicit value list) and rollup
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="§2.4 extension (pivot with explicit values — no discovery scan)",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    piv = ops.pivot_counts(
+        e, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"]
+    )
+    # pivot-count yields nulls for empty cells; normalize to 0 like FILTER
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@register(
+    "rollup_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    survey="§2.4 extension (rollup/grouping sets)",
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity check (operators/quality.py shape, expect 0 rows)
+# ---------------------------------------------------------------------------
+@register(
+    "ri_orphan_lineitems",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    survey="§2.3 J4 (FK web → referential-integrity check operator)",
+)
+def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return ops.project(
+        ops.anti_join(li, o, ["l_orderkey"]), "l_orderkey", "l_linenumber"
+    )
