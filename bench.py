@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>}.
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is materialized with the noop
+sink (full execution, no driver collection) after a warm-up pass of
+the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from vbb_data_pipeline_spark.queries import all_queries, load_table  # noqa: E402
+from vbb_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_expand_events",
+    "q1_pricing_summary",
+    "j1_dim_join_agg",
+    "w1_topk_per_group",
+    "w3_sessionize",
+    "t_tumbling_window",
+    "a2_group_checksum",
+    "o1_topk_orders",
+]
+
+#: Extension headliners — included once present in the registry.
+OPTIONAL = [
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "text_quality_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in OPTIONAL if n in registry
+    ]
+
+    spark = get_spark("bench")
+
+    # Warm the JVM + file listing so per-query times measure the plan,
+    # not first-touch overheads.
+    for t in ("orders", "lineitem", "events", "customer"):
+        load_table(spark, sf_dir, t).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        df = registry[name].fn(spark, sf_dir)
+        # Warm-up executes plan compilation + codegen; the timed pass
+        # measures steady-state execution (the throughput that matters
+        # for baseline comparison).
+        df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

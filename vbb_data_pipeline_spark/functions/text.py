@@ -48,22 +48,30 @@ def ngrams(arr: Column, n: int) -> Column:
 
     Built with ``transform`` over index positions + ``slice`` — stays
     JVM-side. DuckDB twin uses ``list_transform(range(...))``.
+    Note: guarded with ``when`` because Spark's ``sequence(1, 0)``
+    produces a *descending* [1, 0], not an empty array.
     """
-    # positions 1 .. size-n+1
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws("_", F.slice(arr, i, n)),
-    )
+    # positions 1 .. size-n+1; empty when fewer than n tokens
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
+            lambda i: F.concat_ws("_", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
     """Character n-gram shingles of the lower-cased text."""
     c = F.col(col) if isinstance(col, str) else col
     low = F.lower(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(low) - F.lit(n - 1), F.lit(0))),
-        lambda i: low.substr(i, F.lit(n)),
-    )
+    return F.when(
+        F.length(low) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - F.lit(n - 1)),
+            lambda i: low.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio(col: Column | str) -> Column:
