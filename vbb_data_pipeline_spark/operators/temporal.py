@@ -118,3 +118,60 @@ def expand_days(
             )
         ),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the most recent
+    right row with ``right_ts <= left_ts`` within the ``on`` group.
+
+    Spark has no native as-of join (SURVEY.md §2.3 gap list); this is
+    the scale-friendly union-and-forward-fill construction: tag both
+    sides, union, and take ``last(value, ignorenulls)`` over an
+    event-time window — one shuffle on the key, no range explosion,
+    no per-group pandas. Right rows must be unique per
+    ``(on, right_ts)`` (pre-aggregate otherwise) for determinism.
+
+    DuckDB twin: ``ASOF LEFT JOIN ... ON l.key = r.key AND
+    l.ts >= r.ts`` (inclusive, like this implementation — at equal
+    timestamps the right row sorts first and is visible to the left
+    row).
+    """
+    from pyspark.sql.window import Window
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_src"),
+        *[F.col(c) for c in right_cols],
+    )
+    l = left.withColumn("_ats", F.col(left_ts)).withColumn("_src", F.lit(1))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("_src") == 0, F.col("_ats")), ignorenulls=True)
+        .over(w)
+        .alias("_asof_ts"),
+    )
+    out = filled.filter(F.col("_src") == 1)
+    for c in right_cols:
+        out = out.drop(c).withColumnRenamed(f"_asof_{c}", c)
+    return out.drop("_src", "_ats")

@@ -88,3 +88,38 @@ def all_queries() -> dict[str, QuerySpec]:
     for m in _QUERY_MODULES:
         importlib.import_module(f"vbb_data_pipeline_spark.queries.{m}")
     return REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine exact aggregation helpers
+# ---------------------------------------------------------------------------
+# Summing doubles is order-dependent; two engines summing the same rows
+# can land on opposite sides of a rounding boundary (observed at
+# sf0.01). Fixed-point summation is order-independent: round each row
+# to `scale` units (bit-identical per-row in both engines), sum as
+# BIGINT (exact), divide back. Use for every multi-row double SUM/AVG
+# in oracle-checked queries.
+
+
+def exact_sum(col, scale: int = 100):
+    """Spark side: order-independent fixed-point sum of a double column."""
+    from pyspark.sql import functions as F
+
+    return F.sum(F.round(col * scale).cast("long")) / float(scale)
+
+
+def exact_sum_sql(expr: str, scale: int = 100) -> str:
+    """DuckDB twin of :func:`exact_sum`."""
+    return f"(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) / {scale}.0)"
+
+
+def exact_avg(col, count_col=None, scale: int = 100):
+    """Spark side: avg derived from the fixed-point sum (deterministic)."""
+    from pyspark.sql import functions as F
+
+    n = F.count(F.lit(1)) if count_col is None else count_col
+    return exact_sum(col, scale) / n
+
+
+def exact_avg_sql(expr: str, scale: int = 100) -> str:
+    return f"({exact_sum_sql(expr, scale)} / count(*))"

@@ -1,1 +1,244 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over the documents corpus (north-star
+extension; operators/dedup.py), each verified against a DuckDB oracle
+that reproduces the identical hash pipeline (md5-derived 60-bit ints,
+functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.functions.hashing import md5_long_sql
+from vbb_data_pipeline_spark.operators import dedup as dd
+from vbb_data_pipeline_spark.queries import load_table, register
+
+#: DuckDB fragment: lower-cased alphanumeric tokens (functions/text.tokens twin)
+TOK_SQL = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
+#: DuckDB fragment: word 3-gram shingles of a token list column `tk`
+SHINGLE_SQL = (
+    "list_transform(range(1, greatest(len(tk) - 2, 0) + 1), "
+    "i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2])"
+)
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_key,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    survey="extension: exact dedup (hash-groupBy keep-first); reference "
+    "idempotency analog: ON CONFLICT DO NOTHING (utils/__init__.py:55-56)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_key")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint dedup (sorted distinct token set)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
+    )
+    SELECT md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_docs
+    FROM toks
+    GROUP BY 1
+    """,
+    survey="extension: near-exact dedup on token-set fingerprint "
+    "(functions/text.fingerprint)",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding + exact Jaccard re-rank
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min({md5_long_sql('sh', seed=i)}) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    bands = ", ".join(
+        "md5(concat_ws('_', '{b}', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
+    ),
+    shingles AS (
+        SELECT doc_id, unnest(list_distinct({SHINGLE_SQL})) AS sh FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingles GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, unnest([{bands}]) AS bucket FROM sigs
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (
+        SELECT doc_id, list_distinct({SHINGLE_SQL}) AS s FROM toks
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) AS jaccard
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.id_a
+    JOIN sets sb ON sb.doc_id = p.id_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    survey="extension: MinHash({} perms) + LSH banding ({}×{}) candidate "
+    "pairs with exact-Jaccard re-rank — the linear-cost 100 TB near-dup "
+    "path (no O(n²) stage)".format(NUM_HASHES, BANDS, ROWS_PER_BAND),
+    note="docs with <3 tokens have no shingles and drop out of the "
+    "signature table in both engines",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(
+        d, "text", "doc_id", num_hashes=NUM_HASHES, shingle_n=3
+    )
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=NUM_HASHES, bands=BANDS)
+    return dd.jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit) per document
+# ---------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 16) -> str:
+    h = md5_long_sql("t")
+    sums = ",\n               ".join(
+        f"sum((({h} >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOK_SQL.format(c="text")}) AS t FROM documents
+    ),
+    bitsums AS (
+        SELECT doc_id,
+               {sums}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash
+    FROM bitsums
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    survey="extension: SimHash (Charikar) 16-bit document sketch; "
+    "near-dups = small hamming distance (bit_count(a^b))",
+    note="docs with zero tokens drop out in both engines",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # inner explode → empty docs drop, matching the oracle's unnest
+    from vbb_data_pipeline_spark.functions.hashing import md5_long
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    tok = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("_t"))
+    h = md5_long(F.col("_t"))
+    bit_sums = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_s{b}")
+        for b in range(16)
+    ]
+    summed = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup within (lang, source) blocks
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, lang, source, list_distinct({TOK_SQL.format(c="text")}) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+    FROM sets a JOIN sets b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
+    """,
+    survey="extension: token-set Jaccard near-dup with (lang, source) "
+    "blocking — blocking keeps the pair space linear-ish; the unblocked "
+    "scale path is dedup_minhash_lsh",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    sets_df = d.select(
+        "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("s")
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.greatest(
+        F.size(F.array_union("a.s", "b.s")), F.lit(1)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac > 0.5)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

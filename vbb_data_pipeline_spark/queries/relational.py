@@ -12,7 +12,12 @@ from vbb_data_pipeline_spark.functions.geo import haversine_m
 from vbb_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
 from vbb_data_pipeline_spark.functions.temporal import date_int, event_timestamp, iso_dow
 from vbb_data_pipeline_spark.operators import core as ops
-from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.queries import (
+    exact_sum,
+    exact_sum_sql,
+    load_table,
+    register,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -20,16 +25,16 @@ from vbb_data_pipeline_spark.queries import load_table, register
 # ---------------------------------------------------------------------------
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                       AS avg_qty,
-           round(avg(l_extendedprice), 4)                                  AS avg_price,
-           round(avg(l_discount), 4)                                       AS avg_disc,
-           count(*)                                                        AS count_order
+           {exact_sum_sql("l_quantity")}                                        AS sum_qty,
+           {exact_sum_sql("l_extendedprice")}                                   AS sum_base_price,
+           {exact_sum_sql("l_extendedprice * (1 - l_discount)")}                AS sum_disc_price,
+           {exact_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}  AS sum_charge,
+           round({exact_sum_sql("l_quantity")} / count(*), 4)                   AS avg_qty,
+           round({exact_sum_sql("l_extendedprice")} / count(*), 4)              AS avg_price,
+           round({exact_sum_sql("l_discount", 1000000)} / count(*), 4)          AS avg_disc,
+           count(*)                                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -40,17 +45,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     filtered = ops.filter_rows(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return ops.aggregate(
         filtered,
         ["l_returnflag", "l_linestatus"],
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        exact_sum(disc_price).alias("sum_disc_price"),
+        exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        F.round(exact_sum(F.col("l_quantity")) / n, 4).alias("avg_qty"),
+        F.round(exact_sum(F.col("l_extendedprice")) / n, 4).alias("avg_price"),
+        F.round(exact_sum(F.col("l_discount"), 1000000) / n, 4).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -163,10 +169,10 @@ def p6_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "j1_dim_join_agg",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name, n.n_name,
-           count(*)                        AS n_orders,
-           round(sum(o.o_totalprice), 2)   AS revenue
+           count(*)                                 AS n_orders,
+           {exact_sum_sql("o.o_totalprice")}        AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -190,7 +196,7 @@ def j1_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         j,
         ["r_name", "n_name"],
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        exact_sum(F.col("o_totalprice")).alias("revenue"),
     )
 
 
@@ -488,9 +494,9 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_order_status",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+           count(*) AS n, {exact_sum_sql("o_totalprice")} AS revenue
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -500,7 +506,7 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        exact_sum(F.col("o_totalprice")).alias("revenue"),
     )
 
 

@@ -1,1 +1,170 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over the embeddings table (north-star
+extension; operators/similarity.py).
+
+The cosine is computed with the same primitive structure in both
+engines (sequential dot product over double-cast float arrays), and
+rounded before ranking so ordering is stable; ties break on neighbor
+id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.operators import similarity as sim
+from vbb_data_pipeline_spark.queries import load_table, register
+
+DIM = 64
+N_PLANES = 8
+
+#: DuckDB cosine between two DOUBLE[] columns a/b — mirrors
+#: operators/similarity.cosine (dot / max(norms, 1e-12)).
+COS_SQL = (
+    "list_dot_product({a}, {b}) / greatest("
+    "sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 1e-12)"
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round({COS_SQL.format(a="qv", b="cv")}, 5) AS cosine
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    survey="extension: exact top-k cosine ANN baseline (brute force; "
+    "query side broadcast, corpus never replicated)",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = sim.brute_force_topk(e, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _planes_sql_list(p: int) -> str:
+    plane = sim.hyperplanes(N_PLANES, DIM)[p]
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id,
+           {" || ".join(
+               "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+               + _planes_sql_list(p)
+               + ") >= 0 THEN '1' ELSE '0' END)"
+               for p in range(N_PLANES)
+           )} AS bucket
+    FROM embeddings
+    """,
+    survey="extension: random-hyperplane LSH bucketing (deterministic "
+    "md5-derived planes) — the corpus×corpus ANN scale path",
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.hyperplane_lsh_buckets(e, num_planes=N_PLANES, dim=DIM).select(
+        "vec_id", "bucket"
+    )
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id,
+               {" || ".join(
+                   "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                   + _planes_sql_list(p)
+                   + ") >= 0 THEN '1' ELSE '0' END)"
+                   for p in range(N_PLANES)
+               )} AS bucket,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({COS_SQL.format(a="a.v", b="c.v")}, 5) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    survey="extension: ANN top-k via LSH bucket join + exact cosine "
+    "re-rank (bucket equi-join replaces the cross join at scale)",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sim.lsh_topk(e, k=3, num_planes=N_PLANES, dim=DIM)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id,
+               {" || ".join(
+                   "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                   + _planes_sql_list(p)
+                   + ") >= 0 THEN '1' ELSE '0' END)"
+                   for p in range(N_PLANES)
+               )} AS bucket,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round({COS_SQL.format(a="a.v", b="c.v")}, 5) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {COS_SQL.format(a="a.v", b="c.v")} > 0.35
+    """,
+    survey="extension: embedding-cosine near-duplicate pairs (LSH "
+    "blocked, threshold 0.35) — semantic dedup for training corpora",
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = sim.hyperplane_lsh_buckets(e, num_planes=N_PLANES, dim=DIM)
+    bd = b.select(
+        "bucket",
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = bd.alias("a")
+    c = bd.alias("c")
+    cos = sim.cosine(F.col("a.v"), F.col("c.v"))
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .filter(cos > 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            F.round(cos, 5).alias("cosine"),
+        )
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vbb_data_pipeline_spark.operators import core as ops
-from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.queries import exact_sum, exact_sum_sql, load_table, register
 
 
 @register(
@@ -129,9 +129,9 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_tumbling_window",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n, {exact_sum_sql("value")} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -143,7 +143,7 @@ def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum(F.col("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -155,7 +155,7 @@ def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_sliding_window",
-    oracle="""
+    oracle=f"""
     WITH buckets AS (
         SELECT e.*,
                TIMESTAMP '1970-01-01'
@@ -169,7 +169,7 @@ def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL unnest([b, b - 1800 * INTERVAL 1 SECOND]) AS w(ws)
         WHERE ts >= w.ws AND ts < w.ws + 3600 * INTERVAL 1 SECOND
     )
-    SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT window_start, count(*) AS n, {exact_sum_sql("value")} AS sum_value
     FROM assigned
     GROUP BY window_start
     """,
@@ -179,7 +179,7 @@ def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum(F.col("value")).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
 
