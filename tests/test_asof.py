@@ -1,0 +1,50 @@
+"""As-of join vs pandas merge_asof (independent implementation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.operators.temporal import asof_join
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_matches_pandas(spark):
+    left_rows = [(i, _t(m), k) for i, (m, k) in enumerate(
+        [(0, "a"), (5, "a"), (10, "a"), (3, "b"), (9, "b"), (1, "c")]
+    )]
+    right_rows = [
+        (_t(2), "a", 1.0),
+        (_t(5), "a", 2.0),   # equal-ts: inclusive match for left @5
+        (_t(8), "a", 3.0),
+        (_t(4), "b", 4.0),
+    ]
+    left = spark.createDataFrame(left_rows, "id long, ts timestamp, k string")
+    right = spark.createDataFrame(right_rows, "ts timestamp, k string, v double")
+
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["v"])
+    got = {r.id: r.v for r in out.collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["id", "ts", "k"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["ts", "k", "v"]).sort_values("ts")
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    exp = {
+        int(r.id): (None if pd.isna(r.v) else float(r.v))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
+    # left row count preserved
+    assert out.count() == len(left_rows)
+
+
+def test_asof_single_shuffle_no_python(spark):
+    left = spark.createDataFrame([(1, _t(1), "a")], "id long, ts timestamp, k string")
+    right = spark.createDataFrame([(_t(0), "a", 1.0)], "ts timestamp, k string, v double")
+    j = asof_join(left, right, ["k"], "ts", "ts", ["v"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no Python in the hot path

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``BinaryType`` columns with
+typed metadata; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages. The container has no
+image/audio libraries, so the actual decoders are stubbed
+(deterministic fake or NotImplementedError behind an import-try) —
+the Spark-side plumbing (schema, batch iteration, partitioning) is
+real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+#: Output schema of the decode stage.
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("content_digest", T.StringType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-fixture adapter: treat UTF-8 bytes of a text column as the
+    opaque binary payload (the real pipeline reads
+    ``spark.read.format('binaryFile')``)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder: derive plausible
+    (width, height, channels) from the content digest. Replace with a
+    real decoder (PIL/libvips) where available."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode stage: binary payload → typed image metadata.
+
+    Arrow-batched ``mapInPandas``: each task receives pandas batches,
+    never single rows; output is columnar. With a real decoder this is
+    also where pixel tensors would be produced (as flattened
+    array<float> columns or further binary blocks).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [_fake_decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "content_digest": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, DECODED_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage placeholder: requires a real image library."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "resize requires PIL/libvips — not available in this container; "
+            "plumbing: mapInPandas over (doc_id, payload) yielding resized "
+            "payload bytes with updated width/height metadata"
+        )
+    raise NotImplementedError("real decoder wiring lands with the image libs")
+
+
+def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:
+    """Video frame-sampling placeholder (same contract as resize)."""
+    raise NotImplementedError(
+        "frame sampling requires a video decoder — not available; "
+        "plumbing: mapInPandas yielding one row per sampled frame "
+        "(doc_id, frame_idx, payload)"
+    )

@@ -1,0 +1,111 @@
+"""Provider/run catalogs and incremental-load bookkeeping
+(SURVEY.md §2.1 S5/S8/S9, §2.3 J2/J3, §2.4 A2).
+
+The reference tracks every ingest in ``provider``/``run`` tables,
+detects new work by set-subtracting loaded runs from landed archives
+(``database_loader/operators.py:31-90``), assigns run ids with a
+Postgres SERIAL (``05-create-schema.sh:22``), and dedups re-downloaded
+archives by an order-independent XOR of member CRC32s
+(``data_provider/operators.py:145-169``).
+
+Spark restatement: catalogs are DataFrames; new-run detection is a
+left-anti join; run ids derive deterministically from the natural key
+``(provider_id, run_date)`` via dense_rank (SURVEY.md §7.3 — no
+distributed auto-increment, stable under re-runs); the checksum is
+computed from zip central-directory metadata without decompressing.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scan_landing(spark: SparkSession, base_dir: str) -> DataFrame:
+    """S5: scan the landing tree ``<base>/<provider>/<run_date>.zip`` →
+    DataFrame(provider_id, run_date, path). Driver-side listing (one
+    row per archive — metadata, not data); at object-store scale this
+    becomes a listing over ``input_file_name()`` of a binaryFile read.
+    """
+    rows = []
+    for provider_dir in sorted(Path(base_dir).iterdir()):
+        if not provider_dir.is_dir():
+            continue  # P8: ignore non-directories
+        for zf in sorted(provider_dir.glob("*.zip")):
+            rows.append((provider_dir.name, zf.stem, str(zf)))  # F9: stem = run_date
+    return spark.createDataFrame(
+        rows, "provider_id string, run_date string, path string"
+    )
+
+
+def new_runs(available: DataFrame, run_catalog: DataFrame) -> DataFrame:
+    """J2 (operators.py:68-90): landed runs not yet in the catalog."""
+    return available.join(
+        run_catalog.select("provider_id", "run_date"),
+        ["provider_id", "run_date"],
+        "left_anti",
+    )
+
+
+def assign_run_ids(new: DataFrame, run_catalog: DataFrame | None) -> DataFrame:
+    """S9 (SERIAL run_id, utils/__init__.py:58-72): deterministic
+    replacement — dense_rank over the natural key ordered
+    (provider_id, run_date), offset by the catalog's current max.
+    Re-running the same assignment yields identical ids (SURVEY.md
+    §7.3), unlike ``monotonically_increasing_id``.
+    """
+    offset = 0
+    if run_catalog is not None and run_catalog.head(1):
+        offset = run_catalog.agg(F.max("run_id")).collect()[0][0] or 0
+    w = Window.orderBy("provider_id", "run_date")
+    return new.withColumn(
+        "run_id", (F.dense_rank().over(w) + F.lit(offset)).cast("int")
+    )
+
+
+def archive_checksum(zip_path: str) -> int:
+    """A2 (data_provider/operators.py:145-152): order-independent
+    archive fingerprint = XOR of every member's CRC32, read from the
+    zip central directory (no decompression)."""
+    checksum = 0
+    with zipfile.ZipFile(zip_path) as zf:
+        for info in zf.infolist():
+            checksum ^= info.CRC
+    return checksum
+
+
+def dedup_archives(spark: SparkSession, listing: DataFrame) -> DataFrame:
+    """Checksum-dedup of landed archives (operators.py:159-169): keep
+    the first (provider_id, checksum) occurrence ordered by run_date.
+    Listing is catalog-scale metadata; checksums come from zip central
+    directories."""
+    rows = [
+        (r.provider_id, r.run_date, r.path, archive_checksum(r.path))
+        for r in listing.collect()
+    ]
+    df = spark.createDataFrame(
+        rows, "provider_id string, run_date string, path string, checksum long"
+    )
+    w = Window.partitionBy("provider_id", "checksum").orderBy("run_date", "path")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def url_changed(new_url: str, url_catalog: DataFrame, provider_id: str) -> bool:
+    """P7/S1 change detection (data_provider/operators.py:63-88): has
+    this provider's download URL changed since last seen? The catalog
+    replaces the reference's ``url.txt`` sidecar files."""
+    last = (
+        url_catalog.filter(F.col("provider_id") == provider_id)
+        .orderBy(F.col("seen_at").desc())
+        .select("url")
+        .head(1)
+    )
+    return not last or last[0].url != new_url

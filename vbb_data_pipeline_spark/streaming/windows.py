@@ -1,0 +1,98 @@
+"""Event-time windowed aggregation wrappers (batch ≡ streaming).
+
+The reference has no watermarks/windows — event-time correctness is
+faked with a pre-sorted queue (SURVEY.md §2.9). These wrappers expose
+the Spark-native surface; each builds the same expression tree whether
+``df`` is a batch DataFrame or a streaming one, so the DuckDB oracle
+verifies the batch twin and the same code serves streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound for streaming inputs; no-op in batch."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def _unpack(df: DataFrame, start_name: str, end_name: str) -> DataFrame:
+    rest = [c for c in df.columns if c != "w"]
+    return df.select(
+        F.col("w.start").alias(start_name),
+        F.col("w.end").alias(end_name),
+        *rest,
+    )
+
+
+def tumbling(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    *aggs: Column,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    out = df.groupBy(F.window(ts_col, duration).alias("w"), *keys).agg(*aggs)
+    return _unpack(out, "window_start", "window_end")
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    *aggs: Column,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding event-time window aggregation."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    out = df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys).agg(*aggs)
+    return _unpack(out, "window_start", "window_end")
+
+
+def session(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    *aggs: Column,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-merged); window end = last event + gap."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    out = df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys).agg(*aggs)
+    return _unpack(out, "session_start", "session_end")
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: Sequence[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup (state bounded by the
+    watermark); batch twin = dropDuplicates."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming DataFrame to completion into an in-memory
+    table (local test harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
