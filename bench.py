@@ -62,13 +62,16 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in names:
         df = registry[name].fn(spark, sf_dir)
-        # Warm-up executes plan compilation + codegen; the timed pass
-        # measures steady-state execution (the throughput that matters
-        # for baseline comparison).
+        # Warm-up executes plan compilation + codegen; best-of-two timed
+        # passes measures steady-state execution (AQE re-planning on the
+        # first re-run adds noise).
         df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

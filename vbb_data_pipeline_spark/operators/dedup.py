@@ -45,6 +45,11 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return exact_dedup(fp, ["_fp"], id_col).drop("_fp")
 
 
+#: Modulus for the double-hashing MinHash family: 2^59 keeps
+#: h1 + 15·h2 < 2^63 (no int64 overflow in either engine).
+MINHASH_MOD = 1 << 59
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -54,22 +59,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures from word-``shingle_n``-gram shingles.
 
-    One row per doc: ``id_col, mh_0 .. mh_{H-1}`` where
-    ``mh_i = min over shingles of md5_long(shingle, seed=i)``.
+    One row per doc: ``id_col, mh_0 .. mh_{H-1}``. The hash family is
+    Kirsch-Mitzenmacher double hashing — each shingle is md5-hashed
+    exactly ONCE, (h1, h2) are disjoint 60-bit slices of the digest,
+    and ``h_i = (h1 + i·h2) mod 2^59`` derives the family with pure
+    int64 arithmetic (16× fewer md5 evaluations than one md5 per
+    family member; identical in the DuckDB oracle).
     Explode → groupBy-min is a single shuffle on doc id with map-side
     partial mins; signature width is a constant.
     """
+    from vbb_data_pipeline_spark.functions.hashing import md5_long_pair
+
     shingled = df.select(
         F.col(id_col),
         F.explode_outer(
             F.array_distinct(ngrams(tokens(text_col), shingle_n))
         ).alias("_shingle"),
     )
+    m = F.lit(MINHASH_MOD)
+    p1, p2 = md5_long_pair(F.col("_shingle"))
+    hashed = shingled.select(
+        F.col(id_col),
+        (p1 % m).alias("_h1"),
+        (p2 % m).alias("_h2"),
+    )
     aggs = [
-        F.min(md5_long(F.col("_shingle"), seed=i)).alias(f"mh_{i}")
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % m).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -122,7 +140,19 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs (the re-rank step
     after LSH): join token-shingle sets in, compute
     |∩| / |∪| with array built-ins."""
-    sets_df = df.select(
+    # Only candidate docs need their shingle sets materialized — the
+    # candidate id list is tiny relative to the corpus, so semi-join
+    # first and shingle after (at 100 TB this is the difference between
+    # shingling everything twice and shingling ~0.1%). The candidate
+    # list is consumed three times (two id projections + the pair
+    # join); persist it so the LSH lineage executes once.
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_df = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(ngrams(tokens(text_col), shingle_n)).alias("_set"),
     )

@@ -46,6 +46,8 @@ _QUERY_MODULES = [
     "dedup_q",
     "similarity_q",
     "events_q",
+    "streaming_q",
+    "misc_q",
 ]
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vbb_data_pipeline_spark.functions.hashing import md5_long_sql
+from vbb_data_pipeline_spark.functions.hashing import md5_long_pair_sql, md5_long_sql
 from vbb_data_pipeline_spark.operators import dedup as dd
 from vbb_data_pipeline_spark.queries import load_table, register
 
@@ -80,8 +80,11 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash signatures + LSH banding + exact Jaccard re-rank
 # ---------------------------------------------------------------------------
 def _minhash_oracle() -> str:
+    from vbb_data_pipeline_spark.operators.dedup import MINHASH_MOD
+
+    m = MINHASH_MOD
     mins = ",\n               ".join(
-        f"min({md5_long_sql('sh', seed=i)}) AS mh_{i}" for i in range(NUM_HASHES)
+        f"min((h1 + {i} * h2) % {m}) AS mh_{i}" for i in range(NUM_HASHES)
     )
     bands = ", ".join(
         "md5(concat_ws('_', '{b}', {parts}))".format(
@@ -99,10 +102,16 @@ def _minhash_oracle() -> str:
     shingles AS (
         SELECT doc_id, unnest(list_distinct({SHINGLE_SQL})) AS sh FROM toks
     ),
+    hashed AS (
+        SELECT doc_id,
+               {md5_long_pair_sql('sh')[0]} % {m} AS h1,
+               {md5_long_pair_sql('sh')[1]} % {m} AS h2
+        FROM shingles
+    ),
     sigs AS (
         SELECT doc_id,
                {mins}
-        FROM shingles GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     ),
     banded AS (
         SELECT doc_id, unnest([{bands}]) AS bucket FROM sigs

@@ -1,0 +1,194 @@
+"""Scalar-function batteries, cube/grouping sets, exact percentiles,
+limit/offset — the long tail of engine-surface parity (SURVEY.md
+§2.4-§2.7 extensions), each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.queries import load_table, register
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS up,
+           lower(c_mktsegment)                             AS lo,
+           substr(c_name, 10, 5)                           AS sub,
+           concat(c_mktsegment, '#', c_custkey)            AS cat,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0')       AS padded,
+           replace(c_name, 'Customer', 'Kunde')            AS repl,
+           CAST(length(c_name) AS INT)                     AS len,
+           CAST(strpos(c_name, '#') AS INT)                AS pos,
+           reverse(c_mktsegment)                           AS rev,
+           trim(concat(' ', c_mktsegment, ' '))            AS trimmed
+    FROM customer
+    """,
+    survey="§2.7 scalar-function battery (string)",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 10, 5).alias("sub"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_custkey").cast("string")).alias("cat"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Kunde")).alias("repl"),
+        F.length("c_name").cast("int").alias("len"),
+        F.instr("c_name", "#").cast("int").alias("pos"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "conditional_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                              AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')     AS status2,
+           greatest(o_totalprice, 150000.0)                 AS hi,
+           least(CAST(o_orderkey % 7 AS BIGINT), CAST(o_custkey % 7 AS BIGINT)) AS lo7,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH'))      AS urgent
+    FROM orders
+    """,
+    survey="§2.7 scalar-function battery (conditional/comparison)",
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status2"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("hi"),
+        F.least((F.col("o_orderkey") % 7), (F.col("o_custkey") % 7)).alias("lo7"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                        AS n,
+           toks[1]                                       AS first_tok,
+           toks[len(toks)]                               AS last_tok,
+           CAST(list_contains(toks, 'data') AS BOOLEAN)  AS has_data,
+           array_to_string(toks[1:3], '-')               AS first3,
+           CAST(len(list_distinct(toks)) AS INT)         AS n_distinct
+    FROM t
+    """,
+    survey="§2.7 extension: array/collection function battery "
+    "(ArrayType is first-class; reference has no nested types §1.3)",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.concat_ws("-", F.slice("toks", 1, 3)).alias("first3"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT)  AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey="§2.4 extension (cube + grouping markers)",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(quantile_cont(l_quantity, 0.25), 4)      AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="§2.4 extension (exact interpolated percentiles; the "
+    "approximate twin is percentile_approx — rows-only, "
+    "approx_distinct_stats)",
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50 OFFSET 20
+    """,
+    survey="§2.5 extension (deterministic pagination: total order + "
+    "limit/offset)",
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(20)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "approx_distinct_stats",
+    oracle=None,  # approximate sketches differ across engines by design
+    survey="§2.4 (approx_count_distinct / percentile_approx — HLL and "
+    "KLL-style sketches; the 100 TB substitutes for exact distinct)",
+    note="rows-only: sketch internals are engine-specific; exact twins "
+    "are lineitem_shipmode_stats and percentiles_exact",
+)
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    )

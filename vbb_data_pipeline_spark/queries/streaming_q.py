@@ -1,0 +1,98 @@
+"""Streaming queries in the correctness gate.
+
+These run REAL Structured Streaming (file source → windowed agg →
+memory sink, driven to completion) and return the materialized result.
+Because the engine's window wrappers are batch/stream-identical
+(streaming/windows.py), the same DuckDB oracle that checks the batch
+twin checks the streaming result — a stronger guarantee than the
+rows-only fallback (SURVEY.md §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vbb_data_pipeline_spark.queries import exact_sum, exact_sum_sql, register
+from vbb_data_pipeline_spark.streaming.windows import (
+    dedup_within_watermark,
+    run_to_memory,
+    tumbling,
+)
+
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) surfaces as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (nanos → timestamp, same
+    conversion as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file-stream sources take directories: stream the sf dir with a
+    # glob restricted to the events table
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, {exact_sum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="§2.9 T1 (micro-batch source pump) — REAL Structured "
+    "Streaming: file source → watermark → tumbling window → memory "
+    "sink; result must equal the batch oracle exactly",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling(
+        _event_stream(spark, sf_dir),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value")).alias("sum_value"),
+        watermark="10 minutes",
+    ).select("window_start", "event_type", "n", "sum_value")
+    name = f"tumble_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    survey="§2.9 (dropDuplicatesWithinWatermark — streaming stateful "
+    "dedup; key projection makes the survivor choice immaterial)",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _event_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "1 hour"
+    ).select("user_id", "event_type")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped, name, output_mode="append")
+    # append-mode may emit a key more than once across micro-batches at
+    # the watermark edge; the semantic result is the key set
+    return spark.table(name).distinct()
