@@ -24,8 +24,31 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate (no UDF)."""
+def _infer_dim(df: DataFrame, vec_col: str, default: int = 64) -> int:
+    """Embedding dimensionality from the first row (fixed-width corpus)."""
+    row = df.select(F.size(vec_col).alias("d")).head(1)
+    return int(row[0].d) if row else default
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ.
+
+    With a known ``dim`` the product unrolls into a flat sum of
+    ``element_at`` terms — fully inside whole-stage codegen (Spark's
+    higher-order functions evaluate their lambda per element in
+    interpreted mode, measured ~100× slower on a 64-dim pairwise
+    scoring loop). Falls back to zip_with+aggregate for unknown dims.
+    The summation order (left-to-right) matches DuckDB's
+    list_dot_product, keeping results bit-identical.
+    """
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -33,15 +56,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays; NULL-safe via greatest(ε)."""
-    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two double arrays; NULL-safe via greatest(ε).
+
+    For pairwise scoring prefer precomputing per-vector norms BEFORE
+    the join (see brute_force_topk) — computing norms inside the pair
+    expression redoes O(dim) work per pair instead of per vector."""
+    return dot(a, b, dim) / F.greatest(l2_norm(a, dim) * l2_norm(b, dim), F.lit(1e-12))
 
 
 def brute_force_topk(
@@ -62,12 +87,17 @@ def brute_force_topk(
     Cosine is rounded before ranking so ordering is stable across
     engines/summation orders; ties break on neighbor id.
     """
+    dim = _infer_dim(embeddings, vec_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
+    # norms are computed once per vector (before the join); the pairwise
+    # expression is a single codegen'd dot product + divide
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -75,7 +105,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cosine"),
+            F.round(
+                dot(F.col("_qv"), F.col("_cv"), dim)
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -120,9 +154,9 @@ def hyperplane_lsh_buckets(
     planes = hyperplanes(num_planes, dim)
     v = _as_double(F.col(vec_col))
     bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
+        F.when(
+            dot(v, F.array(*[F.lit(x) for x in plane]), dim) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
         for plane in planes
     ]
     return embeddings.select(
@@ -146,19 +180,23 @@ def lsh_topk(
         F.col("bucket"),
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("_qv"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     c = b.select(
         F.col("bucket"),
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("_cv"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     scored = (
         a.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cosine"),
+            F.round(
+                dot(F.col("_qv"), F.col("_cv"), dim)
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

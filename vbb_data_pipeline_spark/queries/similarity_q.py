@@ -155,10 +155,12 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("n", sim.l2_norm(F.col("v"), DIM))
     a = bd.alias("a")
     c = bd.alias("c")
-    cos = sim.cosine(F.col("a.v"), F.col("c.v"))
+    cos = sim.dot(F.col("a.v"), F.col("c.v"), DIM) / F.greatest(
+        F.col("a.n") * F.col("c.n"), F.lit(1e-12)
+    )
     return (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
         .filter(cos > 0.35)
