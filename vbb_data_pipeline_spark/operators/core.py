@@ -113,3 +113,39 @@ def pivot_counts(
     """Pivot with an explicit value list — never let Spark run the
     distinct-scan job to discover pivot values at 100 TB."""
     return df.groupBy(key).pivot(pivot_col, list(values)).count()
+
+
+def range_bucket_join(
+    fact: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (fact.value ∈ [range.lo, range.hi)) rewritten as a
+    bucket equi-join — the 100 TB technique for interval predicates
+    Spark would otherwise plan as a broadcast-nested-loop.
+
+    Each range row is exploded into every ``bucket_width`` bucket it
+    overlaps; the fact side computes its single bucket; the equi-join
+    on the bucket key shuffles hash-partitioned, and the exact interval
+    predicate filters residuals. Cost: |ranges| × avg_span/width extra
+    rows — choose ``bucket_width`` near the median range span.
+    """
+    lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
+    # hi is exclusive: the last covered bucket is the one holding the
+    # largest value strictly below hi
+    hi_b = F.floor((F.col(hi_col) - F.lit(1e-9)) / bucket_width).cast("long")
+    exploded = ranges.withColumn(
+        "_bucket",
+        F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b))),
+    )
+    keyed_fact = fact.withColumn(
+        "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    joined = keyed_fact.join(exploded, "_bucket", how)
+    return joined.filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    ).drop("_bucket")

@@ -123,3 +123,96 @@ def lineitem_shipmode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join via bucket rewrite (§2.3 gap list: theta/range joins)
+# ---------------------------------------------------------------------------
+#: (label, lo, hi) value bands — spans exceed the bucket width so band
+#: rows explode into multiple buckets (exercises the general case).
+_BANDS = [(f"band_{i}", float(i * 40), float(i * 40 + 40)) for i in range(9)]
+
+
+@register(
+    "range_join_value_bands",
+    oracle=f"""
+    WITH bands(label, lo, hi) AS (
+        VALUES {", ".join(f"('{l}', {lo}, {hi})" for l, lo, hi in _BANDS)}
+    )
+    SELECT e.event_id, e.value, b.label
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+    survey="§2.3 gap list: range/theta join — rewritten as bucket "
+    "equi-join (operators/core.range_bucket_join); oracle runs the "
+    "plain interval join",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "label string, lo double, hi double")
+    joined = ops.range_bucket_join(
+        e.select("event_id", "value"), bands, "value", "lo", "hi", bucket_width=25.0
+    )
+    return joined.select("event_id", "value", "label")
+
+
+# ---------------------------------------------------------------------------
+# posexplode (1→N with ordinal)
+# ---------------------------------------------------------------------------
+@register(
+    "posexplode_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           unnest(range(1, len(toks) + 1)) AS pos,
+           unnest(toks) AS tok
+    FROM t
+    """,
+    survey="§2.8 (generator/table function with ordinal — posexplode)",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    return t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+
+
+# ---------------------------------------------------------------------------
+# unpivot / stack (wide → long)
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+        SELECT o_custkey,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS open_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS finished_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS partial_cnt
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, 'O' AS status, CAST(open_cnt AS BIGINT) AS n FROM wide
+    UNION ALL
+    SELECT o_custkey, 'F' AS status, CAST(finished_cnt AS BIGINT) AS n FROM wide
+    UNION ALL
+    SELECT o_custkey, 'P' AS status, CAST(partial_cnt AS BIGINT) AS n FROM wide
+    """,
+    survey="§2.4 extension (unpivot/stack — the pivot inverse)",
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_cnt"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_cnt"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("partial_cnt"),
+    )
+    return wide.selectExpr(
+        "o_custkey",
+        "stack(3, 'O', open_cnt, 'F', finished_cnt, 'P', partial_cnt) AS (status, n)",
+    )

@@ -96,3 +96,59 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # append-mode may emit a key more than once across micro-batches at
     # the watermark edge; the semantic result is the key set
     return spark.table(name).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+def _stateful_counts(key, pdf_iter, state):
+    """Per-user running aggregate kept in GroupState: (count, max_ts).
+
+    The events fixture arrives as one micro-batch (single parquet
+    file), so the emitted final state equals the batch aggregate —
+    which is what the oracle checks. With a live source the same code
+    emits monotone updates per micro-batch.
+    """
+    import pandas as pd
+
+    count, max_us = state.get() if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        count += len(pdf)
+        batch_max = pdf["ts"].max()
+        max_us = max(max_us, int(batch_max.value // 1000))
+    state.update((count, max_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [count],
+            "last_ts": [pd.Timestamp(max_us * 1000)],
+        }
+    )
+
+
+@register(
+    "stream_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="§2.9 extension: custom stateful streaming operator "
+    "(applyInPandasWithState, GroupState) — running per-user counters; "
+    "single-micro-batch input makes the emitted state equal the batch "
+    "aggregate the oracle computes",
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _event_stream(spark, sf_dir).select("ts", "user_id")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _stateful_counts,
+        outputStructType="user_id long, n_events long, last_ts timestamp",
+        stateStructType="count long, max_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, output_mode="update")
+    return spark.table(name)
