@@ -164,6 +164,133 @@ def hyperplane_lsh_buckets(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell).
+
+    Centroids are broadcast, so assignment is a map-side pass over the
+    corpus — O(N·C) dot products, no shuffle of the corpus, which is
+    what makes IVF the 100 TB alternative to a corpus×corpus scan.
+    Returns (id_col, cell_id, vec_col). Ties break on smallest cell id
+    after rounding so any engine reproduces the same partition.
+    """
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"),
+        _as_double(F.col(vec_col)).alias("_mv"),
+    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+    v = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v"), dim))
+    scored = v.join(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        F.round(
+            dot(F.col("_v"), F.col("_mv"), dim)
+            / F.greatest(F.col("_n") * F.col("_mn"), F.lit(1e-12)),
+            round_digits,
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell_id", vec_col)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """IVF-style approximate nearest neighbors.
+
+    The corpus is partitioned into ``n_cells`` inverted lists by
+    nearest-centroid assignment; each query probes only its ``nprobe``
+    closest cells and exact-ranks the candidates inside them. At scale
+    the inverted lists are the storage partitioning (write the corpus
+    bucketed by cell_id) so a probe touches nprobe/n_cells of the data.
+
+    Centroids here are the ``n_cells`` lowest-id vectors — a
+    deterministic stand-in for k-means so the oracle can reproduce the
+    exact cell structure; the operator is agnostic to how centroids
+    were produced.
+    """
+    centroids = embeddings.filter(F.col(id_col) < n_cells)
+    assigned = ivf_assign(embeddings, centroids, dim, id_col, vec_col, round_digits)
+
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"),
+        _as_double(F.col(vec_col)).alias("_mv"),
+    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+    probe_scored = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "_qv",
+        "_qn",
+        "cell_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_mv"), dim)
+            / F.greatest(F.col("_qn") * F.col("_mn"), F.lit(1e-12)),
+            round_digits,
+        ).alias("_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "_qn", "cell_id")
+    )
+
+    cand = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv"), dim)
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int,

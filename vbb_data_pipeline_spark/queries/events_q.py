@@ -216,3 +216,73 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "stack(3, 'O', open_cnt, 'F', finished_cnt, 'P', partial_cnt) AS (status, n)",
     )
+
+
+# ---------------------------------------------------------------------------
+# P2/F7: JSON wire projection (GtfsArrival.java:20-36 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "p2_wire_projection",
+    oracle="""
+    SELECT event_id,
+           '{"name":"u' || CAST(user_id AS VARCHAR)
+             || '","latitude":' || CAST(CAST(user_id * 7 % 180 - 90 AS BIGINT) AS VARCHAR)
+             || ',"longitude":' || CAST(CAST(event_id * 13 % 360 - 180 AS BIGINT) AS VARCHAR)
+             || ',"local-time":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '"}'
+           AS wire_json
+    FROM events
+    """,
+    survey="§2.2 P2 (JSON projection/rename, GtfsArrival.java:20-36) + "
+    "§2.7 F7 (timestamp wire formatting) + F10 (serialize direction)",
+    note="JSON assembled with engine-neutral concat (to_json key order "
+    "and float formatting are engine-specific); coordinates are "
+    "key-derived ints as in p6_geo_radius",
+)
+def p2_wire_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    lat = (F.col("user_id") * 7 % 180 - 90).cast("long").cast("string")
+    lon = (F.col("event_id") * 13 % 360 - 180).cast("long").cast("string")
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit('{"name":"u'),
+            F.col("user_id").cast("string"),
+            F.lit('","latitude":'),
+            lat,
+            F.lit(',"longitude":'),
+            lon,
+            F.lit(',"local-time":"'),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit('"}'),
+        ).alias("wire_json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (skewed-key mitigation)
+# ---------------------------------------------------------------------------
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           (sum(CAST(round(value * 100) AS BIGINT)) / 100.0) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="§2.4 extension: salted two-phase aggregation — the "
+    "hot-key mitigation for low-cardinality groupBy at 100 TB "
+    "(partial agg on (key, salt) fans the hot key over 16 reducers, "
+    "final agg merges 16 rows/key); result identical to plain groupBy",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("_s"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        (F.sum("_s") / 100.0).alias("sum_value"),
+    )

@@ -135,6 +135,90 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    survey="§2.4 extension (explicit GROUPING SETS — the general form "
+    "of cube/rollup; one shuffle produces all groupings via Expand)",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "higher_order_functions",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, CAST(embedding[1:8] AS DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(v, x -> CAST(round(x * 2000) AS BIGINT)), ',') AS doubled_milli,
+           CAST(len(list_filter(v, x -> x > 0)) AS INT)                   AS n_pos,
+           round(list_sum(v), 4)                                          AS total,
+           array_to_string(list_sort(list_transform(v, x -> CAST(round(x * 1000) AS BIGINT))), ',') AS sorted_milli,
+           (len(list_filter(v, x -> x < -0.5)) > 0)                       AS has_small,
+           round(list_dot_product(v, list_reverse(v)), 4)                 AS rev_dot
+    FROM t
+    """,
+    survey="§2.7 extension: higher-order functions over ArrayType "
+    "(transform/filter/aggregate/zip_with/sort/exists) — the "
+    "lambda-expression surface the reference's row loops never had",
+    note="arrays stringified for the cross-engine hash; zip_with+"
+    "aggregate mirrors DuckDB list_dot_product on the reversed vector",
+)
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")).alias("v"),
+    )
+    total = F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x)
+    rev_dot = F.aggregate(
+        F.zip_with(F.col("v"), F.reverse(F.col("v")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("v"), lambda x: F.round(x * 2000).cast("long").cast("string")
+            ),
+        ).alias("doubled_milli"),
+        F.size(F.filter(F.col("v"), lambda x: x > 0)).alias("n_pos"),
+        F.round(total, 4).alias("total"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.transform(F.col("v"), lambda x: F.round(x * 1000).cast("long"))
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sorted_milli"),
+        F.exists(F.col("v"), lambda x: x < -0.5).alias("has_small"),
+        F.round(rev_dot, 4).alias("rev_dot"),
+    )
+
+
+@register(
     "percentiles_exact",
     oracle="""
     SELECT l_returnflag,

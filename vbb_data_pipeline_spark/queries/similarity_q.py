@@ -126,6 +126,76 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell_id, v AS mv FROM corpus WHERE vec_id < {_IVF_CELLS}
+    ),
+    ascore AS (
+        SELECT e.vec_id, c.cell_id, e.v,
+               round({COS_SQL.format(a="e.v", b="c.mv")}, 5) AS cos
+        FROM corpus e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id, v FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell_id ASC
+            ) AS rn FROM ascore
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10
+    ),
+    pscore AS (
+        SELECT q.query_id, q.qv, c.cell_id,
+               round({COS_SQL.format(a="q.qv", b="c.mv")}, 5) AS cos
+        FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+        SELECT query_id, qv, cell_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, cell_id ASC
+            ) AS rn FROM pscore
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round({COS_SQL.format(a="p.qv", b="a.v")}, 5) AS cosine
+        FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+        WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    survey="extension: IVF-style ANN — broadcast-centroid cell "
+    "assignment, nprobe cell pruning, exact re-rank inside probed "
+    "cells; the inverted-list partitioning is the 100 TB layout "
+    "(corpus bucketed by cell_id, probes touch nprobe/n_cells of it)",
+    note="centroids = lowest-id vectors (deterministic k-means "
+    "stand-in) so the oracle reproduces the cell structure exactly",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    out = sim.ivf_topk(
+        e, queries, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_PROBE, dim=DIM
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 @register(
     "sim_embedding_neardup",
     oracle=f"""

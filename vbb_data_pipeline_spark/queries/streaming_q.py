@@ -152,3 +152,73 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"state_{uuid.uuid4().hex[:8]}"
     run_to_memory(out, name, output_mode="update")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# T4: geo stream filter (completes the reference's missing GeoFilterStream)
+# ---------------------------------------------------------------------------
+_GEO_CENTER = (10.0, 20.0)
+_GEO_RADIUS_M = 3_000_000.0
+
+_GEO_SQL_DIST = f"""
+    2 * 6371000.0 * atan2(
+        sqrt(
+            sin(radians(lat - {_GEO_CENTER[0]}) / 2) * sin(radians(lat - {_GEO_CENTER[0]}) / 2)
+            + cos(radians({_GEO_CENTER[0]})) * cos(radians(lat))
+            * sin(radians(lon - {_GEO_CENTER[1]}) / 2) * sin(radians(lon - {_GEO_CENTER[1]}) / 2)
+        ),
+        sqrt(1 - (
+            sin(radians(lat - {_GEO_CENTER[0]}) / 2) * sin(radians(lat - {_GEO_CENTER[0]}) / 2)
+            + cos(radians({_GEO_CENTER[0]})) * cos(radians(lat))
+            * sin(radians(lon - {_GEO_CENTER[1]}) / 2) * sin(radians(lon - {_GEO_CENTER[1]}) / 2)
+        ))
+    )
+"""
+
+
+@register(
+    "stream_geo_filter",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               CAST((user_id * 7) % 180 - 90 AS DOUBLE)    AS lat,
+               CAST((event_id * 13) % 360 - 180 AS DOUBLE) AS lon
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    )
+    SELECT event_id, k, lat, lon,
+           CAST(round({_GEO_SQL_DIST}) AS BIGINT) AS dist_m
+    FROM pts
+    WHERE {_GEO_SQL_DIST} <= {_GEO_RADIUS_M}
+    """,
+    survey="§2.9 T4 (geo stream filter — the GeoFilterStream app the "
+    "reference's build references but never ships, "
+    "utils/GeoPredicate.java:15-52 + streaming/pom.xml:285-294): REAL "
+    "Structured Streaming, JSON parse-or-drop (P9) → haversine radius "
+    "(P6/F4) → append sink; stateless, so the stream result equals "
+    "the batch oracle exactly",
+)
+def stream_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.geo import haversine_m
+
+    stream = _event_stream(spark, sf_dir)
+    parsed = (
+        stream.withColumn("_p", F.from_json("props", "k INT"))
+        .filter(F.col("_p.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("_p.k").alias("k"),
+            ((F.col("user_id") * 7) % 180 - 90).cast("double").alias("lat"),
+            ((F.col("event_id") * 13) % 360 - 180).cast("double").alias("lon"),
+        )
+    )
+    dist = haversine_m(
+        F.col("lat"), F.col("lon"), F.lit(_GEO_CENTER[0]), F.lit(_GEO_CENTER[1])
+    )
+    out = parsed.filter(dist <= _GEO_RADIUS_M).withColumn(
+        "dist_m", F.round(dist).cast("long")
+    )
+    name = f"geo_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

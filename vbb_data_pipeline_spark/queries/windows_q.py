@@ -128,6 +128,50 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w4_rank_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           lag(o_orderkey)  OVER w                                AS prev_key,
+           lead(o_orderkey) OVER w                                AS next_key,
+           CAST(dense_rank() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_orderpriority ASC
+           ) AS BIGINT)                                           AS prio_rank,
+           CAST(ntile(4) OVER w AS BIGINT)                        AS quartile,
+           round(percent_rank() OVER w, 6)                        AS pct_rank,
+           round(cume_dist() OVER w, 6)                           AS cdist,
+           first_value(o_orderkey) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )                                                      AS first_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    survey="§2.5 extension: analytic window battery (lag/lead/"
+    "dense_rank/ntile/percent_rank/cume_dist/first_value) — ordered "
+    "accumulation generalizing the reference's priority-queue merge",
+)
+def w4_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wp = Window.partitionBy("o_orderstatus").orderBy(F.col("o_orderpriority").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.dense_rank().over(wp).cast("long").alias("prio_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+    )
+
+
+@register(
     "t_tumbling_window",
     oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
