@@ -276,3 +276,81 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
     )
+
+
+@register(
+    "stats_functions",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 4)        AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2)  AS price_qty_covar,
+           round(skewness(l_extendedprice), 4)                AS price_skew,
+           round(kurtosis(l_extendedprice), 4)                AS price_kurt,
+           round(stddev_pop(l_discount), 6)                   AS disc_sd_pop,
+           round(var_samp(l_tax), 6)                          AS tax_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    # DuckDB skewness/kurtosis carry the sample-bias correction
+    # (G1/G2); Spark's are the population moments (g1/g2). The Spark
+    # side converts g→G with the exact n-dependent factors so both
+    # engines express the same statistic.
+    survey="§2.4 extension: statistical aggregate battery "
+    "(corr/covariance/skewness/kurtosis/variance) — second-moment "
+    "profiling for data-quality monitoring at corpus scale",
+)
+def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    g1 = F.skewness("l_extendedprice")
+    g2 = F.kurtosis("l_extendedprice")
+    sample_skew = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    sample_kurt = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_covar"),
+        F.round(sample_skew, 4).alias("price_skew"),
+        F.round(sample_kurt, 4).alias("price_kurt"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("disc_sd_pop"),
+        F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+    )
+
+
+@register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)     AS month_start,
+           CAST(extract(year FROM o_orderdate) AS INT)             AS yr,
+           CAST(extract(quarter FROM o_orderdate) AS INT)          AS qtr,
+           CAST(extract(doy FROM o_orderdate) AS INT)              AS doy,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)       AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)  AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT)       AS days_since_95,
+           CAST(extract(isoyear FROM o_orderdate) AS VARCHAR)
+             || '-W' || lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0')
+                                                                   AS year_week
+    FROM orders
+    """,
+    survey="§2.7 extension: date/time function battery (trunc/extract/"
+    "interval arithmetic/last_day/datediff/format) — generalizes F1-F3",
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus3m"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+        F.concat(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("string"),
+            F.lit("-W"),
+            F.lpad(F.weekofyear("o_orderdate").cast("string"), 2, "0"),
+        ).alias("year_week"),
+    )

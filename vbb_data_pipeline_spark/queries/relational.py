@@ -530,3 +530,139 @@ def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.project(
         ops.anti_join(li, o, ["l_orderkey"]), "l_orderkey", "l_linenumber"
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 variant: fact-fact join + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    survey="§2.3 J1 + §2.5 O1: fact⋈fact join with selective dim "
+    "filter and top-k (TPC-H Q3 shape) — the filtered customer side "
+    "broadcasts; lineitem⋈orders shuffles on orderkey with both "
+    "filters pushed to the parquet scan",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-03-15").cast("timestamp")
+    j = (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(
+            o.filter(F.col("o_orderdate") < cut),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 variant: 6-way snowflake join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+    survey="§2.3 J1 + J4 (FK web): 6-way snowflake join with "
+    "local-supplier condition (TPC-H Q5 shape) — dims broadcast, the "
+    "lineitem⋈orders shuffle is the only wide exchange",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(o_f, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (decorrelated to window/join form)
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_subquery_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT (sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) / 100.0)
+               / count(*)
+        FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    survey="§2.3 extension: correlated scalar subquery (per-key "
+    "average), decorrelated to a window aggregate — one shuffle on "
+    "the correlation key instead of a per-row subquery execution",
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_exact = (
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0
+    ) / F.count(F.lit(1)).over(w)
+    return (
+        o.withColumn("_avg", avg_exact)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

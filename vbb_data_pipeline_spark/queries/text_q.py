@@ -162,3 +162,31 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("payload_sha"),
     )
+
+
+@register(
+    "multimodal_decode_dims",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)                     AS n_bytes,
+           CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 240 AS INT) AS width,
+           CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 240 AS INT) AS height,
+           CAST(1  + CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 4   AS INT) AS channels,
+           sha256(text)                                                   AS content_digest
+    FROM documents
+    """,
+    survey="extension: multimodal decode stage — Arrow-batched "
+    "mapInPandas over opaque binary payloads producing typed image "
+    "metadata (operators/multimodal.decode_images); the deterministic "
+    "stand-in decoder makes the whole Python stage oracle-checkable, "
+    "so the UDF plumbing (schema, batching, column mapping) is "
+    "verified, not just smoke-tested",
+)
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        decode_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_payload(d))
