@@ -26,6 +26,8 @@ from vbb_data_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "flagship_expand_events",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "j1_dim_join_agg",
     "w1_topk_per_group",
     "w3_sessionize",
@@ -38,7 +40,9 @@ HEADLINE = [
 OPTIONAL = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
     "text_quality_stats",
+    "multimodal_decode_dims",
 ]
 
 

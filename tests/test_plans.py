@@ -64,3 +64,44 @@ def test_dedup_minhash_bounded_exchanges(spark, reg):
     the static count is generous; the runtime executes it once."""
     df = reg["dedup_minhash_lsh"].fn(spark, SF)
     assert count_exchanges(df) <= 16
+
+
+def test_q3_broadcast_and_pushdown(spark, reg):
+    df = reg["q3_shipping_priority"].fn(spark, SF)
+    # filtered customer dim broadcasts; date filters reach both scans
+    assert_broadcast_join(df, min_count=1)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "o_orderdate")
+
+
+def test_q5_single_wide_shuffle(spark, reg):
+    df = reg["q5_local_supplier_volume"].fn(spark, SF)
+    # all dims broadcast: lineitem⋈orders is the only join shuffle,
+    # plus the final groupBy exchange (+AQE reads)
+    assert_broadcast_join(df, min_count=4)
+    assert count_exchanges(df) <= 3
+
+
+def test_scalar_subquery_one_shuffle(spark, reg):
+    """Decorrelated scalar subquery = one shuffle on the correlation
+    key (window), not a per-row subquery."""
+    df = reg["scalar_subquery_filter"].fn(spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_text_scoring_stays_native(spark, reg):
+    """Quality scoring must stay in codegen (regexp_count), never
+    fall back to Python or interpreted higher-order lambdas."""
+    df = reg["text_quality_stats"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrayFilter" not in plan
+
+
+def test_ivf_broadcasts_centroids(spark, reg):
+    """IVF assignment/probe must broadcast centroids — the corpus
+    side never shuffles for the scoring joins."""
+    df = reg["sim_ivf_topk"].fn(spark, SF)
+    assert_broadcast_join(df, min_count=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -174,11 +174,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF cell).
 
-    Centroids are broadcast, so assignment is a map-side pass over the
-    corpus — O(N·C) dot products, no shuffle of the corpus, which is
-    what makes IVF the 100 TB alternative to a corpus×corpus scan.
-    Returns (id_col, cell_id, vec_col). Ties break on smallest cell id
-    after rounding so any engine reproduces the same partition.
+    Centroids broadcast, so scoring is a map-side pass over the
+    corpus — O(N·C) dot products, no shuffle of the corpus data for
+    the join. The argmax is a ``max(struct)`` aggregation, NOT a
+    window rank: partial aggregation combines the C candidate rows
+    per vector down to 1 on the map side, so the exchange carries N
+    rows instead of sorting N×C (and no sort at all). Ties break on
+    smallest cell id after rounding (negated id in the struct) so any
+    engine reproduces the same partition.
     """
     cent = centroids.select(
         F.col(id_col).alias("cell_id"),
@@ -199,11 +202,19 @@ def ivf_assign(
             round_digits,
         ).alias("_cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cell_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cell_id", vec_col)
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_cos").alias("c"),
+                (-F.col("cell_id")).cast("long").alias("negid"),
+                F.col(vec_col).alias("v"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        id_col,
+        (-F.col("_m.negid")).alias("cell_id"),
+        F.col("_m.v").alias(vec_col),
     )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vbb_data_pipeline_spark.functions.hashing import md5_long_sql
 from vbb_data_pipeline_spark.queries import load_table, register
 
 
@@ -354,3 +355,24 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.weekofyear("o_orderdate").cast("string"), 2, "0"),
         ).alias("year_week"),
     )
+
+
+@register(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)", seed="sample")} % 20 = 0
+    """,
+    survey="§2.4 extension: deterministic hash sampling — the "
+    "reproducible, engine-portable alternative to TABLESAMPLE "
+    "(seeded RNG sampling differs per engine/partitioning); at 100 TB "
+    "the same predicate prunes consistently across reruns and engines",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.hashing import md5_long
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        md5_long(F.col("o_orderkey").cast("string"), seed="sample") % 20 == 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
