@@ -213,3 +213,61 @@ def dedup_rank(
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     w = Window.partitionBy(group_col).orderBy(order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: connected components
+    by iterative min-label propagation.
+
+    Each node starts labeled with itself; every iteration takes the
+    min label over itself and its neighbors (one join + one groupBy-min
+    per iteration, both with map-side partial aggregation). Converges
+    in graph-diameter iterations — near-dup clusters are shallow, so
+    this is a handful of shuffles; for adversarially long chains at
+    100 TB switch to the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce"), same DataFrame primitives.
+
+    The per-iteration driver action is a single scalar (Σ labels,
+    strictly decreasing until fixpoint) — iterative-algorithm
+    coordination, not data collection.
+
+    Returns ``(node, cluster_id)`` where ``cluster_id`` is the
+    smallest member id — the canonical survivor, deterministic across
+    engines and partitionings. Only nodes that appear in ``pairs`` are
+    returned (singletons are their own trivial cluster).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        s = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -251,3 +251,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering of near-dup pairs
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id, lang, source, list_distinct({TOK_SQL.format(c="text")}) AS s
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, w.label
+        FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+    survey="extension: near-dup cluster assembly — connected "
+    "components over candidate pairs by iterative min-label "
+    "propagation (operators/dedup.connected_components); cluster_id = "
+    "smallest member = canonical survivor. Oracle = DuckDB recursive "
+    "CTE reachability",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    sets_df = d.select(
+        "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("s")
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.greatest(
+        F.size(F.array_union("a.s", "b.s")), F.lit(1)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac > 0.5)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+    )
+    labels = dd.connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("cluster_id")
+    )

@@ -376,3 +376,34 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         md5_long(F.col("o_orderkey").cast("string"), seed="sample") % 20 == 0
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_clerk_note, 'v1' AS src
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey,
+           o_totalprice,
+           concat('note-', CAST(o_custkey AS VARCHAR)) AS o_clerk_note,
+           'v2' AS src
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    survey="§2.6 extension: union across evolving schemas "
+    "(unionByName allowMissingColumns / UNION ALL BY NAME) — schema "
+    "drift is the norm across months of landed data at 100 TB; "
+    "missing columns fill with NULL instead of failing the read",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.concat(F.lit("note-"), F.col("o_custkey").cast("string")).alias("o_clerk_note"),
+        F.lit("v2").alias("src"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -222,3 +222,46 @@ def stream_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"geo_{uuid.uuid4().hex[:8]}"
     run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT e.*,
+               TIMESTAMP '1970-01-01'
+                 + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND
+                 AS b
+        FROM events e
+    ),
+    assigned AS (
+        SELECT user_id, value, w.ws AS window_start
+        FROM buckets,
+             LATERAL unnest([b, b - 1800 * INTERVAL 1 SECOND]) AS w(ws)
+        WHERE ts >= w.ws AND ts < w.ws + 3600 * INTERVAL 1 SECOND
+    )
+    SELECT window_start, count(*) AS n, {exact_sum_sql("value")} AS sum_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+    survey="§2.9 (sliding window 1h/30m under REAL Structured "
+    "Streaming — watermark + overlapping window assignment + memory "
+    "sink in complete mode; same oracle as the batch twin "
+    "t_sliding_window)",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.streaming.windows import sliding
+
+    agg = sliding(
+        _event_stream(spark, sf_dir),
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [],
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value")).alias("sum_value"),
+        watermark="10 minutes",
+    ).select("window_start", "n", "sum_value")
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
