@@ -1,0 +1,40 @@
+"""Connected-components operator semantics: chains, cycles, disjoint
+components, and convergence in O(log diameter) rounds (pointer
+jumping) — the near-dup cluster-assembly stage
+(operators/dedup.connected_components)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vbb_data_pipeline_spark.operators.dedup import connected_components
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = connected_components(df, **kw)
+    return {r["node"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_two_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cycle_collapses(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_with_few_rounds(spark):
+    """A 64-hop chain has diameter 64; pointer jumping must resolve it
+    well inside 12 rounds (plain propagation would need ~64)."""
+    chain = [(i, i + 1) for i in range(64)]
+    got = _cc(spark, chain, max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_bridge_merges_components(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (2, 10)])
+    assert set(got.values()) == {1}

@@ -225,16 +225,21 @@ def connected_components(
     by iterative min-label propagation.
 
     Each node starts labeled with itself; every iteration takes the
-    min label over itself and its neighbors (one join + one groupBy-min
-    per iteration, both with map-side partial aggregation). Converges
-    in graph-diameter iterations — near-dup clusters are shallow, so
-    this is a handful of shuffles; for adversarially long chains at
-    100 TB switch to the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce"), same DataFrame primitives.
+    min label over itself, its neighbors, AND its label's label
+    (pointer jumping — the label graph halves in depth each round, so
+    convergence is O(log diameter) instead of O(diameter): a 10k-hop
+    chain resolves in ~14 rounds, cf. the large-star/small-star
+    construction of Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). Each round is two joins + one groupBy-min,
+    all with map-side partial aggregation.
 
     The per-iteration driver action is a single scalar (Σ labels,
     strictly decreasing until fixpoint) — iterative-algorithm
-    coordination, not data collection.
+    coordination, not data collection. Each round's result is
+    ``localCheckpoint``-ed: without lineage truncation the
+    self-referencing plan doubles every round and Catalyst analysis
+    time grows exponentially (observed: a 64-node chain never
+    finished under persist-only).
 
     Returns ``(node, cluster_id)`` where ``cluster_id`` is the
     smallest member id — the canonical survivor, deterministic across
@@ -250,22 +255,25 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        # pointer jumping: my label's current label
+        hop = labels.alias("x").join(
+            labels.alias("y"), F.col("x.label") == F.col("y.node")
+        ).select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+        labels = (
             labels.unionByName(nbr)
+            .unionByName(hop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
-        s = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        s = labels.agg(F.sum("label")).collect()[0][0]
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
