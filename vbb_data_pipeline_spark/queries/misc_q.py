@@ -407,3 +407,42 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("v2").alias("src"),
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "dq_check_report",
+    oracle="""
+    WITH counts AS (
+        SELECT
+            count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50))   AS qty_range,
+            count(*) FILTER (WHERE l_discount > 0.08)                   AS disc_cap,
+            count(*) FILTER (WHERE l_shipdate IS NULL)                  AS ship_null,
+            count(*) FILTER (WHERE l_extendedprice <= 0)                AS price_pos
+        FROM lineitem
+    )
+    SELECT 'qty_range' AS rule, CAST(qty_range AS BIGINT) AS n_violations FROM counts
+    UNION ALL
+    SELECT 'disc_cap',  CAST(disc_cap  AS BIGINT) FROM counts
+    UNION ALL
+    SELECT 'ship_null', CAST(ship_null AS BIGINT) FROM counts
+    UNION ALL
+    SELECT 'price_pos', CAST(price_pos AS BIGINT) FROM counts
+    """,
+    survey="§1.3 constraint mapping: CHECK-style data-quality report "
+    "(operators/quality.check_range row-filter twin) — one scan, "
+    "conditional-count aggregates, stack to (rule, n_violations); "
+    "the reference delegated these to Postgres CHECK constraints "
+    "(05-create-schema.sh:154-155)",
+)
+def dq_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.agg(
+        F.count(F.when(~F.col("l_quantity").between(1, 50), 1)).alias("qty_range"),
+        F.count(F.when(F.col("l_discount") > 0.08, 1)).alias("disc_cap"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("ship_null"),
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("price_pos"),
+    )
+    return counts.selectExpr(
+        "stack(4, 'qty_range', qty_range, 'disc_cap', disc_cap, "
+        "'ship_null', ship_null, 'price_pos', price_pos) AS (rule, n_violations)"
+    )
