@@ -31,26 +31,33 @@ def _infer_dim(df: DataFrame, vec_col: str, default: int = 64) -> int:
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Σ aᵢ·bᵢ.
+    """Σ aᵢ·bᵢ over float or double arrays (double math either way).
 
     With a known ``dim`` the product unrolls into a flat sum of
-    ``element_at`` terms — fully inside whole-stage codegen (Spark's
-    higher-order functions evaluate their lambda per element in
-    interpreted mode, measured ~100× slower on a 64-dim pairwise
-    scoring loop). Falls back to zip_with+aggregate for unknown dims.
-    The summation order (left-to-right) matches DuckDB's
-    list_dot_product, keeping results bit-identical.
+    ``element_at(..).cast(double)`` terms — fully inside whole-stage
+    codegen (Spark's higher-order functions evaluate their lambda per
+    element in interpreted mode, measured ~100× slower on a 64-dim
+    pairwise scoring loop). The element-wise cast means callers can
+    pass the raw ``array<float>`` column: no per-row double-array
+    materialization (the old ``transform``-cast allocated an array per
+    row per side, itself an interpreted lambda). Falls back to
+    zip_with+aggregate for unknown dims. Summation order
+    (left-to-right) and double arithmetic match DuckDB's
+    ``list_dot_product`` on ``CAST(x AS DOUBLE[])``, keeping results
+    bit-identical.
     """
     if dim is not None:
         terms = [
-            F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
         ]
         out = terms[0]
         for t in terms[1:]:
             out = out + t
         return out
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -90,11 +97,11 @@ def brute_force_topk(
     dim = _infer_dim(embeddings, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("_qv"),
+        F.col(vec_col).alias("_qv"),
     ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("_cv"),
+        F.col(vec_col).alias("_cv"),
     ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     # norms are computed once per vector (before the join); the pairwise
     # expression is a single codegen'd dot product + divide
@@ -152,7 +159,7 @@ def hyperplane_lsh_buckets(
     (shuffle on bucket key — linear, the 100 TB path).
     """
     planes = hyperplanes(num_planes, dim)
-    v = _as_double(F.col(vec_col))
+    v = F.col(vec_col)
     bits = [
         F.when(
             dot(v, F.array(*[F.lit(x) for x in plane]), dim) >= 0, F.lit("1")
@@ -185,12 +192,12 @@ def ivf_assign(
     """
     cent = centroids.select(
         F.col(id_col).alias("cell_id"),
-        _as_double(F.col(vec_col)).alias("_mv"),
+        F.col(vec_col).alias("_mv"),
     ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
     v = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        _as_double(F.col(vec_col)).alias("_v"),
+        F.col(vec_col).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v"), dim))
     scored = v.join(F.broadcast(cent)).select(
         id_col,
@@ -247,11 +254,11 @@ def ivf_topk(
 
     cent = centroids.select(
         F.col(id_col).alias("cell_id"),
-        _as_double(F.col(vec_col)).alias("_mv"),
+        F.col(vec_col).alias("_mv"),
     ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("_qv"),
+        F.col(vec_col).alias("_qv"),
     ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     probe_scored = q.join(F.broadcast(cent)).select(
         "query_id",
@@ -276,7 +283,7 @@ def ivf_topk(
     cand = assigned.select(
         "cell_id",
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("_cv"),
+        F.col(vec_col).alias("_cv"),
     ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     scored = (
         F.broadcast(probes)
@@ -317,12 +324,12 @@ def lsh_topk(
     a = b.select(
         F.col("bucket"),
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("_qv"),
+        F.col(vec_col).alias("_qv"),
     ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
     c = b.select(
         F.col("bucket"),
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("_cv"),
+        F.col(vec_col).alias("_cv"),
     ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     scored = (
         a.join(c, "bucket")

@@ -224,7 +224,7 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = b.select(
         "bucket",
         F.col("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding").alias("v"),
     ).withColumn("n", sim.l2_norm(F.col("v"), DIM))
     a = bd.alias("a")
     c = bd.alias("c")
