@@ -127,21 +127,26 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, attach the most recent
-    right row with ``right_ts <= left_ts`` within the ``on`` group.
+    """As-of join: for each left row, attach the closest right row
+    within the ``on`` group — the most recent with
+    ``right_ts <= left_ts`` (``direction="backward"``) or the earliest
+    with ``right_ts >= left_ts`` (``direction="forward"``), both
+    inclusive.
 
     Spark has no native as-of join (SURVEY.md §2.3 gap list); this is
-    the scale-friendly union-and-forward-fill construction: tag both
-    sides, union, and take ``last(value, ignorenulls)`` over an
+    the scale-friendly union-and-fill construction: tag both sides,
+    union, and take ``last``/``first`` (ignorenulls) over an
     event-time window — one shuffle on the key, no range explosion,
     no per-group pandas. Right rows must be unique per
     ``(on, right_ts)`` (pre-aggregate otherwise) for determinism.
 
-    DuckDB twin: ``ASOF LEFT JOIN ... ON l.key = r.key AND
-    l.ts >= r.ts`` (inclusive, like this implementation — at equal
-    timestamps the right row sorts first and is visible to the left
-    row).
+    DuckDB twins: backward is ``ASOF LEFT JOIN ... ON l.key = r.key
+    AND l.ts >= r.ts``; forward is the same ASOF over NEGATED
+    microsecond epochs (DuckDB only implements the >= direction).
+    At equal timestamps the right row is visible to the left row in
+    both directions (inclusive), enforced by the _src sort position.
     """
     from pyspark.sql.window import Window
 
@@ -154,20 +159,34 @@ def asof_join(
     l = left.withColumn("_ats", F.col(left_ts)).withColumn("_src", F.lit(1))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_ats").asc(), F.col("_src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ats").asc(), F.col("_src").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    elif direction == "forward":
+        # left (_src=1) sorts before right (_src=0) at equal ts, so a
+        # same-timestamp right row is inside the following frame
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ats").asc(), F.col("_src").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
+    else:  # pragma: no cover - caller error
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
     filled = unioned.select(
         "*",
         *[
-            F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
+            pick(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
             .over(w)
             .alias(f"_asof_{c}")
             for c in right_cols
         ],
-        F.last(F.when(F.col("_src") == 0, F.col("_ats")), ignorenulls=True)
+        pick(F.when(F.col("_src") == 0, F.col("_ats")), ignorenulls=True)
         .over(w)
         .alias("_asof_ts"),
     )

@@ -286,3 +286,65 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n"),
         (F.sum("_s") / 100.0).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next event at or after)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_next_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    le AS (
+        SELECT event_id, ts, user_id, event_type, -epoch_us(ts) AS nts
+        FROM events
+    ),
+    rp AS (
+        SELECT user_id, ts AS pts, purchase_value, -epoch_us(ts) AS nts
+        FROM purchases
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type,
+           p.pts AS next_purchase_ts,
+           p.purchase_value,
+           CAST(date_diff('second', e.ts, p.pts) AS BIGINT) AS secs_until_purchase
+    FROM le e
+    ASOF LEFT JOIN rp p
+      ON e.user_id = p.user_id AND e.nts >= p.nts
+    """,
+    survey="§2.3 gap list: as-of join, FORWARD direction (earliest "
+    "right row at-or-after; inclusive) — union + windowed "
+    "backward-fill; DuckDB oracle runs its native (backward-only) "
+    "ASOF over negated microsecond epochs",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        e.select("event_id", "ts", "user_id", "event_type"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("_asof_ts").alias("next_purchase_ts"),
+        "purchase_value",
+        (F.unix_timestamp("_asof_ts") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("secs_until_purchase"),
+    )
