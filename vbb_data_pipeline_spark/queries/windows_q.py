@@ -269,3 +269,33 @@ def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "w5_range_frame_rolling",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) / 100.0) AS rolling_7d_rev
+    FROM orders
+    """,
+    survey="§2.5 extension: RANGE-frame window (rolling 7-day revenue "
+    "per customer) — value-based frames over event time, distinct "
+    "from the ROWS frames in w2; frame bound = 604800s of epoch",
+    note="fixed-point per-row rounding makes the windowed sum "
+    "order-independent (same recipe as exact_sum)",
+)
+def w5_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    rolling = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0
+    return o.select(
+        "o_orderkey", "o_custkey", rolling.alias("rolling_7d_rev")
+    )
