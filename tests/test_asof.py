@@ -42,6 +42,40 @@ def test_asof_matches_pandas(spark):
     assert out.count() == len(left_rows)
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """A NULL payload on the matched right row must surface as NULL —
+    not be backfilled from an older right row (column-mixing bug)."""
+    left = spark.createDataFrame(
+        [(1, _t(6), "a"), (2, _t(3), "a")], "id long, ts timestamp, k string"
+    )
+    right = spark.createDataFrame(
+        [(_t(2), "a", 1.0, "x"), (_t(5), "a", None, "y")],
+        "ts timestamp, k string, v double, tag string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v", "tag"],
+    )
+    got = {r.id: (r.v, r.tag) for r in out.collect()}
+    # left@6 matches right@5 verbatim: v=NULL, tag='y' (same source row)
+    assert got[1] == (None, "y")
+    assert got[2] == (1.0, "x")
+
+
+def test_asof_forward_null_payload(spark):
+    left = spark.createDataFrame([(1, _t(1), "a")], "id long, ts timestamp, k string")
+    right = spark.createDataFrame(
+        [(_t(2), "a", None, "y"), (_t(4), "a", 9.0, "z")],
+        "ts timestamp, k string, v double, tag string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v", "tag"], direction="forward",
+    )
+    row = out.collect()[0]
+    assert (row.v, row.tag) == (None, "y")
+
+
 def test_asof_single_shuffle_no_python(spark):
     left = spark.createDataFrame([(1, _t(1), "a")], "id long, ts timestamp, k string")
     right = spark.createDataFrame([(_t(0), "a", 1.0)], "ts timestamp, k string, v double")

@@ -14,11 +14,53 @@ on the non-oracle fast paths (e.g. ingest checksum A2 at scale);
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: 15 hex digits = 60 bits, always positive in a signed 64-bit int.
 _HEX_DIGITS = 15
+
+
+def default_hash_mode() -> str:
+    """Process-wide hash-mode switch for the dedup/similarity queries.
+
+    ``"oracle"`` (default) = md5-derived hashing, bit-identical in
+    DuckDB, so the driver's value-hash comparison verifies every stage.
+    ``"fast"`` (set ``SPARK_GRAFT_FAST_HASH=1``; bench.py does) =
+    JVM-native ``xxhash64``, the production path — no Python, no hex
+    string round-trip, one codegen expression per hash.
+    """
+    return "fast" if os.environ.get("SPARK_GRAFT_FAST_HASH") == "1" else "oracle"
+
+
+def hash_long(col: Column | str, hash_mode: str = "fast") -> Column:
+    """Non-negative int64 hash of a string column; mode-switched
+    between :func:`md5_long` (oracle parity) and ``xxhash64`` masked to
+    63 bits (fast path)."""
+    if hash_mode == "oracle":
+        return md5_long(col)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c.cast("string")).bitwiseAND(F.lit((1 << 63) - 1))
+
+
+def hash_long_pair(
+    col: Column | str, hash_mode: str = "fast"
+) -> tuple[Column, Column]:
+    """TWO independent non-negative int64 hashes of one string column —
+    the primitive behind Kirsch-Mitzenmacher hash families. Oracle mode
+    slices one md5 digest; fast mode is two seeded ``xxhash64`` calls
+    (still cheaper than one md5: no hex conversion, pure JVM)."""
+    if hash_mode == "oracle":
+        return md5_long_pair(col)
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    mask = F.lit((1 << 63) - 1)
+    return (
+        F.xxhash64(s).bitwiseAND(mask),
+        F.xxhash64(s, F.lit(1)).bitwiseAND(mask),
+    )
 
 
 def md5_long(col: Column | str, seed: str | int | None = None) -> Column:

@@ -134,6 +134,13 @@ def range_bucket_join(
     predicate filters residuals. Cost: |ranges| × avg_span/width extra
     rows — choose ``bucket_width`` near the median range span.
     """
+    if how != "inner":
+        # The exact interval residual below drops NULL-extended rows,
+        # silently collapsing outer joins to inner semantics.
+        raise ValueError(
+            "range_bucket_join supports how='inner' only; outer modes "
+            "would need a null-tolerant residual predicate"
+        )
     lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
     # hi is exclusive: the last covered bucket is the one holding the
     # largest value strictly below hi

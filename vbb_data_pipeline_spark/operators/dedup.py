@@ -56,19 +56,23 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """MinHash signatures from word-``shingle_n``-gram shingles.
 
     One row per doc: ``id_col, mh_0 .. mh_{H-1}``. The hash family is
-    Kirsch-Mitzenmacher double hashing — each shingle is md5-hashed
-    exactly ONCE, (h1, h2) are disjoint 60-bit slices of the digest,
-    and ``h_i = (h1 + i·h2) mod 2^59`` derives the family with pure
-    int64 arithmetic (16× fewer md5 evaluations than one md5 per
-    family member; identical in the DuckDB oracle).
-    Explode → groupBy-min is a single shuffle on doc id with map-side
-    partial mins; signature width is a constant.
+    Kirsch-Mitzenmacher double hashing — each shingle is hashed to one
+    (h1, h2) pair and ``h_i = (h1 + i·h2) mod 2^59`` derives the family
+    with pure int64 arithmetic (16× fewer hash evaluations than one
+    hash per family member).
+
+    ``hash_mode="fast"`` (default) uses JVM ``xxhash64`` — the
+    production path. ``"oracle"`` uses md5-derived slices that DuckDB
+    reproduces bit-for-bit (functions/hashing.py), for driver
+    verification. Explode → groupBy-min is a single shuffle on doc id
+    with map-side partial mins; signature width is a constant.
     """
-    from vbb_data_pipeline_spark.functions.hashing import md5_long_pair
+    from vbb_data_pipeline_spark.functions.hashing import hash_long_pair
 
     shingled = df.select(
         F.col(id_col),
@@ -77,7 +81,7 @@ def minhash_signatures(
         ).alias("_shingle"),
     )
     m = F.lit(MINHASH_MOD)
-    p1, p2 = md5_long_pair(F.col("_shingle"))
+    p1, p2 = hash_long_pair(F.col("_shingle"), hash_mode)
     hashed = shingled.select(
         F.col(id_col),
         (p1 % m).alias("_h1"),
@@ -95,6 +99,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes // bands`` rows; docs sharing any band hash are
@@ -102,15 +107,16 @@ def lsh_candidate_pairs(
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. The
     band-bucket self-join is the scale path: shuffle on band key,
-    never O(n²).
+    never O(n²). Fast mode buckets on an int64 ``xxhash64`` of the
+    band (8-byte shuffle key) instead of a 32-char md5 hex string.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.md5(F.concat_ws("_", F.lit(str(b)), *parts)).alias(f"band_{b}")
-        )
+        payload = F.concat_ws("_", F.lit(str(b)), *parts)
+        bucket = F.md5(payload) if hash_mode == "oracle" else F.xxhash64(payload)
+        band_cols.append(bucket.alias(f"band_{b}"))
     banded = signatures.select(F.col(id_col), *band_cols)
     melted = banded.select(
         F.col(id_col),
@@ -146,6 +152,12 @@ def jaccard_pairs(
     # shingling everything twice and shingling ~0.1%). The candidate
     # list is consumed three times (two id projections + the pair
     # join); persist it so the LSH lineage executes once.
+    # Cache-lifetime contract: the caller owns this persist — unpersist
+    # via `returned_df.rdd.unpersist()` semantics is not possible from
+    # here without forcing eager materialization, so long-running
+    # sessions that loop the dedup pipeline should call
+    # ``spark.catalog.clearCache()`` (or unpersist the candidate frame
+    # they passed in) between iterations.
     candidates = candidates.persist()
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
@@ -178,17 +190,26 @@ def jaccard_pairs(
     return out
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    hash_mode: str = "fast",
+) -> DataFrame:
     """SimHash (Charikar) over word tokens with ``bits``-bit output.
 
     Bit b of the hash is the sign of Σ_tokens (±1 depending on bit b of
-    the token's md5 hash). Near-duplicates have small Hamming distance
+    the token's hash — ``xxhash64`` fast / md5-derived oracle).
+    Near-duplicates have small Hamming distance
     (compare with ``bit_count(simhash_a ^ simhash_b)``).
     One explode + one groupBy; the per-bit sums are algebraic
     aggregates with map-side combine.
     """
+    from vbb_data_pipeline_spark.functions.hashing import hash_long
+
     tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t"))
-    h = md5_long(F.col("_t"))
+    h = hash_long(F.col("_t"), hash_mode)
     bit_sums = [
         F.sum(
             F.when(F.col("_t").isNull(), F.lit(0)).otherwise(

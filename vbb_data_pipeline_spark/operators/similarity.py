@@ -83,6 +83,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -93,8 +94,13 @@ def brute_force_topk(
 
     Cosine is rounded before ranking so ordering is stable across
     engines/summation orders; ties break on neighbor id.
+
+    Pass ``dim`` when known (callers always should): the fallback
+    ``_infer_dim`` launches a one-row Spark job at plan-construction
+    time.
     """
-    dim = _infer_dim(embeddings, vec_col)
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

@@ -178,19 +178,22 @@ def asof_join(
     else:  # pragma: no cover - caller error
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
+    # Fill ONE struct carrying the matched row's timestamp and all its
+    # payload columns; per-column fills would backfill a NULL payload
+    # from an *older* right row, mixing columns across rows (true ASOF
+    # attaches the matched row verbatim, NULLs included).
+    row_struct = F.when(
+        F.col("_src") == 0,
+        F.struct(F.col("_ats"), *[F.col(c) for c in right_cols]),
+    )
     filled = unioned.select(
         "*",
-        *[
-            pick(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_asof_{c}")
-            for c in right_cols
-        ],
-        pick(F.when(F.col("_src") == 0, F.col("_ats")), ignorenulls=True)
-        .over(w)
-        .alias("_asof_ts"),
+        pick(row_struct, ignorenulls=True).over(w).alias("_asof_row"),
     )
     out = filled.filter(F.col("_src") == 1)
     for c in right_cols:
-        out = out.drop(c).withColumnRenamed(f"_asof_{c}", c)
-    return out.drop("_src", "_ats")
+        out = out.drop(c).withColumn(c, F.col(f"_asof_row.{c}"))
+    return (
+        out.withColumn("_asof_ts", F.col("_asof_row._ats"))
+        .drop("_src", "_ats", "_asof_row")
+    )

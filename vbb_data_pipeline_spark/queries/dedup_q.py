@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vbb_data_pipeline_spark.functions.hashing import md5_long_pair_sql, md5_long_sql
+from vbb_data_pipeline_spark.functions.hashing import (
+    default_hash_mode,
+    md5_long_pair_sql,
+    md5_long_sql,
+)
 from vbb_data_pipeline_spark.operators import dedup as dd
 from vbb_data_pipeline_spark.queries import load_table, register
 
@@ -143,11 +147,17 @@ def _minhash_oracle() -> str:
     "signature table in both engines",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash_mode: "oracle" under driver verification (md5 = DuckDB
+    # parity); bench.py flips SPARK_GRAFT_FAST_HASH=1 for the
+    # production xxhash64 path (same plan shape, ~no hex round-trips).
+    mode = default_hash_mode()
     d = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(
-        d, "text", "doc_id", num_hashes=NUM_HASHES, shingle_n=3
+        d, "text", "doc_id", num_hashes=NUM_HASHES, shingle_n=3, hash_mode=mode
     )
-    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=NUM_HASHES, bands=BANDS)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=NUM_HASHES, bands=BANDS, hash_mode=mode
+    )
     return dd.jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
 
 
@@ -186,11 +196,11 @@ def _simhash_oracle(bits: int = 16) -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # inner explode → empty docs drop, matching the oracle's unnest
-    from vbb_data_pipeline_spark.functions.hashing import md5_long
+    from vbb_data_pipeline_spark.functions.hashing import hash_long
     from vbb_data_pipeline_spark.functions.text import tokens
 
     tok = d.select(F.col("doc_id"), F.explode(tokens("text")).alias("_t"))
-    h = md5_long(F.col("_t"))
+    h = hash_long(F.col("_t"), default_hash_mode())
     bit_sums = [
         F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_s{b}")
         for b in range(16)

@@ -58,7 +58,7 @@ COS_SQL = (
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    out = sim.brute_force_topk(e, queries, k=5)
+    out = sim.brute_force_topk(e, queries, k=5, dim=DIM)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -225,7 +225,8 @@ GTFS_LOAD_ORDER = [
 PRIMARY_KEYS: dict[str, list[str]] = {
     "provider": ["provider_id"],
     "run": ["run_id"],
-    "agency": ["run_id", "agency_id"],
+    # agency is keyed per provider, not per run (05-create-schema.sh:39)
+    "agency": ["provider_id", "agency_id"],
     "stops": ["run_id", "stop_id"],
     "routes": ["run_id", "route_id"],
     "calendar": ["run_id", "service_id"],
@@ -240,7 +241,8 @@ FOREIGN_KEYS: list[tuple[str, list[str], str, list[str]]] = [
     ("trips", ["run_id", "service_id"], "calendar", ["run_id", "service_id"]),
     ("stop_times", ["run_id", "trip_id"], "trips", ["run_id", "trip_id"]),
     ("stop_times", ["run_id", "stop_id"], "stops", ["run_id", "stop_id"]),
-    ("routes", ["run_id", "agency_id"], "agency", ["run_id", "agency_id"]),
+    # routes reference agency by provider scope (05-create-schema.sh:81)
+    ("routes", ["provider_id", "agency_id"], "agency", ["provider_id", "agency_id"]),
     ("transfers", ["run_id", "from_stop_id"], "stops", ["run_id", "stop_id"]),
     ("transfers", ["run_id", "to_stop_id"], "stops", ["run_id", "stop_id"]),
     ("frequencies", ["run_id", "trip_id"], "trips", ["run_id", "trip_id"]),

@@ -61,9 +61,29 @@ def assign_run_ids(new: DataFrame, run_catalog: DataFrame | None) -> DataFrame:
     offset = 0
     if run_catalog is not None and run_catalog.head(1):
         offset = run_catalog.agg(F.max("run_id")).collect()[0][0] or 0
-    w = Window.orderBy("provider_id", "run_date")
-    return new.withColumn(
-        "run_id", (F.dense_rank().over(w) + F.lit(offset)).cast("int")
+    # Rank per provider (parallel windows), then add a per-provider base
+    # computed from the provider ranks — equivalent to one global
+    # dense_rank over (provider_id, run_date) but with no
+    # single-partition global window. Provider count bounds the
+    # broadcast side (catalog-scale, thousands at most).
+    wp = Window.partitionBy("provider_id").orderBy("run_date")
+    ranked = new.withColumn("_prank", F.dense_rank().over(wp))
+    per_provider = ranked.groupBy("provider_id").agg(
+        F.max("_prank").alias("_n")
+    )
+    wb = Window.orderBy("provider_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = per_provider.withColumn(
+        "_base", F.coalesce(F.sum("_n").over(wb), F.lit(0))
+    ).select("provider_id", "_base")
+    return (
+        ranked.join(F.broadcast(bases), "provider_id")
+        .withColumn(
+            "run_id",
+            (F.col("_prank") + F.col("_base") + F.lit(offset)).cast("int"),
+        )
+        .drop("_prank", "_base")
     )
 
 
@@ -81,15 +101,29 @@ def archive_checksum(zip_path: str) -> int:
 def dedup_archives(spark: SparkSession, listing: DataFrame) -> DataFrame:
     """Checksum-dedup of landed archives (operators.py:159-169): keep
     the first (provider_id, checksum) occurrence ordered by run_date.
-    Listing is catalog-scale metadata; checksums come from zip central
-    directories."""
-    rows = [
-        (r.provider_id, r.run_date, r.path, archive_checksum(r.path))
-        for r in listing.collect()
-    ]
-    df = spark.createDataFrame(
-        rows, "provider_id string, run_date string, path string, checksum long"
-    )
+
+    The checksum pass is DISTRIBUTED: archive paths fan out over
+    executors (``mapInPandas``) and each task reads only the zip
+    central directory of its archives — no ``collect()``, no serial
+    driver loop, no full-content shuffle (the XOR fingerprint needs
+    member CRCs, which the central directory already stores).
+    At object-store scale, swap the in-task ``zipfile.ZipFile(path)``
+    open for ``spark.read.format("binaryFile")`` + ``io.BytesIO`` if
+    executors lack a filesystem view of the landing bucket.
+    """
+    out_schema = "provider_id string, run_date string, path string, checksum long"
+
+    def _checksum_batches(batches):
+        for pdf in batches:
+            pdf = pdf[["provider_id", "run_date", "path"]].copy()
+            pdf["checksum"] = [archive_checksum(p) for p in pdf["path"]]
+            yield pdf
+
+    # Listing arrives as a handful of driver-created partitions; spread
+    # the IO-bound checksum tasks across the cluster first (tiny
+    # metadata shuffle).
+    fanned = listing.repartition(spark.sparkContext.defaultParallelism)
+    df = fanned.mapInPandas(_checksum_batches, out_schema)
     w = Window.partitionBy("provider_id", "checksum").orderBy("run_date", "path")
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -63,9 +63,10 @@ def write_kafka_batch(
     df: DataFrame, bootstrap: str, topic: str, **options: str
 ) -> None:
     """S11 batch parity: DataFrame with a ``value`` (and optional
-    ``key``) column → Kafka. The streaming twin is
-    ``streaming/arrivals.write_arrival_stream``. Requires the
-    spark-sql-kafka package on the classpath."""
+    ``key``) column → Kafka. The streaming twin is a
+    ``writeStream.format("kafka")`` over the same payload — see
+    ``streaming/windows.run_to_memory`` for the sink wiring pattern.
+    Requires the spark-sql-kafka package on the classpath."""
     writer = (
         df.write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
