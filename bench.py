@@ -30,8 +30,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "j1_dim_join_agg",
     "w1_topk_per_group",
-    "w3_sessionize",
-    "t_tumbling_window",
+    "w2_running_revenue",
+    "t_session_window",
     "a2_group_checksum",
     "o1_topk_orders",
 ]
@@ -41,8 +41,8 @@ OPTIONAL = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
-    "text_quality_stats",
-    "multimodal_decode_dims",
+    "text_doc_profile",
+    "multimodal_decode",
 ]
 
 

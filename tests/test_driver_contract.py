@@ -44,7 +44,7 @@ def test_window_agg_survives_non_utc_session(non_utc):
     the driver's session zone differs (verify probe #1)."""
     from vbb_data_pipeline_spark.queries import all_queries
 
-    spec = all_queries()["t_tumbling_window"]
+    spec = all_queries()["stream_tumbling_window"]
     _compare(spec.fn(non_utc, SF), spec.oracle)
 
 
@@ -53,7 +53,7 @@ def test_timestamp_formatting_survives_non_utc_session(non_utc):
     driver session zone."""
     from vbb_data_pipeline_spark.queries import all_queries
 
-    spec = all_queries()["p2_wire_projection"]
+    spec = all_queries()["json_wire_roundtrip"]
     _compare(spec.fn(non_utc, SF), spec.oracle)
 
 

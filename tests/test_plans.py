@@ -23,7 +23,7 @@ def reg():
 
 
 def test_p3_filter_pushdown(spark, reg):
-    df = reg["p3_range_filter"].fn(spark, SF)
+    df = reg["service_filters"].fn(spark, SF)
     assert_pushed_filter(df, "o_orderdate")
 
 
@@ -43,7 +43,7 @@ def test_q1_single_shuffle(spark, reg):
 
 def test_column_pruning_reaches_scan(spark, reg):
     """A 3-column projection must not read the full lineitem schema."""
-    df = reg["p3_range_filter"].fn(spark, SF)
+    df = reg["service_filters"].fn(spark, SF)
     plan = formatted(df)
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines, plan
@@ -92,7 +92,7 @@ def test_scalar_subquery_one_shuffle(spark, reg):
 def test_text_scoring_stays_native(spark, reg):
     """Quality scoring must stay in codegen (regexp_count), never
     fall back to Python or interpreted higher-order lambdas."""
-    df = reg["text_quality_stats"].fn(spark, SF)
+    df = reg["text_doc_profile"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrayFilter" not in plan

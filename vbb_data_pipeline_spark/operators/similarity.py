@@ -184,6 +184,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF cell).
 
@@ -195,9 +196,12 @@ def ivf_assign(
     rows instead of sorting N×C (and no sort at all). Ties break on
     smallest cell id after rounding (negated id in the struct) so any
     engine reproduces the same partition.
+
+    ``cell_col``: name of the centroid-id column in ``centroids``
+    (default: ``id_col`` — centroids shaped like corpus rows).
     """
     cent = centroids.select(
-        F.col(id_col).alias("cell_id"),
+        F.col(cell_col or id_col).alias("cell_id"),
         F.col(vec_col).alias("_mv"),
     ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
     v = embeddings.select(
@@ -231,6 +235,70 @@ def ivf_assign(
     )
 
 
+#: Fixed-point scale for k-means centroid means (exact int sums →
+#: order-independent, cross-engine-identical components).
+KMEANS_SCALE = 1_000_000
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over cosine similarity →
+    ``(cell_id, vec_col)`` centroid table.
+
+    Seeding is the ``n_cells`` lowest-id vectors; each of the
+    ``iters`` rounds broadcast-assigns every vector to its nearest
+    centroid (``ivf_assign`` — max(struct) argmax, rounded cosine,
+    tie on cell id) and recomputes centroids as per-dimension means.
+    The means use fixed-point integer sums (``KMEANS_SCALE``) so the
+    resulting components are bit-identical in any engine: integer sum
+    is exact and order-independent, and the two IEEE divisions happen
+    in a fixed order. Cells that lose all members drop out (both
+    engines' GROUP BY agrees).
+
+    Static plan: ``iters`` is a constant, so the loop just deepens the
+    expression tree — no driver-side data collection. Each round is
+    one broadcast join + one groupBy with ``dim`` integer sums
+    (map-side combine); at 100 TB the corpus is scanned ``iters``
+    times and nothing else moves.
+    """
+    corpus = embeddings.select(F.col(id_col), F.col(vec_col))
+    cent = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("long").alias("cell_id"),
+        F.col(vec_col),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, cent, dim, id_col, vec_col, round_digits, cell_col="cell_id"
+        )
+        sums = [
+            F.sum(
+                F.round(
+                    F.element_at(F.col(vec_col), i + 1).cast("double")
+                    * KMEANS_SCALE
+                ).cast("long")
+            ).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+        agg = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("_n"), *sums
+        )
+        mean_vec = F.array(
+            *[
+                (F.col(f"_s{i}").cast("double") / KMEANS_SCALE) / F.col("_n")
+                for i in range(dim)
+            ]
+        )
+        cent = agg.select("cell_id", mean_vec.alias(vec_col))
+    return cent
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -241,6 +309,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate nearest neighbors.
 
@@ -250,16 +319,22 @@ def ivf_topk(
     the inverted lists are the storage partitioning (write the corpus
     bucketed by cell_id) so a probe touches nprobe/n_cells of the data.
 
-    Centroids here are the ``n_cells`` lowest-id vectors — a
-    deterministic stand-in for k-means so the oracle can reproduce the
-    exact cell structure; the operator is agnostic to how centroids
-    were produced.
+    ``centroids``: a ``(cell_id, vec_col)`` table — typically
+    :func:`kmeans_centroids`. Default: the ``n_cells`` lowest-id
+    vectors (deterministic stand-in); the operator is agnostic to how
+    centroids were produced.
     """
-    centroids = embeddings.filter(F.col(id_col) < n_cells)
-    assigned = ivf_assign(embeddings, centroids, dim, id_col, vec_col, round_digits)
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col)
+        )
+    assigned = ivf_assign(
+        embeddings, centroids, dim, id_col, vec_col, round_digits,
+        cell_col="cell_id",
+    )
 
     cent = centroids.select(
-        F.col(id_col).alias("cell_id"),
+        F.col("cell_id"),
         F.col(vec_col).alias("_mv"),
     ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
     q = queries.select(

@@ -32,52 +32,47 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
 # ---------------------------------------------------------------------------
-# Exact dedup (hash-groupBy)
+# Exact dedup (hash-groupBy) + fingerprint dedup (sorted token set)
 # ---------------------------------------------------------------------------
 @register(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS content_key,
-           min(doc_id) AS keep_id,
-           count(*)    AS n_copies
-    FROM documents
-    GROUP BY md5(text)
-    """,
-    survey="extension: exact dedup (hash-groupBy keep-first); reference "
-    "idempotency analog: ON CONFLICT DO NOTHING (utils/__init__.py:55-56)",
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("content_key")).agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Fingerprint dedup (sorted distinct token set)
-# ---------------------------------------------------------------------------
-@register(
-    "dedup_fingerprint",
+    "dedup_exact_fingerprint",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
-    )
-    SELECT md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fp,
+    SELECT 'exact' AS method,
+           md5(text) AS group_key,
            min(doc_id) AS keep_id,
            count(*)    AS n_docs
-    FROM toks
-    GROUP BY 1
+    FROM documents
+    GROUP BY md5(text)
+    UNION ALL
+    SELECT 'fingerprint',
+           md5(array_to_string(list_sort(list_distinct(tk)), ' ')),
+           min(doc_id),
+           count(*)
+    FROM (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
+    )
+    GROUP BY 2
     """,
-    survey="extension: near-exact dedup on token-set fingerprint "
-    "(functions/text.fingerprint)",
+    survey="extension: exact dedup (hash-groupBy keep-first; reference "
+    "idempotency analog: ON CONFLICT DO NOTHING, utils/__init__.py:"
+    "55-56) + extension: near-exact dedup on sorted-token-set "
+    "fingerprint (functions/text.fingerprint) — tagged union; both "
+    "are one-shuffle hash aggregations whose wide columns never move",
 )
-def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.text import fingerprint
 
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(fingerprint("text").alias("fp")).agg(
+    exact = d.groupBy(F.md5("text").alias("group_key")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
     )
+    fp = d.groupBy(fingerprint("text").alias("group_key")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tag = lambda df, m: df.select(  # noqa: E731
+        F.lit(m).alias("method"), "group_key", "keep_id", "n_docs"
+    )
+    return tag(exact, "exact").unionByName(tag(fp, "fingerprint"))
 
 
 # ---------------------------------------------------------------------------

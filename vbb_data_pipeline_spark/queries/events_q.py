@@ -18,7 +18,7 @@ from vbb_data_pipeline_spark.queries import exact_sum, exact_sum_sql, load_table
 
 
 @register(
-    "asof_last_purchase",
+    "asof_purchase_context",
     oracle="""
     WITH purchases AS (
         SELECT user_id, ts,
@@ -26,44 +26,81 @@ from vbb_data_pipeline_spark.queries import exact_sum, exact_sum_sql, load_table
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY user_id, ts
+    ),
+    le AS (
+        SELECT event_id, ts, user_id, event_type, -epoch_us(ts) AS nts
+        FROM events
+    ),
+    rp AS (
+        SELECT user_id, ts AS pts, purchase_value, -epoch_us(ts) AS nts
+        FROM purchases
     )
-    SELECT e.event_id, e.ts, e.user_id, e.event_type,
-           p.ts            AS last_purchase_ts,
+    SELECT 'backward' AS direction,
+           e.event_id, e.ts, e.user_id, e.event_type,
+           p.ts            AS purchase_ts,
            p.purchase_value,
-           CAST(date_diff('second', p.ts, e.ts) AS BIGINT) AS secs_since_purchase
+           CAST(date_diff('second', p.ts, e.ts) AS BIGINT) AS delta_secs
     FROM events e
     ASOF LEFT JOIN purchases p
       ON e.user_id = p.user_id AND e.ts >= p.ts
+    UNION ALL
+    SELECT 'forward',
+           e.event_id, e.ts, e.user_id, e.event_type,
+           p.pts AS purchase_ts,
+           p.purchase_value,
+           CAST(date_diff('second', e.ts, p.pts) AS BIGINT) AS delta_secs
+    FROM le e
+    ASOF LEFT JOIN rp p
+      ON e.user_id = p.user_id AND e.nts >= p.nts
     """,
-    survey="§2.3 gap list: as-of join (backward, inclusive) — "
-    "union + windowed forward-fill vs DuckDB native ASOF JOIN",
+    survey="§2.3 gap list: as-of join, BOTH directions (backward = "
+    "most recent right row at-or-before, forward = earliest right row "
+    "at-or-after; both inclusive) — union + windowed fill "
+    "(operators/temporal.asof_join) vs DuckDB native ASOF JOIN; the "
+    "forward oracle runs DuckDB's (backward-only) ASOF over negated "
+    "microsecond epochs",
 )
-def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     purchases = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("purchase_value"))
     )
-    joined = asof_join(
-        e.select("event_id", "ts", "user_id", "event_type"),
-        purchases,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["purchase_value"],
+    left = e.select("event_id", "ts", "user_id", "event_type")
+
+    def side(direction: str, tag: str, delta) -> DataFrame:
+        joined = asof_join(
+            left,
+            purchases,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["purchase_value"],
+            direction=direction,
+        )
+        return joined.select(
+            F.lit(tag).alias("direction"),
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            F.col("_asof_ts").alias("purchase_ts"),
+            "purchase_value",
+            delta(joined).cast("long").alias("delta_secs"),
+        )
+
+    backward = side(
+        "backward",
+        "backward",
+        lambda j: F.unix_timestamp("ts") - F.unix_timestamp("_asof_ts"),
     )
-    return joined.select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        F.col("_asof_ts").alias("last_purchase_ts"),
-        "purchase_value",
-        (F.unix_timestamp("ts") - F.unix_timestamp("_asof_ts"))
-        .cast("long")
-        .alias("secs_since_purchase"),
+    forward = side(
+        "forward",
+        "forward",
+        lambda j: F.unix_timestamp("_asof_ts") - F.unix_timestamp("ts"),
     )
+    return backward.unionByName(forward)
 
 
 @register(
@@ -185,80 +222,6 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# unpivot / stack (wide → long)
-# ---------------------------------------------------------------------------
-@register(
-    "unpivot_status_counts",
-    oracle="""
-    WITH wide AS (
-        SELECT o_custkey,
-               count(*) FILTER (WHERE o_orderstatus = 'O') AS open_cnt,
-               count(*) FILTER (WHERE o_orderstatus = 'F') AS finished_cnt,
-               count(*) FILTER (WHERE o_orderstatus = 'P') AS partial_cnt
-        FROM orders GROUP BY o_custkey
-    )
-    SELECT o_custkey, 'O' AS status, CAST(open_cnt AS BIGINT) AS n FROM wide
-    UNION ALL
-    SELECT o_custkey, 'F' AS status, CAST(finished_cnt AS BIGINT) AS n FROM wide
-    UNION ALL
-    SELECT o_custkey, 'P' AS status, CAST(partial_cnt AS BIGINT) AS n FROM wide
-    """,
-    survey="§2.4 extension (unpivot/stack — the pivot inverse)",
-)
-def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    wide = o.groupBy("o_custkey").agg(
-        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_cnt"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_cnt"),
-        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("partial_cnt"),
-    )
-    return wide.selectExpr(
-        "o_custkey",
-        "stack(3, 'O', open_cnt, 'F', finished_cnt, 'P', partial_cnt) AS (status, n)",
-    )
-
-
-# ---------------------------------------------------------------------------
-# P2/F7: JSON wire projection (GtfsArrival.java:20-36 shape)
-# ---------------------------------------------------------------------------
-@register(
-    "p2_wire_projection",
-    oracle="""
-    SELECT event_id,
-           '{"name":"u' || CAST(user_id AS VARCHAR)
-             || '","latitude":' || CAST(CAST(user_id * 7 % 180 - 90 AS BIGINT) AS VARCHAR)
-             || ',"longitude":' || CAST(CAST(event_id * 13 % 360 - 180 AS BIGINT) AS VARCHAR)
-             || ',"local-time":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '"}'
-           AS wire_json
-    FROM events
-    """,
-    survey="§2.2 P2 (JSON projection/rename, GtfsArrival.java:20-36) + "
-    "§2.7 F7 (timestamp wire formatting) + F10 (serialize direction)",
-    note="JSON assembled with engine-neutral concat (to_json key order "
-    "and float formatting are engine-specific); coordinates are "
-    "key-derived ints as in p6_geo_radius",
-)
-def p2_wire_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    lat = (F.col("user_id") * 7 % 180 - 90).cast("long").cast("string")
-    lon = (F.col("event_id") * 13 % 360 - 180).cast("long").cast("string")
-    return e.select(
-        "event_id",
-        F.concat(
-            F.lit('{"name":"u'),
-            F.col("user_id").cast("string"),
-            F.lit('","latitude":'),
-            lat,
-            F.lit(',"longitude":'),
-            lon,
-            F.lit(',"local-time":"'),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
-            F.lit('"}'),
-        ).alias("wire_json"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Salted two-phase aggregation (skewed-key mitigation)
 # ---------------------------------------------------------------------------
 @register(
@@ -285,66 +248,4 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("_n").alias("n"),
         (F.sum("_s") / 100.0).alias("sum_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Forward as-of join (next event at or after)
-# ---------------------------------------------------------------------------
-@register(
-    "asof_next_purchase",
-    oracle="""
-    WITH purchases AS (
-        SELECT user_id, ts, max(value) AS purchase_value
-        FROM events
-        WHERE event_type = 'purchase'
-        GROUP BY user_id, ts
-    ),
-    le AS (
-        SELECT event_id, ts, user_id, event_type, -epoch_us(ts) AS nts
-        FROM events
-    ),
-    rp AS (
-        SELECT user_id, ts AS pts, purchase_value, -epoch_us(ts) AS nts
-        FROM purchases
-    )
-    SELECT e.event_id, e.ts, e.user_id, e.event_type,
-           p.pts AS next_purchase_ts,
-           p.purchase_value,
-           CAST(date_diff('second', e.ts, p.pts) AS BIGINT) AS secs_until_purchase
-    FROM le e
-    ASOF LEFT JOIN rp p
-      ON e.user_id = p.user_id AND e.nts >= p.nts
-    """,
-    survey="§2.3 gap list: as-of join, FORWARD direction (earliest "
-    "right row at-or-after; inclusive) — union + windowed "
-    "backward-fill; DuckDB oracle runs its native (backward-only) "
-    "ASOF over negated microsecond epochs",
-)
-def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-    )
-    joined = asof_join(
-        e.select("event_id", "ts", "user_id", "event_type"),
-        purchases,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["purchase_value"],
-        direction="forward",
-    )
-    return joined.select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        F.col("_asof_ts").alias("next_purchase_ts"),
-        "purchase_value",
-        (F.unix_timestamp("_asof_ts") - F.unix_timestamp("ts"))
-        .cast("long")
-        .alias("secs_until_purchase"),
     )

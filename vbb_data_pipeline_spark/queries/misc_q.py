@@ -1,6 +1,11 @@
-"""Scalar-function batteries, cube/grouping sets, exact percentiles,
-limit/offset — the long tail of engine-surface parity (SURVEY.md
-§2.4-§2.7 extensions), each oracle-checked.
+"""Scalar-function batteries, grouping analytics, exact percentiles,
+schema evolution, data-quality report — the long tail of
+engine-surface parity (SURVEY.md §2.4-§2.7 extensions), each
+oracle-checked.
+
+Batteries are consolidated (one registry entry each) so the driver's
+per-query cap covers the whole surface: every battery column is one
+function under test, and the oracle reproduces the full column set.
 """
 
 from __future__ import annotations
@@ -9,11 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vbb_data_pipeline_spark.functions.hashing import md5_long_sql
-from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.functions.temporal import date_int, event_timestamp
+from vbb_data_pipeline_spark.queries import (
+    exact_sum,
+    exact_sum_sql,
+    load_table,
+    register,
+)
 
 
 @register(
-    "string_functions",
+    "string_battery",
     oracle="""
     SELECT c_custkey,
            upper(c_name)                                   AS up,
@@ -25,12 +36,16 @@ from vbb_data_pipeline_spark.queries import load_table, register
            CAST(length(c_name) AS INT)                     AS len,
            CAST(strpos(c_name, '#') AS INT)                AS pos,
            reverse(c_mktsegment)                           AS rev,
-           trim(concat(' ', c_mktsegment, ' '))            AS trimmed
+           trim(concat(' ', c_mktsegment, ' '))            AS trimmed,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS name_num,
+           regexp_replace(c_name, '[^a-z]', '', 'g')       AS name_alpha
     FROM customer
     """,
-    survey="§2.7 scalar-function battery (string)",
+    survey="§2.7 scalar-function battery (string) + §2.7 F5 (regex "
+    "URL extraction, extract_dag.py:21-54) + F6 (header sanitization "
+    "regexp_replace, database_loader/operators.py:162)",
 )
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -44,121 +59,64 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("c_name", "#").cast("int").alias("pos"),
         F.reverse("c_mktsegment").alias("rev"),
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("c_name", r"Customer#([0-9]+)", 1).cast("long").alias("name_num"),
+        F.regexp_replace("c_name", "[^a-z]", "").alias("name_alpha"),
     )
 
 
 @register(
-    "conditional_functions",
-    oracle="""
-    SELECT o_orderkey,
-           CASE WHEN o_totalprice > 200000 THEN 'high'
-                WHEN o_totalprice > 100000 THEN 'mid'
-                ELSE 'low' END                              AS bucket,
-           coalesce(nullif(o_orderstatus, 'O'), 'open')     AS status2,
-           greatest(o_totalprice, 150000.0)                 AS hi,
-           least(CAST(o_orderkey % 7 AS BIGINT), CAST(o_custkey % 7 AS BIGINT)) AS lo7,
-           (o_orderpriority IN ('1-URGENT', '2-HIGH'))      AS urgent
-    FROM orders
-    """,
-    survey="§2.7 scalar-function battery (conditional/comparison)",
-)
-def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") > 200000, "high")
-        .when(F.col("o_totalprice") > 100000, "mid")
-        .otherwise("low")
-        .alias("bucket"),
-        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status2"),
-        F.greatest("o_totalprice", F.lit(150000.0)).alias("hi"),
-        F.least((F.col("o_orderkey") % 7), (F.col("o_custkey") % 7)).alias("lo7"),
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
-    )
-
-
-@register(
-    "array_functions",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS toks
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS INT)                        AS n,
-           toks[1]                                       AS first_tok,
-           toks[len(toks)]                               AS last_tok,
-           CAST(list_contains(toks, 'data') AS BOOLEAN)  AS has_data,
-           array_to_string(toks[1:3], '-')               AS first3,
-           CAST(len(list_distinct(toks)) AS INT)         AS n_distinct
-    FROM t
-    """,
-    survey="§2.7 extension: array/collection function battery "
-    "(ArrayType is first-class; reference has no nested types §1.3)",
-)
-def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vbb_data_pipeline_spark.functions.text import tokens
-
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("toks"))
-    return t.select(
-        "doc_id",
-        F.size("toks").alias("n"),
-        F.element_at("toks", 1).alias("first_tok"),
-        F.element_at("toks", -1).alias("last_tok"),
-        F.array_contains("toks", "data").alias("has_data"),
-        F.concat_ws("-", F.slice("toks", 1, 3)).alias("first3"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
-    )
-
-
-@register(
-    "cube_status_priority",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(grouping(o_orderstatus) AS INT)  AS g_status,
-           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-           count(*) AS n
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    survey="§2.4 extension (cube + grouping markers)",
-)
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping("o_orderstatus").cast("int").alias("g_status"),
-        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "grouping_sets_revenue",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    "grouping_analytics",
+    oracle=f"""
+    SELECT 'rollup' AS variant, o_orderstatus, o_orderpriority,
            CAST(grouping(o_orderstatus) AS INT)   AS g_status,
            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-           count(*) AS n
+           count(*) AS n, {exact_sum_sql("o_totalprice")} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT),
+           CAST(grouping(o_orderpriority) AS INT),
+           count(*), {exact_sum_sql("o_totalprice")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets', o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT),
+           CAST(grouping(o_orderpriority) AS INT),
+           count(*), {exact_sum_sql("o_totalprice")}
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    survey="§2.4 extension (explicit GROUPING SETS — the general form "
-    "of cube/rollup; one shuffle produces all groupings via Expand)",
+    survey="§2.4 extension (rollup + cube + explicit GROUPING SETS "
+    "with grouping markers — one Expand produces all groupings per "
+    "variant; grouping sets are the general form the other two "
+    "desugar to)",
 )
-def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.groupingSets(
-        [["o_orderstatus"], ["o_orderpriority"], []],
-        "o_orderstatus",
-        "o_orderpriority",
-    ).agg(
+    aggs = [
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("o_totalprice")).alias("revenue"),
+    ]
+    cols = ["o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "revenue"]
+
+    def tag(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(F.lit(variant).alias("variant"), *cols)
+
+    rollup = tag(o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs), "rollup")
+    cube = tag(o.cube("o_orderstatus", "o_orderpriority").agg(*aggs), "cube")
+    gsets = tag(
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        ).agg(*aggs),
+        "gsets",
     )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @register(
@@ -220,67 +178,7 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "percentiles_exact",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-           round(quantile_cont(l_quantity, 0.25), 4)      AS q1_qty
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    survey="§2.4 extension (exact interpolated percentiles; the "
-    "approximate twin is percentile_approx — rows-only, "
-    "approx_distinct_stats)",
-)
-def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
-    )
-
-
-@register(
-    "limit_offset",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 50 OFFSET 20
-    """,
-    survey="§2.5 extension (deterministic pagination: total order + "
-    "limit/offset)",
-)
-def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .offset(20)
-        .limit(50)
-        .select("o_orderkey", "o_totalprice")
-    )
-
-
-@register(
-    "approx_distinct_stats",
-    oracle=None,  # approximate sketches differ across engines by design
-    survey="§2.4 (approx_count_distinct / percentile_approx — HLL and "
-    "KLL-style sketches; the 100 TB substitutes for exact distinct)",
-    note="rows-only: sketch internals are engine-specific; exact twins "
-    "are lineitem_shipmode_stats and percentiles_exact",
-)
-def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-    )
-
-
-@register(
-    "stats_functions",
+    "stats_battery",
     oracle="""
     SELECT l_returnflag,
            round(corr(l_extendedprice, l_quantity), 4)        AS price_qty_corr,
@@ -288,7 +186,10 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(skewness(l_extendedprice), 4)                AS price_skew,
            round(kurtosis(l_extendedprice), 4)                AS price_kurt,
            round(stddev_pop(l_discount), 6)                   AS disc_sd_pop,
-           round(var_samp(l_tax), 6)                          AS tax_var
+           round(var_samp(l_tax), 6)                          AS tax_var,
+           round(quantile_cont(l_extendedprice, 0.5), 4)      AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4)     AS p95_price,
+           round(quantile_cont(l_quantity, 0.25), 4)          AS q1_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -297,10 +198,13 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side converts g→G with the exact n-dependent factors so both
     # engines express the same statistic.
     survey="§2.4 extension: statistical aggregate battery "
-    "(corr/covariance/skewness/kurtosis/variance) — second-moment "
-    "profiling for data-quality monitoring at corpus scale",
+    "(corr/covariance/skewness/kurtosis/variance) + §2.4 extension "
+    "(exact interpolated percentiles; approximate twin = "
+    "approx_distinct_stats) — second-moment profiling for "
+    "data-quality monitoring at corpus scale, one shuffle for the "
+    "whole battery",
 )
-def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1)).cast("double")
     g1 = F.skewness("l_extendedprice")
@@ -314,13 +218,39 @@ def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sample_kurt, 4).alias("price_kurt"),
         F.round(F.stddev_pop("l_discount"), 6).alias("disc_sd_pop"),
         F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
     )
 
 
 @register(
-    "datetime_functions",
-    oracle="""
+    "approx_distinct_stats",
+    oracle=None,  # approximate sketches differ across engines by design
+    survey="§2.4 (approx_count_distinct / percentile_approx — HLL and "
+    "KLL-style sketches; the 100 TB substitutes for exact distinct)",
+    note="rows-only: sketch internals are engine-specific; exact twins "
+    "are lineitem_shipmode_stats and stats_battery",
+)
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    )
+
+
+#: Deterministic hash-sample predicate shared by Spark and the oracle
+#: (seeded md5 — reproducible across engines/partitionings, unlike
+#: TABLESAMPLE / seeded RNG sampling).
+_SAMPLE_MOD = 4
+
+
+@register(
+    "orders_scalar_battery",
+    oracle=f"""
     SELECT o_orderkey,
+           -- datetime battery
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)     AS month_start,
            CAST(extract(year FROM o_orderdate) AS INT)             AS yr,
            CAST(extract(quarter FROM o_orderdate) AS INT)          AS qtr,
@@ -331,15 +261,37 @@ def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(o_orderdate AS DATE)) AS INT)       AS days_since_95,
            CAST(extract(isoyear FROM o_orderdate) AS VARCHAR)
              || '-W' || lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0')
-                                                                   AS year_week
+                                                                   AS year_week,
+           -- F1/F2 date-int roundtrip (>24h-safe timestamp reassembly)
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT)            AS d_int,
+           o_orderdate + ((o_orderkey * 37) % 100000) * INTERVAL 1 SECOND AS event_ts,
+           -- conditional battery
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                                     AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')            AS status2,
+           greatest(o_totalprice, 150000.0)                        AS hi,
+           least(CAST(o_orderkey % 7 AS BIGINT), CAST(o_custkey % 7 AS BIGINT)) AS lo7,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH'))             AS urgent
     FROM orders
+    WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)", seed="sample")} % {_SAMPLE_MOD} = 0
     """,
     survey="§2.7 extension: date/time function battery (trunc/extract/"
-    "interval arithmetic/last_day/datediff/format) — generalizes F1-F3",
+    "interval arithmetic/last_day/datediff/format) + §2.7 F1 "
+    "(extractDateInt) + F2 (createLocalDateTime, §7 hard-part 1: "
+    ">24:00:00 seconds roll into the next day) + §2.7 scalar battery "
+    "(conditional/comparison) + §2.4 extension (deterministic hash "
+    "sampling — reproducible, engine-portable TABLESAMPLE substitute; "
+    "the same predicate prunes identically across engines and reruns)",
 )
-def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+def orders_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.hashing import md5_long
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        md5_long(F.col("o_orderkey").cast("string"), seed="sample") % _SAMPLE_MOD == 0
+    )
     d = F.to_date("o_orderdate")
+    secs = (F.col("o_orderkey") * 37) % 100000
     return o.select(
         "o_orderkey",
         F.date_trunc("month", "o_orderdate").alias("month_start"),
@@ -354,28 +306,17 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("-W"),
             F.lpad(F.weekofyear("o_orderdate").cast("string"), 2, "0"),
         ).alias("year_week"),
+        date_int("o_orderdate").alias("d_int"),
+        event_timestamp(F.col("o_orderdate"), secs).alias("event_ts"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status2"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("hi"),
+        F.least((F.col("o_orderkey") % 7), (F.col("o_custkey") % 7)).alias("lo7"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
     )
-
-
-@register(
-    "deterministic_sample",
-    oracle=f"""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)", seed="sample")} % 20 = 0
-    """,
-    survey="§2.4 extension: deterministic hash sampling — the "
-    "reproducible, engine-portable alternative to TABLESAMPLE "
-    "(seeded RNG sampling differs per engine/partitioning); at 100 TB "
-    "the same predicate prunes consistently across reruns and engines",
-)
-def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vbb_data_pipeline_spark.functions.hashing import md5_long
-
-    o = load_table(spark, sf_dir, "orders")
-    return o.filter(
-        md5_long(F.col("o_orderkey").cast("string"), seed="sample") % 20 == 0
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @register(
@@ -419,6 +360,11 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             count(*) FILTER (WHERE l_shipdate IS NULL)                  AS ship_null,
             count(*) FILTER (WHERE l_extendedprice <= 0)                AS price_pos
         FROM lineitem
+    ),
+    orphans AS (
+        SELECT count(*) AS ri_orphan
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     )
     SELECT 'qty_range' AS rule, CAST(qty_range AS BIGINT) AS n_violations FROM counts
     UNION ALL
@@ -427,22 +373,37 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ship_null', CAST(ship_null AS BIGINT) FROM counts
     UNION ALL
     SELECT 'price_pos', CAST(price_pos AS BIGINT) FROM counts
+    UNION ALL
+    SELECT 'ri_orphan', CAST(ri_orphan AS BIGINT) FROM orphans
     """,
     survey="§1.3 constraint mapping: CHECK-style data-quality report "
     "(operators/quality.check_range row-filter twin) — one scan, "
     "conditional-count aggregates, stack to (rule, n_violations); "
     "the reference delegated these to Postgres CHECK constraints "
-    "(05-create-schema.sh:154-155)",
+    "(05-create-schema.sh:154-155). + §2.3 J4 (FK web → "
+    "referential-integrity check as the ri_orphan rule: left-anti "
+    "join count, operators/quality.orphan_rows)",
 )
 def dq_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.operators import core as ops
+
     li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
     counts = li.agg(
         F.count(F.when(~F.col("l_quantity").between(1, 50), 1)).alias("qty_range"),
         F.count(F.when(F.col("l_discount") > 0.08, 1)).alias("disc_cap"),
         F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("ship_null"),
         F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("price_pos"),
     )
-    return counts.selectExpr(
+    stacked = counts.selectExpr(
         "stack(4, 'qty_range', qty_range, 'disc_cap', disc_cap, "
         "'ship_null', ship_null, 'price_pos', price_pos) AS (rule, n_violations)"
     )
+    orphans = (
+        ops.anti_join(li, o, ["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("ri_orphan").alias("rule"), "n_violations")
+    )
+    return stacked.unionByName(orphans)

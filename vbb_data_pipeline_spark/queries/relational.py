@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from vbb_data_pipeline_spark.functions.geo import haversine_m
 from vbb_data_pipeline_spark.functions.hashing import md5_long, md5_long_sql
-from vbb_data_pipeline_spark.functions.temporal import date_int, event_timestamp, iso_dow
+from vbb_data_pipeline_spark.functions.temporal import iso_dow
 from vbb_data_pipeline_spark.operators import core as ops
 from vbb_data_pipeline_spark.queries import (
     exact_sum,
@@ -61,49 +61,44 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P3: range predicate + projection
+# P3+P4: service filters (range predicate on orders, weekday on events)
 # ---------------------------------------------------------------------------
 @register(
-    "p3_range_filter",
+    "service_filters",
     oracle="""
-    SELECT o_orderkey, o_orderdate, o_totalprice
+    SELECT 'range' AS kind, o_orderkey AS id, o_orderdate AS ts
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate <  TIMESTAMP '1997-01-01'
-    """,
-    survey="§2.2 P3 (service-validity range predicate, GtfsDAO.java:47)",
-)
-def p3_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    pred = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
-        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
-    )
-    return ops.project(
-        ops.filter_rows(o, pred), "o_orderkey", "o_orderdate", "o_totalprice"
-    )
-
-
-# ---------------------------------------------------------------------------
-# P4: weekday filter (GtfsDAO.java:108-112 restated on events)
-# ---------------------------------------------------------------------------
-@register(
-    "p4_weekday_filter",
-    oracle="""
-    SELECT event_id, ts, user_id, event_type
+    UNION ALL
+    SELECT 'weekday', event_id, ts
     FROM events
     WHERE isodow(ts) <= 5 AND event_type <> 'error'
     """,
-    survey="§2.2 P4 (weekday service filter)",
+    survey="§2.2 P3 (service-validity range predicate, GtfsDAO.java:47) "
+    "+ §2.2 P4 (weekday service filter, GtfsDAO.java:108-112) — both "
+    "predicates pushed to their parquet scans; tagged union",
 )
-def p4_weekday_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def service_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
     e = load_table(spark, sf_dir, "events")
-    return ops.project(
-        ops.filter_rows(e, (iso_dow("ts") <= 5) & (F.col("event_type") != "error")),
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
+    range_rows = ops.filter_rows(
+        o,
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
+    ).select(
+        F.lit("range").alias("kind"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("ts"),
     )
+    weekday_rows = ops.filter_rows(
+        e, (iso_dow("ts") <= 5) & (F.col("event_type") != "error")
+    ).select(
+        F.lit("weekday").alias("kind"),
+        F.col("event_id").alias("id"),
+        F.col("ts"),
+    )
+    return ops.union_all(range_rows, weekday_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -201,47 +196,40 @@ def j1_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J2: anti join (new-run detection shape, database_loader/operators.py:68-90)
+# J2+J3: anti join (new-run detection shape, operators.py:68-90) + semi join
 # ---------------------------------------------------------------------------
 @register(
-    "j2_anti_join",
+    "join_filters",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'anti' AS kind, c_custkey, c_name, c_acctbal
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    survey="§2.3 J2/J3 (left-anti join)",
-)
-def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return ops.project(ops.anti_join(c, o, ["c_custkey"]), "c_custkey", "c_name")
-
-
-# ---------------------------------------------------------------------------
-# J3: semi join
-# ---------------------------------------------------------------------------
-@register(
-    "j3_semi_join",
-    oracle="""
-    SELECT c_custkey, c_acctbal
+    UNION ALL
+    SELECT 'semi', c_custkey, c_name, c_acctbal
     FROM customer c
     WHERE EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
     )
     """,
-    survey="§2.3 (left-semi join, EXISTS)",
+    survey="§2.3 J2 (left-anti join — new-run detection, "
+    "database_loader/operators.py:68-90) + §2.3 J3 (left-semi join, "
+    "EXISTS — conflict suppression); tagged union of both filter joins",
 )
-def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    all_orders = o.select(F.col("o_custkey").alias("c_custkey"))
     f_orders = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return ops.project(ops.semi_join(c, f_orders, ["c_custkey"]), "c_custkey", "c_acctbal")
+    anti = ops.anti_join(c, all_orders, ["c_custkey"]).select(
+        F.lit("anti").alias("kind"), "c_custkey", "c_name", "c_acctbal"
+    )
+    semi = ops.semi_join(c, f_orders, ["c_custkey"]).select(
+        F.lit("semi").alias("kind"), "c_custkey", "c_name", "c_acctbal"
+    )
+    return ops.union_all(anti, semi)
 
 
 # ---------------------------------------------------------------------------
@@ -277,109 +265,96 @@ def a2_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o1_topk_orders",
     oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 100
+    SELECT 'top' AS page, o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    )
+    UNION ALL
+    SELECT 'page2', o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 50 OFFSET 200
+    )
     """,
-    survey="§2.5 O1 (global sort) + top-k extension",
+    survey="§2.5 O1 (global sort) + top-k extension + §2.5 extension "
+    "(deterministic pagination: total order + limit/offset) — "
+    "TakeOrderedAndProject for the top page, offset paging on the "
+    "same total order",
 )
 def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return ops.project(
-        ops.topk(o, 100, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()),
-        "o_orderkey",
-        "o_totalprice",
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    top = ops.topk(o, 100, *order).select(
+        F.lit("top").alias("page"), "o_orderkey", "o_totalprice"
     )
+    page2 = (
+        o.orderBy(*order)
+        .offset(200)
+        .limit(50)
+        .select(F.lit("page2").alias("page"), "o_orderkey", "o_totalprice")
+    )
+    return ops.union_all(top, page2)
 
 
 # ---------------------------------------------------------------------------
-# §2.6 set operations
+# §2.6 set operations (union / intersect / except in one tagged result)
 # ---------------------------------------------------------------------------
 @register(
-    "set_union",
+    "set_ops",
     oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    SELECT 'union' AS op, key FROM (
+        SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'intersect', key FROM (
+        SELECT o_custkey AS key FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    UNION ALL
+    SELECT 'except', key FROM (
+        SELECT o_custkey AS key FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
     """,
-    survey="§2.6 (union distinct)",
+    survey="§2.6 (union distinct / intersect / except — the "
+    "reference's new-run set-difference shape); one tagged result "
+    "covers all three set operators",
 )
-def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
-    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    return ops.distinct_rows(ops.union_all(a, b))
-
-
-@register(
-    "set_intersect",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
-    INTERSECT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    """,
-    survey="§2.6 (intersect)",
-)
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
 
     def year(y: int) -> DataFrame:
         return o.filter(
             (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
-        ).select("o_custkey")
+        ).select(F.col("o_custkey").alias("key"))
 
-    return ops.intersect(year(1995), year(1996))
-
-
-@register(
-    "set_except",
-    oracle="""
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
-    EXCEPT
-    SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    """,
-    survey="§2.6 (except) — the reference's new-run set-difference shape",
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-
-    def year(y: int) -> DataFrame:
-        return o.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
-        ).select("o_custkey")
-
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("key")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    )
+    union_d = ops.distinct_rows(ops.union_all(auto, rich))
+    inter = ops.intersect(year(1995), year(1996))
     # EXCEPT is distinct set-difference in both engines.
-    return ops.distinct_rows(year(1995)).exceptAll(ops.distinct_rows(year(1996)))
-
-
-# ---------------------------------------------------------------------------
-# F1/F2: date-int extraction and timestamp reassembly (incl. >24h seconds)
-# ---------------------------------------------------------------------------
-@register(
-    "f1_f2_date_roundtrip",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS d_int,
-           o_orderdate + ((o_orderkey * 37) % 100000) * INTERVAL 1 SECOND AS event_ts
-    FROM orders
-    """,
-    survey="§2.7 F1 (extractDateInt) + F2 (createLocalDateTime); §7 "
-    "hard-part 1 (GTFS >24:00:00 seconds roll into the next day)",
-)
-def f1_f2_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    secs = (F.col("o_orderkey") * 37) % 100000
-    return o.select(
-        "o_orderkey",
-        date_int("o_orderdate").alias("d_int"),
-        event_timestamp(F.col("o_orderdate"), secs).alias("event_ts"),
+    exc = ops.distinct_rows(year(1995)).exceptAll(ops.distinct_rows(year(1996)))
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "key")  # noqa: E731
+    return ops.union_all(
+        ops.union_all(tag(union_d, "union"), tag(inter, "intersect")),
+        tag(exc, "except"),
     )
 
 
@@ -418,117 +393,91 @@ def f3_day_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F5: regex extraction (extract_dag.py:21-54 restated)
+# F10/P9 + P2/F7: JSON parse → wire re-serialization round trip
 # ---------------------------------------------------------------------------
 @register(
-    "f5_regex_extract",
-    oracle="""
-    SELECT c_custkey,
-           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS name_num,
-           regexp_replace(c_name, '[^a-z]', '', 'g') AS name_alpha
-    FROM customer
-    """,
-    survey="§2.7 F5 (regex URL extraction) + F6 (header sanitization "
-    "regexp_replace, database_loader/operators.py:162)",
-)
-def f5_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.regexp_extract("c_name", r"Customer#([0-9]+)", 1).cast("long").alias("name_num"),
-        F.regexp_replace("c_name", "[^a-z]", "").alias("name_alpha"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# F10/P9: JSON parse (from_json) — arrival wire-format shape
-# ---------------------------------------------------------------------------
-@register(
-    "f10_json_extract",
+    "json_wire_roundtrip",
     oracle="""
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           '{"name":"u' || CAST(user_id AS VARCHAR)
+             || '","k":' || json_extract_string(props, '$.k')
+             || ',"local-time":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '"}'
+           AS wire_json
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
     """,
-    survey="§2.7 F10 (JSON serde) + §2.2 P9 (parse-or-drop, "
-    "GeoPredicate.java:42-48)",
+    survey="§2.7 F10 (JSON serde, both directions) + §2.2 P9 "
+    "(parse-or-drop, GeoPredicate.java:42-48) + §2.2 P2 (JSON wire "
+    "projection/rename, GtfsArrival.java:20-36) + §2.7 F7 (timestamp "
+    "wire formatting) — parse the props payload, drop non-parsing "
+    "rows, re-serialize to the wire shape",
+    note="wire JSON assembled with engine-neutral concat (to_json key "
+    "order and float formatting are engine-specific)",
 )
-def f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def json_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    parsed = e.withColumn("_p", F.from_json("props", "k INT"))
-    return (
-        parsed.filter(F.col("_p.k").isNotNull())
-        .select("event_id", "event_type", F.col("_p.k").alias("k"))
+    parsed = e.withColumn("_p", F.from_json("props", "k INT")).filter(
+        F.col("_p.k").isNotNull()
+    )
+    return parsed.select(
+        "event_id",
+        "event_type",
+        F.col("_p.k").alias("k"),
+        F.concat(
+            F.lit('{"name":"u'),
+            F.col("user_id").cast("string"),
+            F.lit('","k":'),
+            F.col("_p.k").cast("string"),
+            F.lit(',"local-time":"'),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit('"}'),
+        ).alias("wire_json"),
     )
 
 
 # ---------------------------------------------------------------------------
-# Pivot (explicit value list) and rollup
+# Pivot (explicit value list) → unpivot round trip
 # ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
 @register(
-    "pivot_event_types",
+    "pivot_unpivot_events",
     oracle="""
-    SELECT user_id,
-           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
-           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
-           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
-           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
-           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
-    FROM events
-    GROUP BY user_id
-    """,
-    survey="§2.4 extension (pivot with explicit values — no discovery scan)",
-)
-def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    piv = ops.pivot_counts(
-        e, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"]
+    WITH wide AS (
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+               CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+               CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+        FROM events
+        GROUP BY user_id
     )
+    SELECT user_id, 'click' AS event_type, click AS n FROM wide
+    UNION ALL SELECT user_id, 'view', view FROM wide
+    UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+    UNION ALL SELECT user_id, 'signup', signup FROM wide
+    UNION ALL SELECT user_id, 'error', error FROM wide
+    """,
+    survey="§2.4 extension (pivot with explicit values — no discovery "
+    "scan) + §2.4 extension (unpivot/stack — the pivot inverse); one "
+    "plan pivots events wide then stacks back to long, verifying the "
+    "round trip",
+)
+def pivot_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    piv = ops.pivot_counts(e, "user_id", "event_type", _EVENT_TYPES)
     # pivot-count yields nulls for empty cells; normalize to 0 like FILTER
-    return piv.select(
+    wide = piv.select(
         "user_id",
-        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in _EVENT_TYPES],
     )
-
-
-@register(
-    "rollup_order_status",
-    oracle=f"""
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, {exact_sum_sql("o_totalprice")} AS revenue
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-    survey="§2.4 extension (rollup/grouping sets)",
-)
-def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        exact_sum(F.col("o_totalprice")).alias("revenue"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Referential-integrity check (operators/quality.py shape, expect 0 rows)
-# ---------------------------------------------------------------------------
-@register(
-    "ri_orphan_lineitems",
-    oracle="""
-    SELECT l.l_orderkey, l.l_linenumber
-    FROM lineitem l
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-    """,
-    survey="§2.3 J4 (FK web → referential-integrity check operator)",
-)
-def ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey")
-    )
-    return ops.project(
-        ops.anti_join(li, o, ["l_orderkey"]), "l_orderkey", "l_linenumber"
+    stack_args = ", ".join(f"'{t}', {t}" for t in _EVENT_TYPES)
+    return wide.selectExpr(
+        "user_id",
+        f"stack({len(_EVENT_TYPES)}, {stack_args}) AS (event_type, n)",
     )
 
 

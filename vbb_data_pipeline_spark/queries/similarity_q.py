@@ -68,28 +68,6 @@ def _planes_sql_list(p: int) -> str:
 
 
 @register(
-    "sim_lsh_buckets",
-    oracle=f"""
-    SELECT vec_id,
-           {" || ".join(
-               "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-               + _planes_sql_list(p)
-               + ") >= 0 THEN '1' ELSE '0' END)"
-               for p in range(N_PLANES)
-           )} AS bucket
-    FROM embeddings
-    """,
-    survey="extension: random-hyperplane LSH bucketing (deterministic "
-    "md5-derived planes) — the corpus×corpus ANN scale path",
-)
-def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return sim.hyperplane_lsh_buckets(e, num_planes=N_PLANES, dim=DIM).select(
-        "vec_id", "bucket"
-    )
-
-
-@register(
     "sim_lsh_topk",
     oracle=f"""
     WITH b AS (
@@ -128,36 +106,64 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CELLS = 16
 _IVF_PROBE = 4
+_KMEANS_ITERS = 2
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
-    WITH corpus AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    cent AS (
-        SELECT vec_id AS cell_id, v AS mv FROM corpus WHERE vec_id < {_IVF_CELLS}
-    ),
-    ascore AS (
+def _kmeans_oracle() -> str:
+    """Generate the DuckDB twin of kmeans_centroids + ivf_topk: the
+    same fixed seed, the same ``_KMEANS_ITERS`` Lloyd rounds with
+    fixed-point per-dimension means, the same rounded-cosine argmax
+    with cell-id tie-break."""
+    from vbb_data_pipeline_spark.operators.similarity import KMEANS_SCALE
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""
+    {name}_scored AS (
         SELECT e.vec_id, c.cell_id, e.v,
                round({COS_SQL.format(a="e.v", b="c.mv")}, 5) AS cos
-        FROM corpus e CROSS JOIN cent c
+        FROM corpus e CROSS JOIN {cent} c
     ),
-    assigned AS (
+    {name} AS (
         SELECT vec_id, cell_id, v FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY cos DESC, cell_id ASC
-            ) AS rn FROM ascore
+            ) AS rn FROM {name}_scored
         ) WHERE rn = 1
+    )"""
+
+    def means_cte(name: str, assigned: str) -> str:
+        comps = ", ".join(
+            f"(CAST(sum(CAST(round(v[{i + 1}] * {KMEANS_SCALE}) AS BIGINT)) "
+            f"AS DOUBLE) / {KMEANS_SCALE}.0) / count(*)"
+            for i in range(DIM)
+        )
+        return f"""
+    {name} AS (
+        SELECT cell_id, [{comps}] AS mv FROM {assigned} GROUP BY cell_id
+    )"""
+
+    iter_ctes = []
+    cent = "cent0"
+    for it in range(_KMEANS_ITERS):
+        iter_ctes.append(assign_cte(f"a{it}", cent))
+        cent = f"cent{it + 1}"
+        iter_ctes.append(means_cte(cent, f"a{it}"))
+
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    cent0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell_id, v AS mv
+        FROM corpus WHERE vec_id < {_IVF_CELLS}
+    ),{",".join(iter_ctes)},{assign_cte("assigned", cent)},
     q AS (
         SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10
     ),
     pscore AS (
         SELECT q.query_id, q.qv, c.cell_id,
                round({COS_SQL.format(a="q.qv", b="c.mv")}, 5) AS cos
-        FROM q CROSS JOIN cent c
+        FROM q CROSS JOIN {cent} c
     ),
     probes AS (
         SELECT query_id, qv, cell_id FROM (
@@ -166,7 +172,7 @@ _IVF_PROBE = 4
             ) AS rn FROM pscore
         ) WHERE rn <= {_IVF_PROBE}
     ),
-    scored AS (
+    final_scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
                round({COS_SQL.format(a="p.qv", b="a.v")}, 5) AS cosine
         FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
@@ -175,23 +181,41 @@ _IVF_PROBE = 4
     ranked AS (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-        ) AS rank FROM scored
+        ) AS rank FROM final_scored
     )
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
-    """,
-    survey="extension: IVF-style ANN — broadcast-centroid cell "
-    "assignment, nprobe cell pruning, exact re-rank inside probed "
-    "cells; the inverted-list partitioning is the 100 TB layout "
-    "(corpus bucketed by cell_id, probes touch nprobe/n_cells of it)",
-    note="centroids = lowest-id vectors (deterministic k-means "
-    "stand-in) so the oracle reproduces the cell structure exactly",
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_kmeans_oracle(),
+    survey="extension: IVF-style ANN with TRAINED centroids — "
+    "deterministic Lloyd k-means ({} rounds, lowest-id seeding, "
+    "fixed-point means: operators/similarity.kmeans_centroids), then "
+    "broadcast-centroid cell assignment, nprobe cell pruning, exact "
+    "re-rank inside probed cells; the inverted-list partitioning is "
+    "the 100 TB layout (corpus bucketed by cell_id, probes touch "
+    "nprobe/n_cells of it)".format(_KMEANS_ITERS),
+    note="fixed-point integer means make every centroid component "
+    "bit-identical across engines; the oracle replays the identical "
+    "training loop as chained CTEs",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
+    centroids = sim.kmeans_centroids(
+        e, n_cells=_IVF_CELLS, iters=_KMEANS_ITERS, dim=DIM
+    )
     out = sim.ivf_topk(
-        e, queries, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_PROBE, dim=DIM
+        e,
+        queries,
+        k=5,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_PROBE,
+        dim=DIM,
+        centroids=centroids,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
