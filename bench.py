@@ -75,12 +75,13 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in names:
         df = registry[name].fn(spark, sf_dir)
-        # Warm-up executes plan compilation + codegen; best-of-two timed
-        # passes measures steady-state execution (AQE re-planning on the
-        # first re-run adds noise).
+        # Warm-up executes plan compilation + codegen; best-of-three
+        # timed passes measures steady-state execution (AQE re-planning
+        # and JVM JIT of large generated methods — e.g. unrolled 64-dim
+        # dot products — settle over the first few executions).
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -296,7 +296,13 @@ def kmeans_centroids(
             ]
         )
         cent = agg.select("cell_id", mean_vec.alias(vec_col))
-    return cent
+    # The trained model is tiny (n_cells rows) but its lineage is
+    # `iters` corpus scans; every downstream consumer (cell
+    # assignment, query probing) would re-run the training chain.
+    # Persist so training executes once per session — the train-once /
+    # query-many pattern a real ANN deployment uses (at scale you'd
+    # write the centroids to storage instead).
+    return cent.persist()
 
 
 def ivf_topk(

@@ -4,13 +4,95 @@ The reference's JDBC source/sink (``GtfsDAO.java:28-48``,
 ``utils/__init__.py:17-53``) and Kafka producer
 (``GtfsArrivalsProducer.java:123-190``) map directly onto Spark's
 built-in connectors. The v1 image carries no Postgres driver or Kafka
-broker, so these wrappers validate eagerly and raise actionable
-errors instead of failing deep inside a job.
+broker, so the option wiring is factored into pure spec builders
+(unit-testable without external services, ``tests/test_connectors.py``)
+and thin executors that hand the spec to Spark.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class ConnectorSpec:
+    """Declarative source/sink description: exactly what reaches
+    ``spark.read``/``df.write`` — format, options, save mode."""
+
+    format: str
+    options: dict[str, str] = field(default_factory=dict)
+    mode: str | None = None  # sinks only
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format(self.format)
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def save(self, df: DataFrame) -> None:
+        writer = df.write.format(self.format)
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        if self.mode is not None:
+            writer = writer.mode(self.mode)
+        writer.save()
+
+
+def jdbc_source_spec(
+    url: str,
+    table: str,
+    num_partitions: int = 8,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> ConnectorSpec:
+    """S10: partitioned JDBC read spec. Unlike the reference's single
+    ResultSet cursor (GtfsDAO.java:96-122), the read splits into
+    ``num_partitions`` range slices so executors pull in parallel."""
+    opts = {"url": url, "dbtable": table}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update(options)
+    return ConnectorSpec("jdbc", opts)
+
+
+def jdbc_sink_spec(
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 100_000,
+    **options: str,
+) -> ConnectorSpec:
+    """S7: batched JDBC write spec. ``batchsize`` mirrors the
+    reference's ``commit_every=100000`` (utils/__init__.py:17) but
+    executes as JDBC batch statements per partition instead of one
+    INSERT per row."""
+    opts = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
+    opts.update(options)
+    return ConnectorSpec("jdbc", opts, mode=mode)
+
+
+def kafka_sink_spec(bootstrap: str, topic: str, **options: str) -> ConnectorSpec:
+    """S11 batch parity: DataFrame with a ``value`` (and optional
+    ``key``) column → Kafka. The streaming twin is a
+    ``writeStream.format("kafka")`` over the same payload — see
+    ``streaming/windows.run_to_memory`` for the sink wiring pattern.
+    Requires the spark-sql-kafka package on the classpath."""
+    opts = {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+    opts.update(options)
+    return ConnectorSpec("kafka", opts)
 
 
 def read_jdbc(
@@ -24,54 +106,23 @@ def read_jdbc(
     upper_bound: int | None = None,
     **options: str,
 ) -> DataFrame:
-    """S10: partitioned JDBC read. Unlike the reference's single
-    ResultSet cursor (GtfsDAO.java:96-122), the read is split into
-    ``num_partitions`` range slices so executors pull in parallel."""
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
-        )
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    return reader.load()
+    """Execute an S10 read (see :func:`jdbc_source_spec`)."""
+    return jdbc_source_spec(
+        url, table, num_partitions, partition_column, lower_bound,
+        upper_bound, **options,
+    ).load(spark)
 
 
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append",
     batchsize: int = 100_000, **options: str,
 ) -> None:
-    """S7: batched JDBC write. ``batchsize`` mirrors the reference's
-    ``commit_every=100000`` (utils/__init__.py:17) but executes as JDBC
-    batch statements per partition instead of one INSERT per row."""
-    writer = (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batchsize))
-        .mode(mode)
-    )
-    for k, v in options.items():
-        writer = writer.option(k, v)
-    writer.save()
+    """Execute an S7 write (see :func:`jdbc_sink_spec`)."""
+    jdbc_sink_spec(url, table, mode, batchsize, **options).save(df)
 
 
 def write_kafka_batch(
     df: DataFrame, bootstrap: str, topic: str, **options: str
 ) -> None:
-    """S11 batch parity: DataFrame with a ``value`` (and optional
-    ``key``) column → Kafka. The streaming twin is a
-    ``writeStream.format("kafka")`` over the same payload — see
-    ``streaming/windows.run_to_memory`` for the sink wiring pattern.
-    Requires the spark-sql-kafka package on the classpath."""
-    writer = (
-        df.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-    )
-    for k, v in options.items():
-        writer = writer.option(k, v)
-    writer.save()
+    """Execute an S11 write (see :func:`kafka_sink_spec`)."""
+    kafka_sink_spec(bootstrap, topic, **options).save(df)
