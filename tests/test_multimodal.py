@@ -104,3 +104,30 @@ def test_parse_unknown_returns_none():
     assert parse_image_header(b"plain text payload") is None
     assert parse_image_header(b"") is None
     assert parse_image_header(b"\xff\xd8\x00garbage") is None
+
+
+# ---------------------------------------------------------------------------
+# §2.10 scalar pandas_udf surface — parity with the native dot product
+# ---------------------------------------------------------------------------
+def test_cosine_pandas_udf_matches_native(spark):
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.functions.udfs import cosine_udf
+    from vbb_data_pipeline_spark.operators.similarity import cosine
+
+    e = load_table(spark, SF, "embeddings").limit(40)
+    pairs = (
+        e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")),
+            F.col("ia") == (F.col("ib") + 1) % 40,
+        )
+    )
+    got = pairs.select(
+        "ia",
+        F.round(cosine_udf("va", "vb"), 6).alias("u"),
+        F.round(cosine(F.col("va"), F.col("vb"), dim=64), 6).alias("n"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert abs(r.u - r.n) < 1e-9, (r.ia, r.u, r.n)

@@ -148,3 +148,24 @@ def fingerprint(col: Column | str) -> Column:
     """
     toks = tokens(col)
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+#: Simplified GPT-2-style pre-tokenizer pattern (portable RE2/Java
+#: subset: no lookarounds): contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish pre-token count (the training-data budgeting number).
+
+    Counts matches of :data:`BPE_SPLIT_RE` — the merge-free
+    approximation of a GPT-2-style byte-pair tokenizer's pre-split,
+    good enough for corpus token budgeting where whitespace counting
+    under-counts punctuation-heavy text. One codegen regex pass, no
+    Python.
+
+    DuckDB twin: ``len(regexp_extract_all(col, BPE_SPLIT_RE))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_RE))

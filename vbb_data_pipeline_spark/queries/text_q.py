@@ -29,26 +29,39 @@ def _sw_hits_sql(lang: str) -> str:
     "text_token_stats",
     oracle=f"""
     WITH toks AS (
-        SELECT lang, len({TOK_SQL.format(c="text")}) AS n_tok, n_chars
+        SELECT lang, len({TOK_SQL.format(c="text")}) AS n_tok,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'
+               )) AS n_bpe,
+               n_chars
         FROM documents
     )
     SELECT lang,
            count(*)                        AS n_docs,
            CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
+           CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
            round(avg(CAST(n_tok AS DOUBLE)), 4)  AS avg_tokens,
            round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
     FROM toks
     GROUP BY lang
     """,
     survey="extension: token accounting per language (training-data "
-    "token counting)",
+    "token counting: whitespace/alnum runs AND a BPE-ish GPT-2-style "
+    "pre-tokenizer count, functions/text.bpe_token_count — one "
+    "codegen regex pass each)",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("lang", tx.token_count("text").alias("n_tok"), "n_chars")
+    t = d.select(
+        "lang",
+        tx.token_count("text").alias("n_tok"),
+        tx.bpe_token_count("text").alias("n_bpe"),
+        "n_chars",
+    )
     return t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
         F.round(F.avg(F.col("n_tok").cast("double")), 4).alias("avg_tokens"),
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
     )
