@@ -105,3 +105,47 @@ def test_ivf_broadcasts_centroids(spark, reg):
     assert_broadcast_join(df, min_count=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_one_shuffle_per_direction(spark, reg):
+    """Each as-of direction = union + one window shuffle on user_id;
+    two directions tagged-union → bounded exchange count, no range
+    explosion, no Python."""
+    df = reg["asof_purchase_context"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert count_exchanges(df) <= 6
+
+
+def test_range_join_is_broadcast_hash(spark, reg):
+    """The interval join must plan as a broadcast hash join on the
+    bucket key — never BroadcastNestedLoopJoin."""
+    df = reg["range_join_value_bands"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_broadcast_join(df, min_count=1)
+
+
+def test_grouping_analytics_uses_expand(spark, reg):
+    """rollup/cube/grouping-sets each plan one Expand + one shuffle —
+    all groupings in a single pass per variant, not a union of
+    re-aggregations per grouping."""
+    df = reg["grouping_analytics"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 3
+
+
+def test_multimodal_single_arrow_stage(spark, reg):
+    """Decode = exactly one Arrow-batched Python stage, no
+    row-at-a-time Python, no shuffle before it."""
+    df = reg["multimodal_decode"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_salted_agg_two_shuffles(spark, reg):
+    """Salted aggregation = partial (key, salt) shuffle + final key
+    shuffle; anything more means the salting collapsed."""
+    df = reg["salted_skew_agg"].fn(spark, SF)
+    assert count_exchanges(df) <= 2
