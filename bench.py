@@ -75,11 +75,12 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in names:
         df = registry[name].fn(spark, sf_dir)
-        # Warm-up executes plan compilation + codegen; best-of-three
+        # Warm-ups execute plan compilation + codegen; best-of-three
         # timed passes measures steady-state execution (AQE re-planning
         # and JVM JIT of large generated methods — e.g. unrolled 64-dim
         # dot products — settle over the first few executions).
-        df.write.format("noop").mode("overwrite").save()
+        for _ in range(2):
+            df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
