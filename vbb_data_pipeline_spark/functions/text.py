@@ -169,3 +169,51 @@ def bpe_token_count(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_count(c, F.lit(BPE_SPLIT_RE))
+
+
+def tf_idf_top_terms(
+    df,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+):
+    """Top-``k`` TF-IDF terms per document — corpus keyword profiling.
+
+    Classic smoothed formulation: ``tf = count(term in doc)``,
+    ``idf = ln((N + 1) / (df + 1)) + 1``. Plan shape (100 TB posture):
+    explode → two hash aggregations (term-per-doc counts, document
+    frequencies) → broadcast of the docfreq table ONLY if it is small
+    (it usually is not — it's joined on the term key, hash shuffle) →
+    window top-k per doc. Every step is map-side-combinable; nothing
+    is quadratic in corpus size.
+
+    Returns ``(id_col, term, tf, tfidf, rank)``. Deterministic:
+    ties break on the term string.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # N as a broadcast 1-row frame — no driver action at construction
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    idf = F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1)) + 1.0
+    scored = tf.join(docfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, round_digits).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
