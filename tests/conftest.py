@@ -92,3 +92,10 @@ def gtfs(spark):
 @pytest.fixture()
 def window_jan_feb():
     return dt.date(2024, 1, 28), dt.date(2024, 2, 6)
+
+
+@pytest.fixture(scope="session")
+def shared_spark_holder(spark):
+    """Session-scoped alias for hypothesis tests (function-scoped
+    fixtures would re-enter the spark fixture per example)."""
+    return spark

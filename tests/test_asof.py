@@ -82,3 +82,63 @@ def test_asof_single_shuffle_no_python(spark):
     j = asof_join(left, right, ["k"], "ts", "ts", ["v"])
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+# ---------------------------------------------------------------------------
+# Property-based: random (key, ts, nullable payload) vs pandas merge_asof
+# ---------------------------------------------------------------------------
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+
+@st.composite
+def _asof_case(draw):
+    keys = ["a", "b", "c"]
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 10))
+    left = [
+        (i, _t(draw(st.integers(0, 30))), draw(st.sampled_from(keys)))
+        for i in range(n_left)
+    ]
+    # unique (key, ts) on the right — asof_join's documented contract
+    right_keys = draw(
+        st.sets(
+            st.tuples(st.integers(0, 30), st.sampled_from(keys)),
+            max_size=n_right,
+        )
+    )
+    right = [
+        (_t(m), k, draw(st.one_of(st.none(), st.floats(-5, 5, allow_nan=False))))
+        for m, k in sorted(right_keys)
+    ]
+    return left, right
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_asof_case())
+def test_asof_property_backward(shared_spark_holder, case):
+    spark = shared_spark_holder
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "id long, ts timestamp, k string")
+    right = spark.createDataFrame(
+        right_rows, "ts timestamp, k string, v double"
+    ) if right_rows else spark.createDataFrame([], "ts timestamp, k string, v double")
+
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["v"])
+    got = {r.id: (None if r.v is None else round(r.v, 9)) for r in out.collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["id", "ts", "k"]).sort_values(["ts", "id"])
+    rp = pd.DataFrame(right_rows, columns=["ts", "k", "v"]).sort_values("ts")
+    if rp.empty:
+        exp = {int(r.id): None for r in lp.itertuples()}
+    else:
+        m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        exp = {
+            int(r.id): (None if pd.isna(r.v) else round(float(r.v), 9))
+            for r in m.itertuples()
+        }
+    assert got == exp
