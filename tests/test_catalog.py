@@ -76,3 +76,17 @@ def test_dedup_archives(spark, landing):
     # vbb/2024-03-01 is a content-duplicate of vbb/2024-01-01 → dropped
     assert ("vbb", "2024-03-01") not in kept
     assert len(kept) == 3
+
+
+def test_scan_landing_distributed_matches_driver_scan(spark, landing):
+    from vbb_data_pipeline_spark.sources.catalog import scan_landing_distributed
+
+    driver_side = {
+        (r.provider_id, r.run_date, r.path)
+        for r in scan_landing(spark, landing).collect()
+    }
+    distributed = {
+        (r.provider_id, r.run_date, r.path)
+        for r in scan_landing_distributed(spark, landing).collect()
+    }
+    assert distributed == driver_side

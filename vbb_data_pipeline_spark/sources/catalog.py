@@ -42,6 +42,32 @@ def scan_landing(spark: SparkSession, base_dir: str) -> DataFrame:
     )
 
 
+def scan_landing_distributed(spark: SparkSession, base_dir: str) -> DataFrame:
+    """S5 at object-store scale: the same listing as
+    :func:`scan_landing` but produced by Spark's distributed
+    ``binaryFile`` reader (content is NOT read — the projection keeps
+    only ``path``, so tasks touch file metadata, and millions of
+    archives list in parallel instead of through one driver loop).
+
+    Layout contract: ``<base>/<provider_id>/<run_date>.zip``.
+    """
+    listed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .option("recursiveFileLookup", "true")
+        .load(base_dir)
+        .select("path")
+    )
+    parts = F.split(F.col("path"), "/")
+    provider = F.element_at(parts, -2)
+    run_date = F.regexp_replace(F.element_at(parts, -1), r"\.zip$", "")
+    return listed.select(
+        provider.alias("provider_id"),
+        run_date.alias("run_date"),
+        F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+    )
+
+
 def new_runs(available: DataFrame, run_catalog: DataFrame) -> DataFrame:
     """J2 (operators.py:68-90): landed runs not yet in the catalog."""
     return available.join(
