@@ -1,0 +1,90 @@
+"""E1→E2→E3 end-to-end: landing tree of GTFS zips → warehouse →
+scheduled arrivals, with the reference's idempotency invariants
+(checksum dedup, conflict-ignoring load, deterministic run ids)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import zipfile
+from pathlib import Path
+
+import pytest
+
+from vbb_data_pipeline_spark.pipelines import Warehouse, e1_extract, e2_load, e3_arrivals
+
+STOPS = (
+    "stop_id,stop_name,stop_lat,stop_lon\n"
+    "s1,Alexanderplatz,52.52437,13.41053\n"
+    "s2,Potsdam Hbf,52.39886,13.06566\n"
+)
+CALENDAR = (
+    "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,"
+    "start_date,end_date\n"
+    "svc1,true,true,true,true,true,false,false,20240101,20241231\n"
+)
+TRIPS = "route_id,service_id,trip_id\nr1,svc1,t1\n"
+STOP_TIMES = (
+    "trip_id,arrival_time,departure_time,stop_id,stop_sequence\n"
+    "t1,28800,28860,s1,1\n"
+    "t1,29100,29160,s2,2\n"
+)
+
+
+def _write_zip(path: Path, stops: str = STOPS) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("stops.txt", stops)
+        zf.writestr("calendar.txt", CALENDAR)
+        zf.writestr("trips.txt", TRIPS)
+        zf.writestr("stop_times.txt", STOP_TIMES)
+
+
+@pytest.fixture()
+def landing(tmp_path: Path) -> str:
+    _write_zip(tmp_path / "vbb" / "2024-01-01.zip")
+    # identical content re-download → checksum duplicate, must drop
+    _write_zip(tmp_path / "vbb" / "2024-01-08.zip")
+    _write_zip(tmp_path / "vrs" / "2024-01-02.zip")
+    return str(tmp_path)
+
+
+def test_e1_checksum_and_catalog_dedup(spark, landing):
+    wh = Warehouse()
+    fresh = e1_extract(spark, landing, wh)
+    got = {(r.provider_id, r.run_date) for r in fresh.collect()}
+    # 2024-01-08 is a byte-identical re-download → dropped
+    assert got == {("vbb", "2024-01-01"), ("vrs", "2024-01-02")}
+
+
+def test_e2_load_idempotent_and_deterministic_ids(spark, landing):
+    wh = e2_load(spark, landing, Warehouse())
+    ids = {
+        (r.provider_id, r.run_date): r.run_id
+        for r in wh.run_catalog.collect()
+    }
+    assert ids == {("vbb", "2024-01-01"): 1, ("vrs", "2024-01-02"): 2}
+    assert set(wh.tables) == {"calendar", "trips", "stop_times", "stops"}
+    n_stops = wh.tables["stops"].count()
+    assert n_stops == 4  # 2 stops × 2 loaded runs
+
+    # re-running the whole load over the same landing tree is a no-op
+    wh2 = e2_load(spark, landing, wh)
+    assert wh2.tables["stops"].count() == n_stops
+    assert wh2.run_catalog.count() == 2
+
+
+def test_e3_arrivals_expansion(spark, landing):
+    wh = e2_load(spark, landing, Warehouse())
+    out = e3_arrivals(wh, dt.date(2024, 1, 1), dt.date(2024, 1, 8))
+    rows = out.collect()
+    # 5 weekdays in [1..8) × 2 stops × 2 runs = 20 events, time-ordered
+    assert len(rows) == 20
+    ts = [r.ts for r in rows]
+    assert ts == sorted(ts)
+    assert {r.stop_name for r in rows} == {"Alexanderplatz", "Potsdam Hbf"}
+    # 08:00:00 arrival lands on the service day at 8am
+    assert rows[0].ts.hour == 8
+
+    wire = e3_arrivals(wh, dt.date(2024, 1, 1), dt.date(2024, 1, 8), as_wire=True)
+    first = wire.collect()[0].value
+    assert first.startswith('{"name":"') and '"local-time":"' in first
