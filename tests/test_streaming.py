@@ -101,3 +101,82 @@ def test_arrivals_wire_format(spark, gtfs, window_jan_feb):
     # yyyy-MM-dd HH:mm:ss.SSSSSSS → 7 fractional digits
     frac = payload["local-time"].split(".")[-1]
     assert len(frac) == 7
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (watermark-bounded state)
+# ---------------------------------------------------------------------------
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Purchases within 30 min after a click, per user: the streaming
+    result (two file streams, availableNow to completion) must equal
+    the batch twin of the same interval join."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from vbb_data_pipeline_spark.queries import load_table
+    from vbb_data_pipeline_spark.streaming.joins import interval_join
+    from vbb_data_pipeline_spark.streaming.windows import run_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def stream_side(etype, id_alias, ts_alias):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        return (
+            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    joined = interval_join(
+        stream_side("click", "click_id", "click_ts"),
+        stream_side("purchase", "purchase_id", "purchase_ts"),
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower_seconds=0,
+        upper_seconds=1800,
+    ).select("__l.click_id", "__r.purchase_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, output_mode="append")
+    got = {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+
+    e = load_table(spark, sf, "events")
+    def batch_side(etype, id_alias, ts_alias):
+        return e.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            F.col("ts").alias(ts_alias),
+        )
+    batch = interval_join(
+        batch_side("click", "click_id", "click_ts"),
+        batch_side("purchase", "purchase_id", "purchase_ts"),
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower_seconds=0,
+        upper_seconds=1800,
+    ).select("__l.click_id", "__r.purchase_id")
+    exp = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == exp
+    assert len(exp) > 0
