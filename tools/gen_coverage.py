@@ -24,6 +24,14 @@ NON_QUERY_ROWS = [
     ("S11/S12 Kafka sink / console", "sources/connectors.kafka_sink_spec/write_kafka_batch; streaming/arrivals", "tests/test_connectors.py; tests/test_streaming.py"),
     ("T2 event-time paced replay", "streaming/arrivals.replay_paced (demo harness, non-goal per SURVEY §7.5)", "tests/test_streaming.py"),
     ("T3/T5 backoff, shutdown", "Structured Streaming trigger/checkpoint internals (engine lifecycle)", "—"),
+    ("§3 E1/E2/E3 end-to-end pipelines", "pipelines.e1_extract / e2_load / e3_arrivals (scan→dedup→load→expand→wire)", "tests/test_pipelines.py (E2E incl. double-load idempotency)"),
+    ("§2.9 ext: stream-stream interval join", "streaming/joins.interval_join (watermark-bounded state; batch ≡ stream)", "tests/test_streaming.py (stream vs batch twin)"),
+    ("S8 streaming twin: idempotent sink", "streaming/sinks.write_stream_idempotent (foreachBatch conflict-ignoring append)", "tests/test_layout_sinks.py (full replay inserts 0 rows)"),
+    ("§4 storage layout", "sources/layout.write_bucketed / write_partitioned (co-located joins, partition pruning)", "tests/test_layout_sinks.py + tests/test_bucketing.py (0-Exchange join)"),
+    ("S5 at object-store scale", "sources/catalog.scan_landing_distributed (binaryFile listing, path-only)", "tests/test_catalog.py (parity with driver scan)"),
+    ("§2.10 scalar pandas_udf", "functions/udfs.cosine_pandas (Arrow-vectorized escape hatch)", "tests/test_multimodal.py (parity with native dot)"),
+    ("ext: TF-IDF top terms", "functions/text.tf_idf_top_terms (explode → 2 hash aggs → top-k window)", "tests/test_tfidf.py (DuckDB differential)"),
+    ("ext: format coverage", "ORC / JSON-lines / CSV round trips with pushdown", "tests/test_formats.py"),
 ]
 
 
