@@ -10,8 +10,8 @@ import pytest
 from vbb_data_pipeline_spark.operators.multimodal import (
     attach_payload,
     decode_images,
-    frame_sample_stub,
-    resize_stub,
+    frame_sample,
+    resize_images,
 )
 from vbb_data_pipeline_spark.queries import load_table
 
@@ -40,12 +40,45 @@ def test_decode_is_deterministic(spark):
     assert a == b
 
 
-def test_stubs_raise(spark):
-    docs = attach_payload(load_table(spark, SF, "documents").limit(1))
-    with pytest.raises(NotImplementedError):
-        resize_stub(docs, 64, 64)
-    with pytest.raises(NotImplementedError):
-        frame_sample_stub(docs, 10)
+def _ppm(w, h, pixel=(10, 20, 30)):
+    body = bytes(pixel) * (w * h)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def _y4m(w, h, n_frames):
+    frame_size = w * h * 3 // 2
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1\x0a" % (w, h)
+    for i in range(n_frames):
+        out += b"FRAME\x0a" + bytes([i % 251]) * frame_size
+    return out
+
+
+def test_resize_images_real_ppm(spark):
+    rows = [(1, _ppm(8, 6)), (2, b"not an image"), (3, _ppm(4, 4, (99, 0, 7)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in resize_images(df, 3, 2).collect()}
+    assert got[1].status == "resized" and (got[1].width, got[1].height) == (3, 2)
+    from vbb_data_pipeline_spark.operators.multimodal import _parse_ppm
+
+    w, h, rgb = _parse_ppm(bytes(got[1].payload))
+    assert (w, h) == (3, 2) and rgb == bytes((10, 20, 30)) * 6
+    assert got[2].status == "unsupported" and bytes(got[2].payload) == b"not an image"
+    _, _, rgb3 = _parse_ppm(bytes(got[3].payload))
+    assert rgb3 == bytes((99, 0, 7)) * 6
+
+
+def test_frame_sample_real_y4m(spark):
+    rows = [(1, _y4m(4, 4, 7)), (2, b"not a video")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = frame_sample(df, every_n=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 3, 6]
+    f0 = next(r for r in by_doc[1] if r.frame_idx == 3)
+    assert (f0.width, f0.height) == (4, 4)
+    assert bytes(f0.frame) == bytes([3]) * (4 * 4 * 3 // 2)
+    assert 2 not in by_doc  # unsupported container: zero rows, no failure
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ NON_QUERY_ROWS = [
     ("§2.10 scalar pandas_udf", "functions/udfs.cosine_pandas (Arrow-vectorized escape hatch)", "tests/test_multimodal.py (parity with native dot)"),
     ("ext: TF-IDF top terms", "functions/text.tf_idf_top_terms (explode → 2 hash aggs → top-k window)", "tests/test_tfidf.py (DuckDB differential)"),
     ("ext: format coverage", "ORC / JSON-lines / CSV round trips with pushdown", "tests/test_formats.py"),
+    ("ext: multimodal resize / frame-sample", "operators/multimodal.resize_images (REAL for PPM; PIL-gated for codecs) + frame_sample (REAL for Y4M video)", "tests/test_multimodal.py"),
 ]
 
 
