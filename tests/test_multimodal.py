@@ -164,3 +164,54 @@ def test_cosine_pandas_udf_matches_native(spark):
     assert len(got) > 0
     for r in got:
         assert abs(r.u - r.n) < 1e-9, (r.ia, r.u, r.n)
+
+
+# ---------------------------------------------------------------------------
+# Review-fix regressions: totality and format edge cases
+# ---------------------------------------------------------------------------
+def test_resize_malformed_ppm_is_unsupported_not_fatal(spark):
+    rows = [(1, b"P6"), (2, b"P6 abc def 255 xx"), (3, b"P6\n4 4\n255\n")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.status for r in resize_images(df, 2, 2).collect()}
+    # truncated header / non-numeric dims / missing pixel data must all
+    # pass through, never raise inside the stage
+    assert got == {1: "unsupported", 2: "unsupported", 3: "unsupported"}
+
+
+def test_parse_jpeg_with_fill_bytes():
+    payload = b"\xff\xd8" + b"\xff\xff\xff" + _jpeg(33, 44)[2:]
+    assert parse_image_header(payload) == (33, 44, 3)
+
+
+def test_y4m_colorspaces():
+    from vbb_data_pipeline_spark.operators.multimodal import _iter_y4m_frames
+
+    def y4m(cspace, bytes_per_frame, n=2, w=4, h=4):
+        out = b"YUV4MPEG2 W%d H%d F25:1 %s\x0a" % (w, h, cspace)
+        for i in range(n):
+            out += b"FRAME\x0a" + bytes([i]) * bytes_per_frame
+        return out
+
+    # C444 = 3 bytes/px, Cmono = 1 byte/px — frames slice correctly
+    f444 = list(_iter_y4m_frames(y4m(b"C444", 4 * 4 * 3)))
+    assert [i for i, *_ in f444] == [0, 1]
+    assert len(f444[1][3]) == 48 and f444[1][3] == bytes([1]) * 48
+    fmono = list(_iter_y4m_frames(y4m(b"Cmono", 4 * 4)))
+    assert len(fmono) == 2 and len(fmono[0][3]) == 16
+    # unknown colorspace: zero frames, never corrupt slicing
+    assert list(_iter_y4m_frames(y4m(b"C999weird", 24))) == []
+    assert list(_iter_y4m_frames(y4m(b"C444alpha", 64))) == []
+
+
+def test_cosine_udf_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.functions.udfs import cosine_udf
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, None, [1.0, 0.0]), (3, [0.0, 1.0], None)],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r.id: r.c for r in df.select("id", cosine_udf("a", "b").alias("c")).collect()}
+    assert abs(got[1] - 1.0) < 1e-9
+    assert got[2] is None and got[3] is None

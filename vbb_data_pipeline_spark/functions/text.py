@@ -196,8 +196,11 @@ def tf_idf_top_terms(
 
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # N as a broadcast 1-row frame — no driver action at construction
-    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    # N = documents contributing at least one term (zero-token docs
+    # have no tf rows and no tfidf output, so they are outside the
+    # corpus this statistic describes). Broadcast 1-row frame — no
+    # driver action at construction.
+    n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("_n"))
     docfreq = (
         tf.groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))

@@ -26,17 +26,23 @@ from pyspark.sql.functions import pandas_udf
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized cosine over two array<float/double> columns.
 
-    numpy would vectorize further; kept dependency-light and
-    per-batch-loop-free where possible. Semantics match
+    Total: NULL on either side yields NULL (never a task failure), and
+    empty Arrow batches return empty. Semantics match
     ``operators/similarity.cosine`` (1e-12 norm floor).
     """
     import numpy as np
 
-    av = np.stack(a.to_numpy())
-    bv = np.stack(b.to_numpy())
-    dots = (av * bv).sum(axis=1)
-    norms = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
-    return pd.Series(dots / np.maximum(norms, 1e-12))
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    mask = a.notna() & b.notna()
+    out = pd.Series([None] * len(a), dtype="float64")
+    if mask.any():
+        av = np.stack(a[mask].to_numpy())
+        bv = np.stack(b[mask].to_numpy())
+        dots = (av * bv).sum(axis=1)
+        norms = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+        out[mask] = dots / np.maximum(norms, 1e-12)
+    return out
 
 
 def cosine_udf(a: Column | str, b: Column | str) -> Column:

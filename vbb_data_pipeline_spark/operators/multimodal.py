@@ -86,6 +86,9 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
             if payload[i] != 0xFF:
                 return None
             marker = payload[i + 1]
+            if marker == 0xFF:  # legal fill/padding byte before a marker
+                i += 1
+                continue
             # SOF0-SOF15 except DHT(C4)/DAC(CC)/RST/... carry dims
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
@@ -135,30 +138,39 @@ def decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # Real resize (uncompressed formats, pure stdlib) + codec-gated fallback
 # ---------------------------------------------------------------------------
 def _parse_ppm(payload: bytes) -> tuple[int, int, bytes] | None:
-    """Binary PPM (P6): returns (width, height, rgb_bytes) or None."""
+    """Binary PPM (P6): returns (width, height, rgb_bytes), or None
+    for anything malformed — total by contract (resize_images promises
+    a poison payload never kills the stage)."""
     if payload[:2] != b"P6":
         return None
-    # header = magic, width, height, maxval — whitespace/comment-separated
-    tokens: list[bytes] = []
-    i = 2
-    while len(tokens) < 3 and i < len(payload):
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":  # comment to EOL
-            while i < len(payload) and payload[i] != 0x0A:
+    try:
+        # header = magic, width, height, maxval — whitespace/comment-separated
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
                 i += 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        tokens.append(payload[i:j])
-        i = j
-    i += 1  # single whitespace after maxval
-    w, h = int(tokens[0]), int(tokens[1])
-    rgb = payload[i : i + w * h * 3]
-    if len(rgb) < w * h * 3:
+            if payload[i : i + 1] == b"#":  # comment to EOL
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+        if len(tokens) < 3:
+            return None
+        i += 1  # single whitespace after maxval
+        w, h = int(tokens[0]), int(tokens[1])
+        if w <= 0 or h <= 0:
+            return None
+        rgb = payload[i : i + w * h * 3]
+        if len(rgb) < w * h * 3:
+            return None
+        return w, h, rgb
+    except (ValueError, IndexError):
         return None
-    return w, h, rgb
 
 
 def _encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
@@ -196,7 +208,10 @@ def resize_payload(payload: bytes, out_w: int, out_h: int) -> bytes | None:
         except Exception:
             return None
         buf = io.BytesIO()
-        img.resize((out_w, out_h)).save(buf, format=img.format or "PNG")
+        # NEAREST to match the stdlib branch bit-for-bit on PPM inputs
+        img.resize((out_w, out_h), Image.Resampling.NEAREST).save(
+            buf, format=img.format or "PNG"
+        )
         return buf.getvalue()
     parsed = _parse_ppm(payload)
     if parsed is None:
@@ -257,23 +272,48 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+#: Y4M colorspace tag → bytes-per-pixel numerator/denominator.
+_Y4M_BPP = {
+    b"420": (3, 2),
+    b"422": (2, 1),
+    b"444": (3, 1),
+    b"mono": (1, 1),
+}
+
+
 def _iter_y4m_frames(payload: bytes):
     """Parse YUV4MPEG2 (uncompressed video): yields
-    (idx, width, height, raw_yuv420_frame)."""
+    (idx, width, height, raw_frame). Honors the C (colorspace)
+    parameter; unknown colorspaces yield nothing (unsupported, never
+    corrupt frames)."""
     if not payload.startswith(b"YUV4MPEG2"):
         return
     eol = payload.find(b"\x0a")
     if eol < 0:
         return
     w = h = 0
+    num, den = _Y4M_BPP[b"420"]  # spec default when C is absent
     for param in payload[10:eol].split(b" "):
-        if param[:1] == b"W":
-            w = int(param[1:])
-        elif param[:1] == b"H":
-            h = int(param[1:])
+        try:
+            if param[:1] == b"W":
+                w = int(param[1:])
+            elif param[:1] == b"H":
+                h = int(param[1:])
+            elif param[:1] == b"C":
+                tag = param[1:]
+                if tag[:8] == b"444alpha":  # 4 planes, not plain 444
+                    return
+                base = next(
+                    (k for k in _Y4M_BPP if tag[: len(k)] == k), None
+                )
+                if base is None:
+                    return  # unknown colorspace: unsupported
+                num, den = _Y4M_BPP[base]
+        except ValueError:
+            return
     if not w or not h:
         return
-    frame_size = w * h * 3 // 2  # 4:2:0
+    frame_size = w * h * num // den
     i = eol + 1
     idx = 0
     while i < len(payload):

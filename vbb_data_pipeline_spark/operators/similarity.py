@@ -239,6 +239,9 @@ def ivf_assign(
 #: order-independent, cross-engine-identical components).
 KMEANS_SCALE = 1_000_000
 
+#: Most recent trained-centroid cache (see kmeans_centroids).
+_LAST_CENTROIDS = None
+
 
 def kmeans_centroids(
     embeddings: DataFrame,
@@ -301,8 +304,15 @@ def kmeans_centroids(
     # assignment, query probing) would re-run the training chain.
     # Persist so training executes once per session — the train-once /
     # query-many pattern a real ANN deployment uses (at scale you'd
-    # write the centroids to storage instead).
-    return cent.persist()
+    # write the centroids to storage instead). Only the LATEST model
+    # stays cached: repeated invocations (driver verification loops,
+    # bench warm-ups) unpersist the previous one instead of leaking a
+    # cache entry per call.
+    global _LAST_CENTROIDS
+    if _LAST_CENTROIDS is not None:
+        _LAST_CENTROIDS.unpersist()
+    _LAST_CENTROIDS = cent.persist()
+    return _LAST_CENTROIDS
 
 
 def ivf_topk(

@@ -80,13 +80,27 @@ def e2_load(
     pending = assign_run_ids(
         e1_extract(spark, landing_dir, warehouse), warehouse.run_catalog
     )
+    # Materialize the pending list ONCE (it is catalog-scale metadata):
+    # the checksum/anti-join/window chain runs a single time, and the
+    # new catalog rows are rebuilt from the collected values so the
+    # catalog never keeps lineage into the landing tree.
     runs = pending.select("run_id", "run_date", "provider_id", "path").collect()
     for r in sorted(runs, key=lambda x: x.run_id):
         for table, df in read_gtfs_zip(spark, r.path, r.run_id, r.provider_id).items():
             warehouse.tables[table] = idempotent_append(
                 warehouse.tables.get(table), df, table
             )
-    new_catalog = pending.select("run_id", "run_date", "provider_id")
+    # Cut table lineage from the landing zips: retention may delete or
+    # replace archives after load, and the warehouse must not
+    # re-execute csv/zip reads on later evaluations. At deployment this
+    # is the parquet write (sources/layout.py); in-session it is a
+    # checkpoint.
+    for table in list(warehouse.tables):
+        warehouse.tables[table] = warehouse.tables[table].localCheckpoint()
+    new_catalog = spark.createDataFrame(
+        [(r.run_id, r.run_date, r.provider_id) for r in runs],
+        "run_id int, run_date string, provider_id string",
+    )
     warehouse.run_catalog = (
         new_catalog
         if warehouse.run_catalog is None

@@ -30,12 +30,21 @@ def idempotent_batch_append(
     key-partition the sink directory and prune to the batch's
     partitions before the anti-join.
     """
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     fresh = batch.dropDuplicates(list(key_cols))
     try:
         existing = spark.read.parquet(path).select(*key_cols)
-    except Exception:  # first batch: sink directory does not exist yet
-        existing = None
+    except AnalysisException as e:
+        # ONLY a missing sink directory means "first batch". Any other
+        # read failure (throttling, permissions, corrupt footer) must
+        # fail the batch — appending without the anti-join would
+        # silently break the effectively-once invariant.
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            existing = None
+        else:
+            raise
     if existing is not None:
         fresh = fresh.join(existing, list(key_cols), "left_anti")
     fresh.write.mode("append").parquet(path)
