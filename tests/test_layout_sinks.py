@@ -100,3 +100,43 @@ def test_stream_idempotent_replay(spark, tmp_path):
     n2 = spark.read.parquet(sink).count()
     assert n1 == n2
     assert spark.read.parquet(sink).select("event_id").distinct().count() == n2
+
+
+def test_write_range_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    """Each output file must cover a disjoint slice of the sort key —
+    the property that makes parquet min/max stats prune whole files."""
+    from pathlib import Path
+
+    from vbb_data_pipeline_spark.sources.layout import write_range_sorted
+
+    o = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_sorted")
+    write_range_sorted(o, path, ["o_orderdate"], num_files=4)
+    files = sorted(str(p) for p in Path(path).glob("*.parquet"))
+    assert len(files) >= 3
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate"), F.max("o_orderdate"))
+            .collect()[0]
+        )
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    from pathlib import Path
+
+    from vbb_data_pipeline_spark.sources.layout import compact
+
+    path = str(tmp_path / "fragmented")
+    o = load_table(spark, SF, "orders")
+    o.repartition(24).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    assert len(list(Path(path).glob("*.parquet"))) >= 20
+    compact(spark, path, target_files=2, sort_cols=["o_orderkey"])
+    assert len(list(Path(path).glob("*.parquet"))) <= 3
+    assert spark.read.parquet(path).count() == n

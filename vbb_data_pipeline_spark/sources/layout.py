@@ -67,3 +67,56 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a table written by :func:`write_bucketed` (metastore name,
     so the bucketing spec survives into the plan)."""
     return spark.table(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-partitioned and sorted on ``sort_cols`` —
+    the poor-man's clustering/Z-order for ONE sort dimension.
+
+    Each output file covers a disjoint range of the sort key, so its
+    parquet min/max statistics are tight and a filter on the key skips
+    whole files/row groups at scan time. Use for the dominant filter
+    column of append-heavy fact tables (event time, order date).
+    """
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally range-sorted).
+
+    Streaming/idempotent appends (streaming/sinks.py) accumulate one
+    file per micro-batch; at 100 TB the listing + open overhead of
+    millions of small files dominates scans. Rewrites into a temp
+    sibling then swaps, so a failed compaction never loses data.
+    """
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    tmp = str(Path(path).parent / f".compact_{uuid.uuid4().hex[:8]}")
+    if sort_cols:
+        write_range_sorted(df, tmp, sort_cols, target_files)
+    else:
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    backup = path + ".old"
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
