@@ -1,0 +1,206 @@
+"""Training-corpus sampling/sharding operators vs DuckDB oracles.
+
+Every membership decision in ``operators/sampling.py`` is a salted
+md5 bucket (oracle mode), so DuckDB can recompute the exact same
+assignment independently — these tests hash-compare full assignments,
+not just aggregate rates.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from vbb_data_pipeline_spark.operators.sampling import (
+    N_BUCKETS,
+    deterministic_split,
+    pack_token_shards,
+    stratified_sample,
+    weighted_domain_mix,
+)
+from vbb_data_pipeline_spark.queries import load_table
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"read_parquet('{SF}/documents.parquet')"
+
+
+def bucket_sql(seed: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % {N_BUCKETS}"
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_split_matches_duckdb(docs):
+    out = deterministic_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=42, hash_mode="oracle",
+    )
+    got = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    exp = set(
+        duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN {bucket_sql('42')} < 9000 THEN 'train'
+                        WHEN {bucket_sql('42')} < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM {DOCS}
+            """
+        ).fetchall()
+    )
+    assert got == exp
+    # disjoint + exhaustive: one split per input row
+    assert len(got) == docs.count()
+    # all three splits materialize at n=500
+    assert {s for _, s in got} == {"train", "val", "test"}
+
+
+def test_split_stable_under_corpus_growth(docs):
+    """Adding rows never reassigns existing ones (hash, not rank)."""
+    full = deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.2}, seed=7, hash_mode="oracle"
+    )
+    half = deterministic_split(
+        docs.filter("doc_id % 2 = 0"), "doc_id", {"train": 0.8, "val": 0.2},
+        seed=7, hash_mode="oracle",
+    )
+    full_map = dict(
+        full.filter("doc_id % 2 = 0").select("doc_id", "split").collect()
+    )
+    half_map = dict(half.select("doc_id", "split").collect())
+    assert full_map == half_map
+
+
+def test_stratified_sample_matches_duckdb(docs):
+    fractions = {"en": 0.5, "de": 0.25}
+    out = stratified_sample(
+        docs, "lang", fractions, "doc_id", seed=3, hash_mode="oracle"
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    exp = {
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id FROM {DOCS}
+            WHERE {bucket_sql('3')} <
+                  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 0 END
+            """
+        ).fetchall()
+    }
+    assert got == exp
+    assert got  # en/de rows exist at sf0.001, so the sample is non-empty
+    # default fraction 0 drops every other stratum
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+
+
+def test_pack_token_shards_matches_greedy_oracle(docs):
+    budget = 5_000
+    out = pack_token_shards(
+        docs, ["lang"], "doc_id", "n_chars", budget=budget
+    )
+    got = {
+        (r.lang, r.doc_id): r.shard_id
+        for r in out.select("lang", "doc_id", "shard_id").collect()
+    }
+    # independent greedy re-pack in plain python over DuckDB-ordered rows
+    rows = duckdb.sql(
+        f"SELECT lang, doc_id, n_chars FROM {DOCS} ORDER BY lang, doc_id"
+    ).fetchall()
+    cum: dict[str, int] = {}
+    exp = {}
+    for lang, doc_id, n in rows:
+        before = cum.get(lang, 0)
+        exp[(lang, doc_id)] = before // budget
+        cum[lang] = before + n
+    assert got == exp
+    # shard ids are dense from 0 per group
+    per_group: dict[str, set] = {}
+    for (lang, _), sid in got.items():
+        per_group.setdefault(lang, set()).add(sid)
+    for sids in per_group.values():
+        assert sids == set(range(len(sids)))
+
+
+def test_pack_rejects_global_pack(docs):
+    with pytest.raises(ValueError, match="group_cols"):
+        pack_token_shards(docs, [], "doc_id", "n_chars", budget=100)
+
+
+def test_weighted_domain_mix_matches_duckdb(docs):
+    factors = {"wiki": 2.5, "forum": 0.4}
+    out = weighted_domain_mix(
+        docs, "source", factors, "doc_id", epoch=1, seed=0, hash_mode="oracle"
+    )
+    got: dict[int, int] = {}
+    for r in out.select("doc_id", "copy_idx").collect():
+        got[r.doc_id] = max(got.get(r.doc_id, 0), r.copy_idx)
+    bucket = bucket_sql("0|epoch1")
+    exp = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   CAST(floor(f) AS BIGINT)
+                   + CASE WHEN {bucket} < round((f - floor(f)) * {N_BUCKETS})
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM (
+                SELECT doc_id,
+                       CASE source WHEN 'wiki' THEN 2.5
+                                   WHEN 'forum' THEN 0.4
+                                   ELSE 1.0 END AS f
+                FROM {DOCS}
+            )
+            WHERE CAST(floor(f) AS BIGINT)
+                  + CASE WHEN {bucket} < round((f - floor(f)) * {N_BUCKETS})
+                         THEN 1 ELSE 0 END > 0
+            """
+        ).fetchall()
+    }
+    assert got == exp
+    # copy_idx is dense 1..n for every surviving row
+    counts: dict[int, int] = {}
+    for r in out.select("doc_id", "copy_idx").collect():
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert counts == {d: n for d, n in got.items()}
+
+
+def test_mix_epoch_changes_residual_selection(docs):
+    """Same seed, different epoch → same expected rate, reproducible
+    per-epoch assignment (the per-epoch hash salt is part of the
+    contract, asserted via the DuckDB twin above; here: determinism)."""
+    a = weighted_domain_mix(
+        docs, "source", {"wiki": 1.5}, "doc_id", epoch=2, hash_mode="oracle"
+    )
+    b = weighted_domain_mix(
+        docs, "source", {"wiki": 1.5}, "doc_id", epoch=2, hash_mode="oracle"
+    )
+    assert sorted(map(tuple, a.select("doc_id", "copy_idx").collect())) == sorted(
+        map(tuple, b.select("doc_id", "copy_idx").collect())
+    )
+
+
+def test_sampling_plans_are_codegen_native(docs, spark):
+    """No Python eval, no shuffle for split/sample/mix; exactly one
+    exchange for the packer (the window partitionBy)."""
+    split_plan = deterministic_split(
+        docs, "doc_id", {"a": 0.5, "b": 0.5}, hash_mode="fast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in split_plan
+    assert "Exchange" not in split_plan
+
+    mix_plan = weighted_domain_mix(
+        docs, "source", {"wiki": 2.0}, "doc_id", hash_mode="fast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in mix_plan
+    assert "Exchange" not in mix_plan
+
+    pack_plan = pack_token_shards(
+        docs, ["lang"], "doc_id", "n_chars", budget=1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert pack_plan.count("Exchange hashpartitioning") == 1

@@ -28,6 +28,7 @@ NON_QUERY_ROWS = [
     ("§2.9 ext: stream-stream interval join", "streaming/joins.interval_join (watermark-bounded state; batch ≡ stream)", "tests/test_streaming.py (stream vs batch twin)"),
     ("S8 streaming twin: idempotent sink", "streaming/sinks.write_stream_idempotent (foreachBatch conflict-ignoring append)", "tests/test_layout_sinks.py (full replay inserts 0 rows)"),
     ("§4 storage layout", "sources/layout.write_bucketed / write_partitioned (co-located joins, partition pruning)", "tests/test_layout_sinks.py + tests/test_bucketing.py (0-Exchange join)"),
+    ("ext: corpus sampling & sharding", "operators/sampling.deterministic_split / stratified_sample / pack_token_shards / weighted_domain_mix (hash-deterministic membership — stable under corpus growth; codegen-native; packer = 1 shuffle, rest = 0)", "tests/test_sampling.py (full-assignment DuckDB differentials + plan hygiene)"),
     ("S5 at object-store scale", "sources/catalog.scan_landing_distributed (binaryFile listing, path-only)", "tests/test_catalog.py (parity with driver scan)"),
     ("§2.10 scalar pandas_udf", "functions/udfs.cosine_pandas (Arrow-vectorized escape hatch)", "tests/test_multimodal.py (parity with native dot)"),
     ("ext: TF-IDF top terms", "functions/text.tf_idf_top_terms (explode → 2 hash aggs → top-k window)", "tests/test_tfidf.py (DuckDB differential)"),

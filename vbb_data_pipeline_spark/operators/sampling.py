@@ -1,0 +1,228 @@
+"""Training-corpus sampling & sharding operators.
+
+The north-star extension surface for assembling LLM training data at
+100 TB: deterministic train/val/test splits, per-stratum sampling,
+token-budget shard packing, and weighted domain mixing. None of these
+exist in the reference (its loaders are row loops over a catalog-scale
+corpus, ``database_loader/operators.py``); at corpus scale they are the
+operations that decide what a model trains on.
+
+Design rules shared by every operator here:
+
+- **Hash-deterministic, not RNG-deterministic.** Membership decisions
+  derive from a salted content hash of a stable key column, never from
+  ``rand(seed)``: the assignment of a given document is reproducible
+  across reruns, engines, partitionings and cluster sizes, and adding
+  new documents never reshuffles old ones (the property that keeps a
+  val set stable as the corpus grows).
+- **Codegen-native.** Every decision is a Column expression (hash,
+  modulo, comparisons, one window for packing) — no Python in the row
+  path, no driver-side collection.
+- **Mode-switched hashing** like the dedup/similarity operators:
+  ``oracle`` = md5-derived (bit-identical in DuckDB, differential
+  tests in ``tests/test_sampling.py``), ``fast`` = JVM ``xxhash64``
+  (production; see ``functions/hashing.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import default_hash_mode, hash_long
+
+#: Buckets for membership decisions: fractions are resolved at 1/10000
+#: granularity (0.01% — fine enough for any split/mix ratio anyone
+#: writes down, coarse enough that threshold comparisons stay exact
+#: integer math in both engines).
+N_BUCKETS = 10_000
+
+
+def sample_bucket(
+    key: Column | str, seed: str | int = 0, hash_mode: str | None = None
+) -> Column:
+    """Deterministic bucket in ``[0, N_BUCKETS)`` for a key column.
+
+    The shared primitive: ``hash(seed | key) % 10000``. DuckDB twin
+    (oracle mode)::
+
+        CAST('0x' || substr(md5('<seed>|' || CAST(key AS VARCHAR)), 1, 15)
+             AS BIGINT) % 10000
+    """
+    mode = hash_mode or default_hash_mode()
+    c = F.col(key) if isinstance(key, str) else key
+    salted = F.concat(F.lit(f"{seed}|"), c.cast("string"))
+    return hash_long(salted, mode) % F.lit(N_BUCKETS)
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test/…).
+
+    ``weights`` maps split name → relative weight (normalized, so
+    ``{"train": 9, "val": 0.5, "test": 0.5}`` works). Assignment is a
+    pure function of ``(seed, key)``: disjoint, exhaustive, stable
+    under reruns and corpus growth. Zero shuffles — one hash + one
+    ``CASE`` per row, pushed into whatever scan feeds it.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = sample_bucket(key_col, seed=seed, hash_mode=hash_mode)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        threshold = int(round(acc * N_BUCKETS))
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    The engine-portable ``sampleBy``: row survives iff
+    ``bucket(seed, key) < fraction[stratum] * 10000``. Strata not in
+    ``fractions`` get ``default_fraction``. The fraction map compiles
+    to a ``CASE`` chain (strata maps are human-written and tiny — no
+    join, no broadcast, stays inside the scan's codegen stage), so
+    this is a pure filter: zero shuffles, prunes at the scan when the
+    stratum is a partition column.
+    """
+    bucket = sample_bucket(key_col, seed=seed, hash_mode=hash_mode)
+    threshold = None
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0,1]")
+        t = F.lit(int(round(frac * N_BUCKETS)))
+        cond = F.col(stratum_col) == F.lit(stratum)
+        threshold = (
+            F.when(cond, t) if threshold is None else threshold.when(cond, t)
+        )
+    default_t = F.lit(int(round(default_fraction * N_BUCKETS)))
+    threshold = default_t if threshold is None else threshold.otherwise(default_t)
+    return df.filter(bucket < threshold)
+
+
+def pack_token_shards(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Greedy sequential packing of documents into token-budget shards.
+
+    Within each group (ordered by ``order_col``), a running token sum
+    assigns ``shard_id = floor(tokens_before_this_doc / budget)`` —
+    the streaming-writer semantics: a shard closes once it reaches the
+    budget, so every shard except a group's last holds ≥ ``budget``
+    tokens and at most ``budget + max_single_doc - 1`` (a document is
+    never split; one larger than the budget gets a shard to itself,
+    spilling its overflow into the boundary shard it opens in).
+
+    One shuffle (the window's ``partitionBy``). ``group_cols`` is
+    required and is the parallelism unit at 100 TB — pack per
+    (lang, source) or per hash-prefix salt; a single global pack would
+    serialize the corpus through one task, so this API refuses it.
+    """
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty: a global pack serializes the "
+            "corpus through one window partition; salt first"
+        )
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    before = cum - F.col(token_col)
+    return df.withColumn(
+        shard_col, F.floor(before / F.lit(budget)).cast("long")
+    )
+
+
+def weighted_domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    factors: dict[str, float],
+    key_col: str,
+    epoch: int = 0,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Re-weight domains by fractional repeat factors (epoch-aware).
+
+    ``factors`` maps domain → target multiplicity: ``2.5`` emits every
+    row twice plus a deterministic half of rows a third time; ``0.3``
+    keeps a deterministic 30%. The fractional decision hashes
+    ``(seed, epoch, key)``, so different epochs up-sample *different*
+    residual rows (the standard trick to avoid over-fitting the same
+    boost set every epoch) while any one epoch is fully reproducible.
+    Domains absent from ``factors`` pass through at 1.0.
+
+    Expansion is ``explode(sequence(1, n_copies))`` — generated
+    map-side inside the scan stage, zero shuffles, no Python. Output
+    gains ``copy_col`` (1-based) so downstream shuffles can re-salt
+    repeats apart.
+    """
+    for domain, r in factors.items():
+        if r < 0:
+            raise ValueError(f"factor for {domain!r} must be >= 0")
+    factor = None
+    for domain, r in factors.items():
+        cond = F.col(domain_col) == F.lit(domain)
+        factor = (
+            F.when(cond, F.lit(float(r)))
+            if factor is None
+            else factor.when(cond, F.lit(float(r)))
+        )
+    factor = F.lit(1.0) if factor is None else factor.otherwise(F.lit(1.0))
+
+    whole = F.floor(factor).cast("long")
+    frac_threshold = F.round((factor - F.floor(factor)) * N_BUCKETS).cast("long")
+    bucket = sample_bucket(
+        key_col, seed=f"{seed}|epoch{epoch}", hash_mode=hash_mode
+    )
+    n_copies = whole + (bucket < frac_threshold).cast("long")
+    out = (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.col("_n_copies"),
+                    F.lit(1).cast("long"),
+                )
+            ),
+        )
+        .drop("_n_copies")
+    )
+    return out
