@@ -88,3 +88,103 @@ def test_e3_arrivals_expansion(spark, landing):
     wire = e3_arrivals(wh, dt.date(2024, 1, 1), dt.date(2024, 1, 8), as_wire=True)
     first = wire.collect()[0].value
     assert first.startswith('{"name":"') and '"local-time":"' in first
+
+
+# ---------------------------------------------------------------- E4
+
+
+def test_e4_corpus_prep_end_to_end(spark):
+    """The full corpus-assembly composition at sf0.001: invariants per
+    stage plus run-to-run determinism."""
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+    from vbb_data_pipeline_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.3,
+        jaccard_threshold=0.8,
+        shard_budget=5_000,
+        seed=7,
+        hash_mode="oracle",
+    ).persist()
+    rows = out.collect()
+    assert rows, "pipeline must keep some documents"
+    assert len(rows) < docs.count(), "quality gate + dedup must drop rows"
+
+    # split is exhaustive over the default names
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # one row per surviving document (no mixing)
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    # shards dense from 0 within every (split, lang) group
+    groups: dict[tuple, set] = {}
+    for r in rows:
+        groups.setdefault((r.split, r.lang), set()).add(r.shard_id)
+    for sids in groups.values():
+        assert sids == set(range(len(sids)))
+
+    # no surviving near-duplicate pair at/above the threshold
+    surv = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+    sigs = minhash_signatures(surv, "text", "doc_id", hash_mode="oracle")
+    cands = lsh_candidate_pairs(sigs, "doc_id", hash_mode="oracle")
+    remaining = (
+        jaccard_pairs(surv, cands, "text", "doc_id")
+        .filter(F.col("jaccard") >= 0.8)
+        .count()
+    )
+    assert remaining == 0
+
+    # deterministic: a second full run produces identical rows
+    again = e4_corpus_prep(
+        docs,
+        min_quality=0.3,
+        jaccard_threshold=0.8,
+        shard_budget=5_000,
+        seed=7,
+        hash_mode="oracle",
+    ).collect()
+    key = lambda r: (r.doc_id,)  # noqa: E731
+    assert sorted(map(tuple, rows), key=lambda t: t[:1]) == sorted(
+        map(tuple, again), key=lambda t: t[:1]
+    )
+    out.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_e4_mixing_packs_copies_deterministically(spark):
+    """With domain mixing on, repeated copies get distinct copy_idx and
+    the packer's total order stays deterministic."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+    from vbb_data_pipeline_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = docs.select("source").first().source
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=1.01,  # keep everything: isolate the mix+pack path
+        shard_budget=3_000,
+        mix_factors={src: 2.5},
+        epoch=1,
+        seed=7,
+        hash_mode="oracle",
+    )
+    rows = out.collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    boosted = {d for d, c in per_doc.items() if len(c) > 1}
+    assert boosted, "factor 2.5 must produce multi-copy documents"
+    for d, copies in per_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+    again = out.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    spark.catalog.clearCache()

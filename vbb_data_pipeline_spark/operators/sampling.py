@@ -127,7 +127,7 @@ def stratified_sample(
 def pack_token_shards(
     df: DataFrame,
     group_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     token_col: str,
     budget: int,
     shard_col: str = "shard_id",
@@ -154,9 +154,12 @@ def pack_token_shards(
         )
     if budget <= 0:
         raise ValueError("budget must be positive")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    # the order must be a total order within each group — ties make the
+    # running sum (and therefore shard assignment) partition-dependent
     w = (
         Window.partitionBy(*group_cols)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col)).over(w)

@@ -16,6 +16,10 @@ DataFrames so the "DAG" is the Catalyst plan. Orchestration concerns
   expansion → wire-format rows, ready for a Kafka sink
   (``sources/connectors.kafka_sink_spec``) or a paced replay
   (``streaming/arrivals.replay_paced``).
+* **E4 corpus prep** (north-star extension, no reference analog):
+  documents → profile → quality gate → exact + near dedup → split →
+  mix → token-budget shards — the end-to-end training-data assembly
+  flow composed from the extension operators.
 """
 
 from __future__ import annotations
@@ -126,3 +130,98 @@ def e3_arrivals(
         t["calendar"], t["trips"], t["stop_times"], t["stops"], start, end
     )
     return arrivals_as_wire(out) if as_wire else out
+
+
+def e4_corpus_prep(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    split_weights: dict[str, float] | None = None,
+    shard_budget: int = 50_000,
+    mix_factors: dict[str, float] | None = None,
+    epoch: int = 0,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """E4: the training-corpus assembly pipeline — the north-star
+    composition the reference never had, built entirely from this
+    engine's operators:
+
+    1. **Profile** — token count (BPE-ish) + heuristic quality score,
+       one codegen pass over the scan.
+    2. **Quality gate** — drop documents below ``min_quality``
+       (C4/Gopher-style filtering).
+    3. **Exact-ish dedup** — sorted-token-set fingerprint keep-lowest-id
+       (one hash aggregation; wide columns never shuffle).
+    4. **Near-dup removal** — MinHash → LSH banding → exact-Jaccard
+       re-rank → connected components; every non-canonical cluster
+       member (cluster_id ≠ doc id) is dropped. Linear-cost at 100 TB:
+       no O(n²) stage anywhere (see operators/dedup.py).
+    5. **Split** — hash-deterministic train/val/test assignment, stable
+       under corpus growth.
+    6. **Mix** (optional) — epoch-aware weighted domain up/down-sampling.
+    7. **Pack** — greedy token-budget sharding per (split, lang): the
+       physical training-shard layout, one window shuffle.
+
+    Returns one row per packed document copy:
+    ``(doc_id, lang, source, n_tokens, quality, split[, copy_idx],
+    shard_id)``. Feed it to ``sources/layout.write_partitioned``
+    partitioned by ``(split, shard_id)`` to land actual shard files.
+
+    Every decision is deterministic (hash-membership, lowest-id
+    survivors, fixed tie-breaks), so two runs — or two engines — agree
+    row-for-row; ``tests/test_pipelines.py`` checks the composition
+    end-to-end and stage-by-stage.
+    """
+    from vbb_data_pipeline_spark.functions.hashing import default_hash_mode
+    from vbb_data_pipeline_spark.functions.text import bpe_token_count, quality_score
+    from vbb_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        fingerprint_dedup,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from vbb_data_pipeline_spark.operators.sampling import (
+        deterministic_split,
+        pack_token_shards,
+        weighted_domain_mix,
+    )
+    from pyspark.sql import functions as F
+
+    mode = hash_mode or default_hash_mode()
+    weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    profiled = docs.withColumn("n_tokens", bpe_token_count(text_col)).withColumn(
+        "quality", quality_score(text_col)
+    )
+    kept = profiled.filter(F.col("quality") >= F.lit(min_quality))
+    exact = fingerprint_dedup(kept, text_col, id_col)
+
+    sigs = minhash_signatures(exact, text_col, id_col, hash_mode=mode)
+    cands = lsh_candidate_pairs(sigs, id_col, hash_mode=mode)
+    near = jaccard_pairs(exact, cands, text_col, id_col).filter(
+        F.col("jaccard") >= F.lit(jaccard_threshold)
+    )
+    clusters = connected_components(near)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    canonical = exact.join(losers, id_col, "left_anti")
+
+    split = deterministic_split(
+        canonical, id_col, weights, seed=seed, hash_mode=mode
+    )
+    if mix_factors:
+        split = weighted_domain_mix(
+            split, "source", mix_factors, id_col,
+            epoch=epoch, seed=seed, hash_mode=mode,
+        )
+    pack_order = [id_col, "copy_idx"] if mix_factors else [id_col]
+    packed = pack_token_shards(
+        split, ["split", "lang"], pack_order, "n_tokens", budget=shard_budget
+    )
+    return packed.drop(text_col)
