@@ -188,3 +188,24 @@ def test_e4_mixing_packs_copies_deterministically(spark):
     again = out.collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     spark.catalog.clearCache()
+
+
+def test_e4_decontamination_stage(spark):
+    """eval_df wired into E4 drops benchmark-overlapping documents."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+    from vbb_data_pipeline_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    eval_df = docs.filter("doc_id < 5").select("text")
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        eval_df=eval_df,
+        decontam_min_matches=1,
+        jaccard_threshold=1.01,
+        shard_budget=10**9,
+        hash_mode="oracle",
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids and not (ids & {0, 1, 2, 3, 4})
+    spark.catalog.clearCache()

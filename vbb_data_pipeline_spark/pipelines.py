@@ -138,6 +138,8 @@ def e4_corpus_prep(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.3,
+    eval_df: DataFrame | None = None,
+    decontam_min_matches: int = 5,
     jaccard_threshold: float = 0.8,
     split_weights: dict[str, float] | None = None,
     shard_budget: int = 50_000,
@@ -154,6 +156,10 @@ def e4_corpus_prep(
        one codegen pass over the scan.
     2. **Quality gate** — drop documents below ``min_quality``
        (C4/Gopher-style filtering).
+    2b. **Decontamination** (when ``eval_df`` is given) — drop
+       documents sharing ≥ ``decontam_min_matches`` word trigrams with
+       the benchmark set (``operators/contamination.py``; eval grams
+       broadcast, corpus text never shuffles).
     3. **Exact-ish dedup** — sorted-token-set fingerprint keep-lowest-id
        (one hash aggregation; wide columns never shuffle).
     4. **Near-dup removal** — MinHash → LSH banding → exact-Jaccard
@@ -199,6 +205,17 @@ def e4_corpus_prep(
         "quality", quality_score(text_col)
     )
     kept = profiled.filter(F.col("quality") >= F.lit(min_quality))
+    if eval_df is not None:
+        from vbb_data_pipeline_spark.operators.contamination import decontaminate
+
+        kept = decontaminate(
+            kept,
+            eval_df,
+            doc_id_col=id_col,
+            doc_text_col=text_col,
+            min_matches=decontam_min_matches,
+            hash_mode=mode,
+        )
     exact = fingerprint_dedup(kept, text_col, id_col)
 
     sigs = minhash_signatures(exact, text_col, id_col, hash_mode=mode)
