@@ -13,7 +13,7 @@ extraction at ``extract_dag.py:21-54``, F6 sanitization at
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Non-alphanumeric split — portable between Java regex and RE2.
@@ -219,4 +219,87 @@ def tf_idf_top_terms(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------- corpus hygiene
+
+#: PII patterns (portable RE2/Java subset, no lookarounds). Deliberately
+#: conservative public shapes: emails, international-ish phone numbers,
+#: IPv4 addresses. The goal is redaction before training, not perfect
+#: PII detection — precision over recall, and deterministic.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with ``<KIND>`` placeholders.
+
+    A chain of ``regexp_replace`` passes — scalar, codegen-native, no
+    Python. Order matters and is fixed: emails first (their local part
+    would otherwise be chewed by the phone pattern's digit runs), then
+    phones, then IPs. DuckDB twin: the same ``regexp_replace(...,
+    'g')`` chain in the same order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds or list(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind}>")
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-kind PII match counts (for filtering thresholds:
+    e.g. drop documents with > k emails instead of redacting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(p)).alias(kind.lower() + "s")
+            for kind, p in PII_PATTERNS.items()
+        ]
+    )
+
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of a document's non-empty lines that are duplicates of
+    an earlier line (Gopher-style repetition signal). Pure array math
+    on the split text — no explode, no shuffle.
+
+    DuckDB twin: ``1 - len(list_distinct(lines)) / len(lines)`` over
+    ``list_filter(string_split(text, chr(10)), x -> trim(x) <> '')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            (n - F.size(F.array_distinct(lines))).cast("double") / n, 6
+        )
+    )
+
+
+def top_bigram_fraction(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document fraction of word bigrams taken by the single most
+    frequent bigram (the "top n-gram" repetition filter from the
+    Gopher recipe). Documents with < 1 bigram get 0.0.
+
+    This one genuinely aggregates (a per-doc mode), so it is a
+    DataFrame→DataFrame operator: explode bigrams → (doc, gram)
+    counts → one ``max``/``sum`` re-aggregation — two shuffles, both
+    keyed by high-cardinality ids, map-side combinable. Returns
+    ``(id_col, top_bigram_frac)``.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(ngrams(tokens(text_col), 2)).alias("_g")
+    )
+    counts = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("_c").cast("double") / F.sum("_c"), 6
+            ).alias("top_bigram_frac")
+        )
     )
