@@ -33,7 +33,7 @@ NON_QUERY_ROWS = [
     ("§4 storage layout", "sources/layout.write_bucketed / write_partitioned (co-located joins, partition pruning)", "tests/test_layout_sinks.py + tests/test_bucketing.py (0-Exchange join)"),
     ("ext: corpus sampling & sharding", "operators/sampling.deterministic_split / stratified_sample / pack_token_shards / weighted_domain_mix (hash-deterministic membership — stable under corpus growth; codegen-native; packer = 1 shuffle, rest = 0)", "tests/test_sampling.py (full-assignment DuckDB differentials + plan hygiene)"),
     ("S5 at object-store scale", "sources/catalog.scan_landing_distributed (binaryFile listing, path-only)", "tests/test_catalog.py (parity with driver scan)"),
-    ("§2.10 scalar pandas_udf", "functions/udfs.cosine_pandas (Arrow-vectorized escape hatch)", "tests/test_multimodal.py (parity with native dot)"),
+    ("§2.10 UDF/UDAF/UDTF trio", "functions/udfs: cosine_pandas (scalar pandas_udf), weighted_mean_pandas (grouped-agg UDAF) + native twin, ChunkDocument (Python UDTF, lateral context-window chunking) + chunk_native codegen twin", "tests/test_multimodal.py (scalar parity); tests/test_udaf_udtf.py (UDAF vs native, UDTF vs python + native twins, NULL totality)"),
     ("ext: TF-IDF top terms", "functions/text.tf_idf_top_terms (explode → 2 hash aggs → top-k window)", "tests/test_tfidf.py (DuckDB differential)"),
     ("ext: format coverage", "ORC / JSON-lines / CSV round trips with pushdown", "tests/test_formats.py"),
     ("ext: multimodal resize / frame-sample", "operators/multimodal.resize_images (REAL for PPM; PIL-gated for codecs) + frame_sample (REAL for Y4M video)", "tests/test_multimodal.py"),

@@ -51,3 +51,85 @@ def cosine_udf(a: Column | str, b: Column | str) -> Column:
     bc = F.col(b) if isinstance(b, str) else b
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     return cosine_pandas(to_d(ac), to_d(bc))
+
+
+# ---------------------------------------------------- UDAF: grouped agg
+
+@pandas_udf(T.DoubleType())
+def weighted_mean_pandas(x: pd.Series, w: pd.Series) -> float:
+    """GROUPED_AGG pandas_udf — the UDAF shape of §2.10.
+
+    Weighted mean of ``x`` under weights ``w`` per group; NULL pairs
+    are ignored, an all-NULL (or zero-weight) group yields NULL rather
+    than raising. Exists to demonstrate the Arrow-batched aggregation
+    escape hatch; the same semantic compiles natively as
+    ``sum(x*w)/sum(w)`` (which the parity test asserts) and the native
+    form is what the registry queries use.
+    """
+    mask = x.notna() & w.notna()
+    tw = float(w[mask].sum())
+    if tw == 0.0:
+        return None
+    return float((x[mask] * w[mask]).sum() / tw)
+
+
+def weighted_mean_native(x: Column | str, w: Column | str) -> Column:
+    """The codegen twin of :func:`weighted_mean_pandas` — prefer this."""
+    xc = F.col(x) if isinstance(x, str) else x
+    wc = F.col(w) if isinstance(w, str) else w
+    both = xc.isNotNull() & wc.isNotNull()
+    num = F.sum(F.when(both, xc * wc))
+    den = F.sum(F.when(both, wc))
+    return num / F.nullif(den, F.lit(0.0))
+
+
+# ------------------------------------------------------- UDTF: chunking
+
+class ChunkDocument:
+    """Python UDTF (§2.10's table-function shape): split a document
+    into fixed-size word-window chunks with ordinals — the
+    context-window chunking step of a training pipeline, one input row
+    → N output rows.
+
+    Register with ``spark.udtf.register("chunk_document",
+    chunk_document_udtf())`` and call laterally::
+
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM docs d, LATERAL chunk_document(d.text, 64) c
+
+    Whitespace word splitting (reconstructable: chunks rejoin to the
+    normalized text). Python-side per-row eval is the cost of the UDTF
+    surface — for chunking specifically a native equivalent exists
+    (``sequence`` + ``slice`` over ``split``), and the parity test
+    pins both to the same output.
+    """
+
+    def eval(self, text: str, max_words: int):
+        if text is None or max_words is None or max_words <= 0:
+            return
+        words = text.split()
+        for i in range(0, len(words), max_words):
+            yield i // max_words, " ".join(words[i : i + max_words])
+
+
+def chunk_document_udtf():
+    """The decorated UDTF class (deferred: ``@udtf`` needs an active
+    SparkSession-adjacent environment only at registration time)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(ChunkDocument, returnType="chunk_idx int, chunk string")
+
+
+def chunk_native(text: Column | str, max_words: int) -> Column:
+    """Native twin of :class:`ChunkDocument`: array of chunk strings
+    (``posexplode`` it for ordinals). sequence+slice over the word
+    array — stays in codegen, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    n = F.size(words)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(max_words))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s, max_words), " ")
+    )
