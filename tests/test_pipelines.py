@@ -209,3 +209,33 @@ def test_e4_decontamination_stage(spark):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert ids and not (ids & {0, 1, 2, 3, 4})
     spark.catalog.clearCache()
+
+
+def test_e4_shards_land_as_partitioned_files(spark, tmp_path):
+    """The E4 output writes straight into a (split, shard_id)
+    hive-partitioned layout, and a split+shard read prunes to one
+    directory's rows."""
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+    from vbb_data_pipeline_spark.queries import load_table
+    from vbb_data_pipeline_spark.sources.layout import write_partitioned
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = e4_corpus_prep(
+        docs, min_quality=0.3, shard_budget=5_000, seed=7, hash_mode="oracle"
+    )
+    dest = str(tmp_path / "shards")
+    write_partitioned(out, dest, ["split", "shard_id"])
+
+    back = spark.read.parquet(dest)
+    assert back.count() == out.count()
+    # partition pruning: one (split, shard) directory reads exactly its rows
+    probe = back.filter((F.col("split") == "train") & (F.col("shard_id") == 0))
+    expected = out.filter(
+        (F.col("split") == "train") & (F.col("shard_id") == 0)
+    ).count()
+    assert probe.count() == expected > 0
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    spark.catalog.clearCache()
