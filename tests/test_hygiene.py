@@ -25,6 +25,7 @@ SAMPLES = [
     (3, "just plain text with a year 2024 and nothing else"),
     (4, "spam spam spam spam spam ham"),
     (5, ""),
+    (6, "revenue was 2020 2021 2022, range 2020-2021, call 030-1234-5678"),
 ]
 
 
@@ -53,6 +54,9 @@ def test_redact_pii_matches_duckdb(sample_df):
     assert "<EMAIL>" in got[0] and "<PHONE>" in got[0]
     assert got[1].count("<IP>") == 2
     assert got[3] == SAMPLES[3][1]  # bare years are not phones
+    # space-separated numeric text and year ranges survive; the
+    # three-group dashed number is redacted
+    assert got[6] == "revenue was 2020 2021 2022, range 2020-2021, call <PHONE>"
 
 
 def test_pii_counts(sample_df):

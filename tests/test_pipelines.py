@@ -185,6 +185,12 @@ def test_e4_mixing_packs_copies_deterministically(spark):
     assert boosted, "factor 2.5 must produce multi-copy documents"
     for d, copies in per_doc.items():
         assert sorted(copies) == list(range(1, len(copies) + 1))
+    # mixing is scoped to the train split: val/test rows are never
+    # duplicated (re-weighting is a training-set operation)
+    for r in rows:
+        if r.split != "train":
+            assert r.copy_idx == 1, (r.doc_id, r.split, r.copy_idx)
+    assert {r.split for r in rows} > {"train"}, "need non-train rows too"
     again = out.collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     spark.catalog.clearCache()

@@ -108,16 +108,23 @@ def test_pack_token_shards_matches_greedy_oracle(docs):
         (r.lang, r.doc_id): r.shard_id
         for r in out.select("lang", "doc_id", "shard_id").collect()
     }
-    # independent greedy re-pack in plain python over DuckDB-ordered rows
+    # independent greedy re-pack in plain python over DuckDB-ordered
+    # rows, with the same dense re-label (raw floor ids can skip when
+    # one doc spans >= 2 budgets)
     rows = duckdb.sql(
         f"SELECT lang, doc_id, n_chars FROM {DOCS} ORDER BY lang, doc_id"
     ).fetchall()
     cum: dict[str, int] = {}
-    exp = {}
+    raw = {}
     for lang, doc_id, n in rows:
         before = cum.get(lang, 0)
-        exp[(lang, doc_id)] = before // budget
+        raw[(lang, doc_id)] = before // budget
         cum[lang] = before + n
+    dense: dict[str, dict[int, int]] = {}
+    for lang in cum:
+        ids = sorted({r for (lg, _), r in raw.items() if lg == lang})
+        dense[lang] = {r: i for i, r in enumerate(ids)}
+    exp = {(lang, d): dense[lang][r] for (lang, d), r in raw.items()}
     assert got == exp
     # shard ids are dense from 0 per group
     per_group: dict[str, set] = {}
@@ -130,6 +137,54 @@ def test_pack_token_shards_matches_greedy_oracle(docs):
 def test_pack_rejects_global_pack(docs):
     with pytest.raises(ValueError, match="group_cols"):
         pack_token_shards(docs, [], "doc_id", "n_chars", budget=100)
+
+
+def test_pack_dense_ids_with_oversized_doc(spark):
+    """A document spanning >= 2 budgets must not leave holes in the
+    shard id sequence."""
+    df = spark.createDataFrame(
+        [("g", 1, 250), ("g", 2, 10), ("g", 3, 10)],
+        "grp string, doc_id long, n long",
+    )
+    got = {
+        r.doc_id: r.shard_id
+        for r in pack_token_shards(
+            df, ["grp"], "doc_id", "n", budget=100
+        ).collect()
+    }
+    # raw floor ids would be {1: 0, 2: 2, 3: 2} — shard 1 never exists;
+    # dense re-label closes the gap
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_null_keys_are_deterministic_not_dropped(spark):
+    """NULL keys hash a sentinel: split stays exhaustive and the mix
+    passes NULL-key/NULL-domain rows through instead of dropping them."""
+    df = spark.createDataFrame(
+        [(None, None), ("k1", "wiki"), ("k2", None)],
+        "k string, domain string",
+    )
+    split = deterministic_split(
+        df, "k", {"a": 0.5, "b": 0.5}, seed=1, hash_mode="oracle"
+    )
+    assert split.filter("split IS NULL").count() == 0
+    assert split.count() == 3
+    two = deterministic_split(
+        df, "k", {"a": 0.5, "b": 0.5}, seed=1, hash_mode="oracle"
+    )
+    from collections import Counter
+
+    assert Counter(map(tuple, split.collect())) == Counter(
+        map(tuple, two.collect())
+    )
+
+    mixed = weighted_domain_mix(
+        df, "domain", {"wiki": 2.0}, "k", hash_mode="oracle"
+    )
+    rows = mixed.collect()
+    # both non-wiki rows (incl. the all-NULL row) pass through once
+    assert len([r for r in rows if r.domain is None]) == 2
+    assert len([r for r in rows if r.domain == "wiki"]) == 2
 
 
 def test_weighted_domain_mix_matches_duckdb(docs):

@@ -90,6 +90,25 @@ def test_udtf_chunks_match_python_and_native(spark, docs):
     assert native == exp
 
 
+def test_chunk_unicode_whitespace_parity(spark):
+    """NBSP is a word character on BOTH sides (ASCII whitespace only),
+    and max_words <= 0 raises in both forms."""
+    df = spark.createDataFrame(
+        [(0, "a b c\td")], "doc_id long, text string"
+    )
+    native = df.select(
+        F.posexplode(chunk_native("text", 1)).alias("chunk_idx", "chunk")
+    ).collect()
+    python = list(ChunkDocument().eval("a b c\td", 1))
+    assert [(r.chunk_idx, r.chunk) for r in native] == python
+    assert python == [(0, "a b"), (1, "c"), (2, "d")]
+
+    with pytest.raises(ValueError, match="max_words"):
+        chunk_native("text", 0)
+    with pytest.raises(ValueError, match="max_words"):
+        list(ChunkDocument().eval("x", 0))
+
+
 def test_udtf_edge_rows(spark):
     spark.udtf.register("chunk_document_edge", chunk_document_udtf())
     spark.createDataFrame(

@@ -225,13 +225,23 @@ def tf_idf_top_terms(
 # ------------------------------------------------------- corpus hygiene
 
 #: PII patterns (portable RE2/Java subset, no lookarounds). Deliberately
-#: conservative public shapes: emails, international-ish phone numbers,
-#: IPv4 addresses. The goal is redaction before training, not perfect
-#: PII detection — precision over recall, and deterministic.
+#: conservative public shapes: emails, IPv4 addresses, phone numbers.
+#: The goal is redaction before training, not perfect PII detection —
+#: precision over recall, and deterministic. The PHONE alternation
+#: requires a strong phone signal (international ``+`` prefix, an area
+#: code in parentheses, or ≥3 dash/dot-separated groups) precisely so
+#: that space-separated numeric text ("revenue 2020 2021 2022"), year
+#: ranges ("2020-2021"), and digit runs spanning lines are NOT eaten;
+#: a single literal space is the only whitespace allowed inside a
+#: match (never ``\s`` — that would glue lines together).
 PII_PATTERNS: dict[str, str] = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
     "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "PHONE": (
+        r"\+[0-9][0-9 ()\-]{5,16}[0-9]"
+        r"|\([0-9]{2,4}\) ?[0-9]{2,4}[\-. ][0-9]{2,8}"
+        r"|[0-9]{2,4}[\-.][0-9]{2,4}[\-.][0-9]{2,4}"
+    ),
 }
 
 
@@ -241,7 +251,8 @@ def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
     A chain of ``regexp_replace`` passes — scalar, codegen-native, no
     Python. Order matters and is fixed: emails first (their local part
     would otherwise be chewed by the phone pattern's digit runs), then
-    phones, then IPs. DuckDB twin: the same ``regexp_replace(...,
+    IPs (dotted quads would otherwise match the dash/dot phone
+    branch), then phones. DuckDB twin: the same ``regexp_replace(...,
     'g')`` chain in the same order.
     """
     c = F.col(col) if isinstance(col, str) else col
@@ -283,7 +294,9 @@ def dup_line_fraction(col: Column | str) -> Column:
 def top_bigram_fraction(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document fraction of word bigrams taken by the single most
     frequent bigram (the "top n-gram" repetition filter from the
-    Gopher recipe). Documents with < 1 bigram get 0.0.
+    Gopher recipe). Documents with no bigram (< 2 tokens) contribute
+    no output row — left-join the result back and ``coalesce(...,
+    0.0)`` when totality over the corpus is needed.
 
     This one genuinely aggregates (a per-doc mode), so it is a
     DataFrame→DataFrame operator: explode bigrams → (doc, gram)

@@ -97,17 +97,24 @@ class ChunkDocument:
         SELECT d.doc_id, c.chunk_idx, c.chunk
         FROM docs d, LATERAL chunk_document(d.text, 64) c
 
-    Whitespace word splitting (reconstructable: chunks rejoin to the
-    normalized text). Python-side per-row eval is the cost of the UDTF
-    surface — for chunking specifically a native equivalent exists
-    (``sequence`` + ``slice`` over ``split``), and the parity test
-    pins both to the same output.
+    ASCII-whitespace word splitting — deliberately ``re.ASCII``, not
+    ``str.split()``, so the boundary set matches Java's ``\\s`` class
+    and the native twin chunks identically on Unicode text (NBSP and
+    friends are word characters in both). Python-side per-row eval is
+    the cost of the UDTF surface — for chunking specifically a native
+    equivalent exists (``sequence`` + ``slice`` over ``split``), and
+    the parity test pins both to the same output. ``max_words <= 0``
+    raises in both forms.
     """
 
     def eval(self, text: str, max_words: int):
-        if text is None or max_words is None or max_words <= 0:
+        if max_words is not None and max_words <= 0:
+            raise ValueError("max_words must be positive")
+        if text is None or max_words is None:
             return
-        words = text.split()
+        import re
+
+        words = [w for w in re.split(r"\s+", text, flags=re.ASCII) if w]
         for i in range(0, len(words), max_words):
             yield i // max_words, " ".join(words[i : i + max_words])
 
@@ -124,6 +131,8 @@ def chunk_native(text: Column | str, max_words: int) -> Column:
     """Native twin of :class:`ChunkDocument`: array of chunk strings
     (``posexplode`` it for ordinals). sequence+slice over the word
     array — stays in codegen, no Python."""
+    if max_words <= 0:
+        raise ValueError("max_words must be positive")
     c = F.col(text) if isinstance(text, str) else text
     words = F.filter(F.split(c, r"\s+"), lambda x: x != "")
     n = F.size(words)

@@ -295,7 +295,10 @@ def connected_components(
             .localCheckpoint()
         )
         s = labels.agg(F.sum("label")).collect()[0][0]
-        if prev_sum is not None and s == prev_sum:
+        # s is None iff the label frame is empty (no input pairs) —
+        # nothing can ever change, so stop instead of burning the
+        # remaining rounds on empty joins
+        if s is None or (prev_sum is not None and s == prev_sum):
             break
         prev_sum = s
     edges.unpersist()

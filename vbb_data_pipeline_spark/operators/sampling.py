@@ -15,6 +15,9 @@ Design rules shared by every operator here:
   across reruns, engines, partitionings and cluster sizes, and adding
   new documents never reshuffles old ones (the property that keeps a
   val set stable as the corpus grows).
+- **Total over NULLs.** A NULL key hashes via a fixed sentinel, so
+  NULL-keyed rows get a deterministic bucket instead of silently
+  vanishing (a NULL comparison would fail every CASE/filter branch).
 - **Codegen-native.** Every decision is a Column expression (hash,
   modulo, comparisons, one window for packing) — no Python in the row
   path, no driver-side collection.
@@ -37,21 +40,40 @@ from ..functions.hashing import default_hash_mode, hash_long
 #: integer math in both engines).
 N_BUCKETS = 10_000
 
+#: Stand-in hashed for NULL keys (a value no ``cast("string")`` of real
+#: data produces — contains a NUL byte).
+_NULL_KEY = "\x00<null-key>"
+
+
+def _case_chain(
+    branches: list[tuple[Column, Column]], default: Column
+) -> Column:
+    """``CASE WHEN c1 THEN v1 WHEN c2 THEN v2 … ELSE default END`` from
+    an ordered branch list — the shared builder behind every tiny
+    human-written mapping here (split thresholds, stratum fractions,
+    domain factors). Keeps NULL/ordering semantics in one place."""
+    expr = None
+    for cond, value in branches:
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+    return default if expr is None else expr.otherwise(default)
+
 
 def sample_bucket(
     key: Column | str, seed: str | int = 0, hash_mode: str | None = None
 ) -> Column:
     """Deterministic bucket in ``[0, N_BUCKETS)`` for a key column.
 
-    The shared primitive: ``hash(seed | key) % 10000``. DuckDB twin
-    (oracle mode)::
+    The shared primitive: ``hash(seed | key) % 10000``. NULL keys hash
+    a fixed sentinel, so the bucket itself is never NULL. DuckDB twin
+    (oracle mode, non-NULL keys)::
 
         CAST('0x' || substr(md5('<seed>|' || CAST(key AS VARCHAR)), 1, 15)
              AS BIGINT) % 10000
     """
     mode = hash_mode or default_hash_mode()
     c = F.col(key) if isinstance(key, str) else key
-    salted = F.concat(F.lit(f"{seed}|"), c.cast("string"))
+    key_str = F.coalesce(c.cast("string"), F.lit(_NULL_KEY))
+    salted = F.concat(F.lit(f"{seed}|"), key_str)
     return hash_long(salted, mode) % F.lit(N_BUCKETS)
 
 
@@ -78,16 +100,13 @@ def deterministic_split(
         raise ValueError("weights must sum to a positive value")
     bucket = sample_bucket(key_col, seed=seed, hash_mode=hash_mode)
     names = list(weights)
-    expr = None
+    branches = []
     acc = 0.0
     for name in names[:-1]:
         acc += weights[name] / total
         threshold = int(round(acc * N_BUCKETS))
-        cond = bucket < F.lit(threshold)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    last = F.lit(names[-1])
-    expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(split_col, expr)
+        branches.append((bucket < F.lit(threshold), F.lit(name)))
+    return df.withColumn(split_col, _case_chain(branches, F.lit(names[-1])))
 
 
 def stratified_sample(
@@ -103,24 +122,26 @@ def stratified_sample(
 
     The engine-portable ``sampleBy``: row survives iff
     ``bucket(seed, key) < fraction[stratum] * 10000``. Strata not in
-    ``fractions`` get ``default_fraction``. The fraction map compiles
-    to a ``CASE`` chain (strata maps are human-written and tiny — no
-    join, no broadcast, stays inside the scan's codegen stage), so
-    this is a pure filter: zero shuffles, prunes at the scan when the
-    stratum is a partition column.
+    ``fractions`` (including NULL strata) get ``default_fraction``.
+    The fraction map compiles to a ``CASE`` chain (strata maps are
+    human-written and tiny — no join, no broadcast, stays inside the
+    scan's codegen stage), so this is a pure filter: zero shuffles,
+    prunes at the scan when the stratum is a partition column.
     """
-    bucket = sample_bucket(key_col, seed=seed, hash_mode=hash_mode)
-    threshold = None
     for stratum, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {stratum!r} must be in [0,1]")
-        t = F.lit(int(round(frac * N_BUCKETS)))
-        cond = F.col(stratum_col) == F.lit(stratum)
-        threshold = (
-            F.when(cond, t) if threshold is None else threshold.when(cond, t)
-        )
-    default_t = F.lit(int(round(default_fraction * N_BUCKETS)))
-    threshold = default_t if threshold is None else threshold.otherwise(default_t)
+    bucket = sample_bucket(key_col, seed=seed, hash_mode=hash_mode)
+    threshold = _case_chain(
+        [
+            (
+                F.col(stratum_col) == F.lit(stratum),
+                F.lit(int(round(frac * N_BUCKETS))),
+            )
+            for stratum, frac in fractions.items()
+        ],
+        F.lit(int(round(default_fraction * N_BUCKETS))),
+    )
     return df.filter(bucket < threshold)
 
 
@@ -135,17 +156,20 @@ def pack_token_shards(
     """Greedy sequential packing of documents into token-budget shards.
 
     Within each group (ordered by ``order_col``), a running token sum
-    assigns ``shard_id = floor(tokens_before_this_doc / budget)`` —
-    the streaming-writer semantics: a shard closes once it reaches the
-    budget, so every shard except a group's last holds ≥ ``budget``
-    tokens and at most ``budget + max_single_doc - 1`` (a document is
-    never split; one larger than the budget gets a shard to itself,
-    spilling its overflow into the boundary shard it opens in).
+    closes a shard once it reaches the budget, so every shard except a
+    group's last holds ≥ ``budget`` tokens and at most ``budget +
+    max_single_doc - 1`` (a document is never split; one larger than
+    the budget fills its shard alone past the budget). Shard ids are
+    dense from 0 per group — a raw ``floor(tokens_before / budget)``
+    would skip ids whenever one document spans ≥ 2 budgets, so the raw
+    id is re-labeled through ``dense_rank``.
 
-    One shuffle (the window's ``partitionBy``). ``group_cols`` is
-    required and is the parallelism unit at 100 TB — pack per
-    (lang, source) or per hash-prefix salt; a single global pack would
-    serialize the corpus through one task, so this API refuses it.
+    One shuffle: both windows share the same ``partitionBy``, so the
+    dense re-label reuses the pack exchange (two sorts, one exchange —
+    visible in the plan test). ``group_cols`` is required and is the
+    parallelism unit at 100 TB — pack per (lang, source) or per
+    hash-prefix salt; a single global pack would serialize the corpus
+    through one task, so this API refuses it.
     """
     if not group_cols:
         raise ValueError(
@@ -164,8 +188,16 @@ def pack_token_shards(
     )
     cum = F.sum(F.col(token_col)).over(w)
     before = cum - F.col(token_col)
-    return df.withColumn(
-        shard_col, F.floor(before / F.lit(budget)).cast("long")
+    raw = F.floor(before / F.lit(budget)).cast("long")
+    return (
+        df.withColumn("_shard_raw", raw)
+        .withColumn(
+            shard_col,
+            (F.dense_rank().over(
+                Window.partitionBy(*group_cols).orderBy("_shard_raw")
+            ) - 1).cast("long"),
+        )
+        .drop("_shard_raw")
     )
 
 
@@ -187,7 +219,8 @@ def weighted_domain_mix(
     ``(seed, epoch, key)``, so different epochs up-sample *different*
     residual rows (the standard trick to avoid over-fitting the same
     boost set every epoch) while any one epoch is fully reproducible.
-    Domains absent from ``factors`` pass through at 1.0.
+    Domains absent from ``factors`` — including NULL domains — pass
+    through at 1.0.
 
     Expansion is ``explode(sequence(1, n_copies))`` — generated
     map-side inside the scan stage, zero shuffles, no Python. Output
@@ -197,15 +230,13 @@ def weighted_domain_mix(
     for domain, r in factors.items():
         if r < 0:
             raise ValueError(f"factor for {domain!r} must be >= 0")
-    factor = None
-    for domain, r in factors.items():
-        cond = F.col(domain_col) == F.lit(domain)
-        factor = (
-            F.when(cond, F.lit(float(r)))
-            if factor is None
-            else factor.when(cond, F.lit(float(r)))
-        )
-    factor = F.lit(1.0) if factor is None else factor.otherwise(F.lit(1.0))
+    factor = _case_chain(
+        [
+            (F.col(domain_col) == F.lit(domain), F.lit(float(r)))
+            for domain, r in factors.items()
+        ],
+        F.lit(1.0),
+    )
 
     whole = F.floor(factor).cast("long")
     frac_threshold = F.round((factor - F.floor(factor)) * N_BUCKETS).cast("long")

@@ -139,11 +139,13 @@ def e4_corpus_prep(
     text_col: str = "text",
     min_quality: float = 0.3,
     eval_df: DataFrame | None = None,
+    eval_text_col: str = "text",
     decontam_min_matches: int = 5,
     jaccard_threshold: float = 0.8,
     split_weights: dict[str, float] | None = None,
     shard_budget: int = 50_000,
     mix_factors: dict[str, float] | None = None,
+    mix_split: str = "train",
     epoch: int = 0,
     seed: str | int = 0,
     hash_mode: str | None = None,
@@ -168,7 +170,11 @@ def e4_corpus_prep(
        no O(n²) stage anywhere (see operators/dedup.py).
     5. **Split** — hash-deterministic train/val/test assignment, stable
        under corpus growth.
-    6. **Mix** (optional) — epoch-aware weighted domain up/down-sampling.
+    6. **Mix** (optional) — epoch-aware weighted domain up/down-sampling
+       of the ``mix_split`` split ONLY (train by default): re-weighting
+       is a training-set operation — val/test must stay an unweighted
+       sample of the corpus, so other splits pass through with
+       ``copy_idx = 1``.
     7. **Pack** — greedy token-budget sharding per (split, lang): the
        physical training-shard layout, one window shuffle.
 
@@ -213,6 +219,7 @@ def e4_corpus_prep(
             eval_df,
             doc_id_col=id_col,
             doc_text_col=text_col,
+            eval_text_col=eval_text_col,
             min_matches=decontam_min_matches,
             hash_mode=mode,
         )
@@ -223,7 +230,13 @@ def e4_corpus_prep(
     near = jaccard_pairs(exact, cands, text_col, id_col).filter(
         F.col("jaccard") >= F.lit(jaccard_threshold)
     )
+    # connected_components materializes its label frames eagerly
+    # (localCheckpoint per round), so by the time it returns, the
+    # candidate frame jaccard_pairs persisted has served its purpose —
+    # release it here instead of passing the cache-lifetime contract
+    # (operators/dedup.py jaccard_pairs docstring) on to E4's callers.
     clusters = connected_components(near)
+    cands.unpersist()
     losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
@@ -233,10 +246,23 @@ def e4_corpus_prep(
         canonical, id_col, weights, seed=seed, hash_mode=mode
     )
     if mix_factors:
-        split = weighted_domain_mix(
-            split, "source", mix_factors, id_col,
-            epoch=epoch, seed=seed, hash_mode=mode,
+        if mix_split not in weights:
+            raise ValueError(
+                f"mix_split {mix_split!r} is not a split name in {list(weights)}"
+            )
+        mixed = weighted_domain_mix(
+            split.filter(F.col("split") == F.lit(mix_split)),
+            "source",
+            mix_factors,
+            id_col,
+            epoch=epoch,
+            seed=seed,
+            hash_mode=mode,
         )
+        rest = split.filter(F.col("split") != F.lit(mix_split)).withColumn(
+            "copy_idx", F.lit(1).cast("long")
+        )
+        split = mixed.unionByName(rest)
     pack_order = [id_col, "copy_idx"] if mix_factors else [id_col]
     packed = pack_token_shards(
         split, ["split", "lang"], pack_order, "n_tokens", budget=shard_budget
