@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from vbb_data_pipeline_spark.operators.sampling import (
     N_BUCKETS,
@@ -259,3 +260,58 @@ def test_sampling_plans_are_codegen_native(docs, spark):
         docs, ["lang"], "doc_id", "n_chars", budget=1000
     )._jdf.queryExecution().executedPlan().toString()
     assert pack_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_pack_equals_single_pass(spark, docs):
+    """pack(A) then incremental(B, manifest(A)) ≡ pack(A then B)."""
+    from vbb_data_pipeline_spark.operators.sampling import (
+        pack_token_shards_incremental,
+        shard_manifest,
+    )
+
+    budget = 4_000
+    a = docs.filter("doc_id % 3 != 0").withColumn("batch", F.lit(0))
+    b = docs.filter("doc_id % 3 = 0").withColumn("batch", F.lit(1))
+
+    packed_a = pack_token_shards(a, ["lang"], "doc_id", "n_chars", budget)
+    manifest = shard_manifest(packed_a, ["lang"], "n_chars")
+    packed_b = pack_token_shards_incremental(
+        b, manifest, ["lang"], "doc_id", "n_chars", budget
+    )
+    got = {
+        r.doc_id: r.shard_id
+        for r in packed_a.unionByName(packed_b).collect()
+    }
+
+    single = pack_token_shards(
+        a.unionByName(b), ["lang"], ["batch", "doc_id"], "n_chars", budget
+    )
+    exp = {r.doc_id: r.shard_id for r in single.collect()}
+    assert got == exp
+
+
+def test_incremental_pack_oversized_tail_and_new_group(spark):
+    """A full/oversized tail shard is closed (new docs open the next
+    id); groups absent from the manifest start at shard 0."""
+    from vbb_data_pipeline_spark.operators.sampling import (
+        pack_token_shards_incremental,
+        shard_manifest,
+    )
+
+    old = spark.createDataFrame(
+        [("g", 1, 250)], "grp string, doc_id long, n long"
+    )
+    packed_old = pack_token_shards(old, ["grp"], "doc_id", "n", budget=100)
+    manifest = shard_manifest(packed_old, ["grp"], "n")
+    new = spark.createDataFrame(
+        [("g", 2, 30), ("h", 3, 30)], "grp string, doc_id long, n long"
+    )
+    got = {
+        (r.grp, r.doc_id): r.shard_id
+        for r in pack_token_shards_incremental(
+            new, manifest, ["grp"], "doc_id", "n", budget=100
+        ).collect()
+    }
+    # g's shard 0 holds 250 >= budget -> closed -> doc 2 opens shard 1;
+    # h is new -> shard 0
+    assert got == {("g", 2): 1, ("h", 3): 0}

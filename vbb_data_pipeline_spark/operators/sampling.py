@@ -260,3 +260,112 @@ def weighted_domain_mix(
         .drop("_n_copies")
     )
     return out
+
+
+def shard_manifest(
+    packed: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Per-shard loader manifest: ``(group_cols…, shard_id, n_docs,
+    n_tokens)``. One map-side-combinable aggregation over the packed
+    output; training loaders enumerate it instead of listing files,
+    and :func:`pack_token_shards_incremental` resumes from it.
+    """
+    return packed.groupBy(*group_cols, shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_token_shards_incremental(
+    new_docs: DataFrame,
+    manifest: DataFrame,
+    group_cols: list[str],
+    order_col: str | list[str],
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Pack a NEW batch of documents without repacking existing shards.
+
+    Corpus growth is append-only at 100 TB: repacking petabytes to add
+    a day's crawl is a non-starter, and rewriting an existing shard
+    would also reshuffle what a resumable training run has already
+    consumed. This continues the greedy pack exactly where
+    :func:`shard_manifest` left off: per group, new documents first
+    top up the last (possibly under-budget) shard, then open new ones.
+    Packing increments A then B equals packing A∪B in one pass with A
+    ordered before B (asserted in tests).
+
+    The manifest side is catalog-scale (one row per shard) — it
+    aggregates to one row per group and broadcasts into the new
+    batch's pack window. Groups unseen in the manifest start at shard
+    0 with an empty tail. Same single data exchange as
+    :func:`pack_token_shards`.
+    """
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty: a global pack serializes the "
+            "corpus through one window partition; salt first"
+        )
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+
+    # Resume state per group. Greedy boundaries sit at ABSOLUTE
+    # multiples of the budget (floor(tokens_before / budget)), so the
+    # continuation offset is T mod budget where T = total tokens packed
+    # — NOT the last shard's token count (an overflowing shard eats
+    # into the next block's capacity). The new batch continues in the
+    # last shard iff the block containing position T already holds a
+    # document, i.e. floor(T/budget) == floor((T - tail_tokens)/budget)
+    # (every doc of the last shard starts in that same block).
+    t = F.col("_total")
+    tail = F.col("_tail_tokens")
+    cont = F.floor(t / F.lit(budget)) == F.floor((t - tail) / F.lit(budget))
+    last = (
+        manifest.groupBy(*group_cols)
+        .agg(
+            F.max(F.col(shard_col)).alias("_last_shard"),
+            F.sum(F.col("n_tokens")).cast("long").alias("_total"),
+            F.max_by(F.col("n_tokens"), F.col(shard_col)).alias("_tail_tokens"),
+        )
+        .select(
+            *group_cols,
+            F.when(cont, F.col("_last_shard"))
+            .otherwise(F.col("_last_shard") + 1)
+            .alias("_base_shard"),
+            (t % F.lit(budget)).cast("long").alias("_tail_fill"),
+        )
+    )
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = new_docs.join(F.broadcast(last), group_cols, "left").select(
+        new_docs["*"],
+        F.coalesce(F.col("_base_shard"), F.lit(0).cast("long")).alias(
+            "_base_shard"
+        ),
+        F.coalesce(F.col("_tail_fill"), F.lit(0).cast("long")).alias(
+            "_tail_fill"
+        ),
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    before = cum - F.col(token_col) + F.col("_tail_fill")
+    raw = F.floor(before / F.lit(budget)).cast("long")
+    # dense-close gaps from oversized docs. The group's first row in
+    # pack order always has raw 0 (_tail_fill < budget by
+    # construction), so dense ids anchor exactly onto _base_shard.
+    dense = F.dense_rank().over(
+        Window.partitionBy(*group_cols).orderBy("_shard_raw")
+    ) - 1
+    return (
+        joined.withColumn("_shard_raw", raw)
+        .withColumn(shard_col, (F.col("_base_shard") + dense).cast("long"))
+        .drop("_shard_raw", "_base_shard", "_tail_fill")
+    )
