@@ -315,3 +315,125 @@ def test_incremental_pack_oversized_tail_and_new_group(spark):
     # g's shard 0 holds 250 >= budget -> closed -> doc 2 opens shard 1;
     # h is new -> shard 0
     assert got == {("g", 2): 1, ("h", 3): 0}
+
+
+def test_stratified_sample_n_exact_counts_and_nesting(docs):
+    from vbb_data_pipeline_spark.operators.sampling import stratified_sample_n
+
+    targets = {"en": 30, "de": 10}
+    out = stratified_sample_n(
+        docs, "lang", targets, "doc_id", seed=5, hash_mode="oracle"
+    )
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == targets  # exact, and absent strata dropped
+
+    # DuckDB twin: rank by (bucket, doc_id) within stratum
+    exp = {
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id FROM (
+                SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY {bucket_sql('5')} ASC, doc_id ASC
+                ) AS rk
+                FROM {DOCS}
+            )
+            WHERE rk <= CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 10 ELSE 0 END
+            """
+        ).fetchall()
+    }
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == exp
+
+    # nested: shrinking the target keeps a subset
+    smaller = stratified_sample_n(
+        docs, "lang", {"en": 10, "de": 4}, "doc_id", seed=5, hash_mode="oracle"
+    )
+    sub = {r.doc_id for r in smaller.select("doc_id").collect()}
+    assert sub < got
+
+
+def _py_greedy_pack(rows, budget):
+    """Reference greedy packer: rows = [(grp, key, tokens)] sorted by
+    (grp, key); returns {(grp, key): dense shard id}."""
+    cum: dict[str, int] = {}
+    raw = {}
+    for grp, key, n in sorted(rows):
+        before = cum.get(grp, 0)
+        raw[(grp, key)] = before // budget
+        cum[grp] = before + n
+    out = {}
+    for grp in cum:
+        ids = sorted({r for (g, _), r in raw.items() if g == grp})
+        dense = {r: i for i, r in enumerate(ids)}
+        for (g, k), r in raw.items():
+            if g == grp:
+                out[(g, k)] = dense[r]
+    return out
+
+
+def test_incremental_pack_property(spark):
+    """Randomized: pack(A) + incremental(B) == python greedy over A∪B
+    (A ordered before B), across token shapes incl. oversized docs."""
+    import random
+
+    from vbb_data_pipeline_spark.operators.sampling import (
+        pack_token_shards_incremental,
+        shard_manifest,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        budget = rng.choice([50, 100, 350])
+        rows = [
+            (
+                rng.choice(["g", "h"]),
+                i,
+                rng.choice([1, 10, 40, 99, 100, 101, 250, 900]),
+            )
+            for i in range(rng.randint(1, 40))
+        ]
+        cut = rng.randint(0, len(rows))
+        a_rows, b_rows = rows[:cut], rows[cut:]
+        schema = "grp string, key long, n long"
+        expected_rows = [
+            (g, k if (g, k, n) in a_rows else k + 10_000, n)
+            for (g, k, n) in a_rows
+        ] + [(g, k + 10_000, n) for (g, k, n) in b_rows]
+        exp = _py_greedy_pack(expected_rows, budget)
+
+        got = {}
+        manifest = None
+        if a_rows:
+            a_df = spark.createDataFrame(
+                [(g, k, n) for g, k, n in a_rows], schema
+            )
+            packed_a = pack_token_shards(a_df, ["grp"], "key", "n", budget)
+            for r in packed_a.collect():
+                got[(r.grp, r.key)] = r.shard_id
+            manifest = shard_manifest(packed_a, ["grp"], "n")
+        if b_rows:
+            b_df = spark.createDataFrame(
+                [(g, k + 10_000, n) for g, k, n in b_rows], schema
+            )
+            if manifest is None:
+                packed_b = pack_token_shards(b_df, ["grp"], "key", "n", budget)
+            else:
+                packed_b = pack_token_shards_incremental(
+                    b_df, manifest, ["grp"], "key", "n", budget
+                )
+            for r in packed_b.collect():
+                got[(r.grp, r.key)] = r.shard_id
+
+        renamed = {
+            (g, k if k < 10_000 else k): s for (g, k), s in got.items()
+        }
+        exp_cmp = {
+            (g, k if k < 10_000 else k): s for (g, k), s in exp.items()
+        }
+        # A keys keep their ids; B keys were offset identically in both
+        assert renamed == exp_cmp, f"trial={trial} budget={budget}"

@@ -31,7 +31,7 @@ NON_QUERY_ROWS = [
     ("§2.9 ext: stream-stream interval join", "streaming/joins.interval_join (watermark-bounded state; batch ≡ stream)", "tests/test_streaming.py (stream vs batch twin)"),
     ("S8 streaming twin: idempotent sink", "streaming/sinks.write_stream_idempotent (foreachBatch conflict-ignoring append)", "tests/test_layout_sinks.py (full replay inserts 0 rows)"),
     ("§4 storage layout", "sources/layout.write_bucketed / write_partitioned (co-located joins, partition pruning)", "tests/test_layout_sinks.py + tests/test_bucketing.py (0-Exchange join)"),
-    ("ext: corpus sampling & sharding", "operators/sampling.deterministic_split / stratified_sample / pack_token_shards / weighted_domain_mix (hash-deterministic membership — stable under corpus growth; NULL-total; codegen-native; packer = 1 shuffle, rest = 0)", "tests/test_sampling.py (full-assignment DuckDB differentials + plan hygiene)"),
+    ("ext: corpus sampling & sharding", "operators/sampling.deterministic_split / stratified_sample / pack_token_shards / weighted_domain_mix (hash-deterministic membership — stable under corpus growth; NULL-total; codegen-native; packer = 1 shuffle, rest = 0) + stratified_sample_n (exact per-stratum counts, nested under target shrink — the eval-set builder)", "tests/test_sampling.py (full-assignment DuckDB differentials + plan hygiene + randomized pack property)"),
     ("ext: append-only corpus growth", "operators/sampling.shard_manifest + pack_token_shards_incremental (resume greedy packing from a catalog-scale manifest broadcast — new batches never repack or rewrite existing shards)", "tests/test_sampling.py (increment-vs-single-pass equivalence on the corpus; oversized-tail + new-group edges)"),
     ("S5 at object-store scale", "sources/catalog.scan_landing_distributed (binaryFile listing, path-only)", "tests/test_catalog.py (parity with driver scan)"),
     ("§2.10 UDF/UDAF/UDTF trio", "functions/udfs: cosine_pandas (scalar pandas_udf), weighted_mean_pandas (grouped-agg UDAF) + native twin, ChunkDocument (Python UDTF, lateral context-window chunking) + chunk_native codegen twin", "tests/test_multimodal.py (scalar parity); tests/test_udaf_udtf.py (UDAF vs native, UDTF vs python + native twins, NULL totality)"),

@@ -369,3 +369,47 @@ def pack_token_shards_incremental(
         .withColumn(shard_col, (F.col("_base_shard") + dense).cast("long"))
         .drop("_shard_raw", "_base_shard", "_tail_fill")
     )
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: dict[str, int],
+    key_col: str,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """Keep an EXACT number of rows per stratum (deterministic).
+
+    The eval-set builder: "10k docs per language" needs exact counts,
+    which fractional sampling can't promise. Rows rank by their hash
+    bucket (ties broken by the key itself, so the order is total) and
+    the first ``n`` per stratum survive. Within a stratum this is the
+    same membership a smaller ``n`` would choose — shrinking the
+    target keeps a subset, growing it only adds (nested samples).
+
+    Strata absent from ``n_per_stratum`` are dropped. One shuffle (the
+    per-stratum rank window, keyed by the stratum — fine for
+    human-enumerated strata; for thousands of strata pre-filter with
+    :func:`stratified_sample` to cut the ranked volume first).
+    """
+    for stratum, n in n_per_stratum.items():
+        if n < 0:
+            raise ValueError(f"count for {stratum!r} must be >= 0")
+    bucket = sample_bucket(key_col, seed=seed, hash_mode=hash_mode)
+    target = _case_chain(
+        [
+            (F.col(stratum_col) == F.lit(stratum), F.lit(int(n)))
+            for stratum, n in n_per_stratum.items()
+        ],
+        F.lit(0),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_bucket").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= target)
+        .drop("_bucket", "_rank")
+    )
