@@ -261,6 +261,29 @@ def test_sampling_plans_are_codegen_native(docs, spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert pack_plan.count("Exchange hashpartitioning") == 1
 
+    from vbb_data_pipeline_spark.operators.sampling import (
+        pack_token_shards_incremental,
+        shard_manifest,
+        stratified_sample_n,
+    )
+
+    n_plan = stratified_sample_n(
+        docs, "lang", {"en": 5}, "doc_id", hash_mode="fast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in n_plan
+    assert n_plan.count("Exchange hashpartitioning") == 1
+
+    packed = pack_token_shards(docs, ["lang"], "doc_id", "n_chars", 1000)
+    manifest = shard_manifest(packed, ["lang"], "n_chars")
+    inc_plan = pack_token_shards_incremental(
+        docs, manifest, ["lang"], "doc_id", "n_chars", 1000
+    )._jdf.queryExecution().executedPlan().toString()
+    # manifest side broadcasts; the new batch itself shuffles once for
+    # its own pack window (manifest aggregation shuffles happen on the
+    # tiny manifest, keyed the same way)
+    assert "BroadcastExchange" in inc_plan or "BroadcastHashJoin" in inc_plan
+    assert "BatchEvalPython" not in inc_plan
+
 
 def test_incremental_pack_equals_single_pass(spark, docs):
     """pack(A) then incremental(B, manifest(A)) ≡ pack(A then B)."""
