@@ -245,3 +245,45 @@ def test_e4_shards_land_as_partitioned_files(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     spark.catalog.clearCache()
+
+
+def test_e4_semantic_dedup_via_embeddings(spark):
+    """With embedding_col set, paraphrase pairs (identical vectors,
+    disjoint texts) collapse to their canonical doc."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "wiki", [1.0, 0.0, 0.0, 0.0]),
+        (2, "epsilon zeta eta theta", "en", "wiki", [1.0, 0.0, 0.0, 0.0]),
+        (3, "iota kappa lambda mu omicron", "en", "web", [0.0, 1.0, 0.0, 0.0]),
+        (4, "nu xi pi rho sigma tau", "de", "web", [0.0, 0.0, 1.0, 0.0]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "embedding array<double>",
+    )
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.99,  # texts are shingle-disjoint anyway
+        embedding_col="embedding",
+        embedding_dim=4,
+        cosine_threshold=0.9,
+        shard_budget=10**6,
+        hash_mode="oracle",
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # 1 and 2 are semantic duplicates -> canonical (min id) 1 survives
+    assert kept == {1, 3, 4}
+
+    # without the embedding signal nothing is a duplicate
+    out2 = e4_corpus_prep(
+        docs.drop("embedding"),
+        min_quality=0.0,
+        jaccard_threshold=0.99,
+        shard_budget=10**6,
+        hash_mode="oracle",
+    )
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == {1, 2, 3, 4}
+    spark.catalog.clearCache()

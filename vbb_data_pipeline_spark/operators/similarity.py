@@ -449,3 +449,48 @@ def lsh_topk(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate candidate pairs: LSH-blocked cosine.
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b`` for every
+    same-bucket pair above ``threshold``. The reusable operator behind
+    the ``sim_embedding_neardup`` registry query, exposed so pipelines
+    (``pipelines.e4_corpus_prep``) can union semantic pairs with text
+    MinHash pairs before cluster assembly — paraphrases and
+    translations duplicate meaning without sharing shingles, and only
+    the embedding signal catches them. Bucket equi-join, never a cross
+    join; norms precomputed per vector before the pair stage.
+    """
+    b = hyperplane_lsh_buckets(
+        embeddings, num_planes=num_planes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    bd = b.select(
+        "bucket", F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v"), dim))
+    a = bd.alias("a")
+    c = bd.alias("c")
+    cos = dot(F.col("a._v"), F.col("c._v"), dim) / F.greatest(
+        F.col("a._n") * F.col("c._n"), F.lit(1e-12)
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .filter(cos > F.lit(threshold))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            F.round(cos, 5).alias("cosine"),
+        )
+    )

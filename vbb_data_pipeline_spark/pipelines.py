@@ -142,6 +142,9 @@ def e4_corpus_prep(
     eval_text_col: str = "text",
     decontam_min_matches: int = 5,
     jaccard_threshold: float = 0.8,
+    embedding_col: str | None = None,
+    embedding_dim: int = 64,
+    cosine_threshold: float = 0.9,
     split_weights: dict[str, float] | None = None,
     shard_budget: int = 50_000,
     mix_factors: dict[str, float] | None = None,
@@ -167,7 +170,12 @@ def e4_corpus_prep(
     4. **Near-dup removal** — MinHash → LSH banding → exact-Jaccard
        re-rank → connected components; every non-canonical cluster
        member (cluster_id ≠ doc id) is dropped. Linear-cost at 100 TB:
-       no O(n²) stage anywhere (see operators/dedup.py).
+       no O(n²) stage anywhere (see operators/dedup.py). When
+       ``embedding_col`` names a vector column on ``docs``, SEMANTIC
+       near-dup pairs (hyperplane-LSH-blocked cosine ≥
+       ``cosine_threshold``) union with the text pairs before cluster
+       assembly — paraphrases duplicate meaning without sharing
+       shingles, and only the embedding signal catches them.
     5. **Split** — hash-deterministic train/val/test assignment, stable
        under corpus growth.
     6. **Mix** (optional) — epoch-aware weighted domain up/down-sampling
@@ -229,7 +237,20 @@ def e4_corpus_prep(
     cands = lsh_candidate_pairs(sigs, id_col, hash_mode=mode)
     near = jaccard_pairs(exact, cands, text_col, id_col).filter(
         F.col("jaccard") >= F.lit(jaccard_threshold)
-    )
+    ).select("id_a", "id_b")
+    if embedding_col is not None:
+        from vbb_data_pipeline_spark.operators.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        semantic = embedding_neardup_pairs(
+            exact.select(id_col, embedding_col),
+            dim=embedding_dim,
+            threshold=cosine_threshold,
+            id_col=id_col,
+            vec_col=embedding_col,
+        ).select("id_a", "id_b")
+        near = near.unionByName(semantic).distinct()
     # connected_components materializes its label frames eagerly
     # (localCheckpoint per round), so by the time it returns, the
     # candidate frame jaccard_pairs persisted has served its purpose —

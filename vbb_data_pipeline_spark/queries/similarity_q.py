@@ -244,23 +244,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    b = sim.hyperplane_lsh_buckets(e, num_planes=N_PLANES, dim=DIM)
-    bd = b.select(
-        "bucket",
-        F.col("vec_id"),
-        F.col("embedding").alias("v"),
-    ).withColumn("n", sim.l2_norm(F.col("v"), DIM))
-    a = bd.alias("a")
-    c = bd.alias("c")
-    cos = sim.dot(F.col("a.v"), F.col("c.v"), DIM) / F.greatest(
-        F.col("a.n") * F.col("c.n"), F.lit(1e-12)
-    )
-    return (
-        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
-        .filter(cos > 0.35)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("c.vec_id").alias("id_b"),
-            F.round(cos, 5).alias("cosine"),
-        )
+    return sim.embedding_neardup_pairs(
+        e, dim=DIM, num_planes=N_PLANES, threshold=0.35
     )
