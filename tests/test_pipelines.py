@@ -287,3 +287,31 @@ def test_e4_semantic_dedup_via_embeddings(spark):
     )
     assert {r.doc_id for r in out2.select("doc_id").collect()} == {1, 2, 3, 4}
     spark.catalog.clearCache()
+
+
+def test_e4_hygiene_knobs(spark):
+    """redact=True rewrites PII before hashing; max_dup_line_frac
+    drops repetitive documents."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    rows = [
+        (1, "contact me at a.b@example.com for the dataset details", "en", "wiki"),
+        (2, "line\nline\nline\nline\nother", "en", "web"),
+        (3, "a perfectly ordinary document about trains and schedules", "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        redact=True,
+        max_dup_line_frac=0.5,
+        jaccard_threshold=1.01,
+        shard_budget=10**6,
+        hash_mode="oracle",
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # doc 2: 5 non-empty lines, 3 duplicates -> 0.6 > 0.5 -> dropped
+    assert kept == {1, 3}
+    spark.catalog.clearCache()

@@ -138,6 +138,8 @@ def e4_corpus_prep(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.3,
+    redact: bool = False,
+    max_dup_line_frac: float | None = None,
     eval_df: DataFrame | None = None,
     eval_text_col: str = "text",
     decontam_min_matches: int = 5,
@@ -159,6 +161,11 @@ def e4_corpus_prep(
 
     1. **Profile** — token count (BPE-ish) + heuristic quality score,
        one codegen pass over the scan.
+    1b. **Hygiene** (optional) — ``redact=True`` rewrites PII spans to
+       placeholders BEFORE anything hashes the text (so dedup keys and
+       shards see the redacted form); ``max_dup_line_frac`` drops
+       documents whose duplicate-line fraction exceeds the cap (the
+       Gopher repetition filter, ``functions/text.py``).
     2. **Quality gate** — drop documents below ``min_quality``
        (C4/Gopher-style filtering).
     2b. **Decontamination** (when ``eval_df`` is given) — drop
@@ -215,10 +222,20 @@ def e4_corpus_prep(
     mode = hash_mode or default_hash_mode()
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
 
+    if redact:
+        from vbb_data_pipeline_spark.functions.text import redact_pii
+
+        docs = docs.withColumn(text_col, redact_pii(text_col))
     profiled = docs.withColumn("n_tokens", bpe_token_count(text_col)).withColumn(
         "quality", quality_score(text_col)
     )
     kept = profiled.filter(F.col("quality") >= F.lit(min_quality))
+    if max_dup_line_frac is not None:
+        from vbb_data_pipeline_spark.functions.text import dup_line_fraction
+
+        kept = kept.filter(
+            dup_line_fraction(text_col) <= F.lit(float(max_dup_line_frac))
+        )
     if eval_df is not None:
         from vbb_data_pipeline_spark.operators.contamination import decontaminate
 
