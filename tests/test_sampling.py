@@ -423,10 +423,9 @@ def test_incremental_pack_property(spark):
         cut = rng.randint(0, len(rows))
         a_rows, b_rows = rows[:cut], rows[cut:]
         schema = "grp string, key long, n long"
-        expected_rows = [
-            (g, k if (g, k, n) in a_rows else k + 10_000, n)
-            for (g, k, n) in a_rows
-        ] + [(g, k + 10_000, n) for (g, k, n) in b_rows]
+        # B keys offset past every A key so "A ordered before B" is
+        # exactly the (grp, key) sort the reference packer uses
+        expected_rows = a_rows + [(g, k + 10_000, n) for (g, k, n) in b_rows]
         exp = _py_greedy_pack(expected_rows, budget)
 
         got = {}
@@ -452,11 +451,50 @@ def test_incremental_pack_property(spark):
             for r in packed_b.collect():
                 got[(r.grp, r.key)] = r.shard_id
 
-        renamed = {
-            (g, k if k < 10_000 else k): s for (g, k), s in got.items()
-        }
-        exp_cmp = {
-            (g, k if k < 10_000 else k): s for (g, k), s in exp.items()
-        }
-        # A keys keep their ids; B keys were offset identically in both
-        assert renamed == exp_cmp, f"trial={trial} budget={budget}"
+        assert got == exp, f"trial={trial} budget={budget}"
+
+
+def test_incremental_pack_null_group_and_manifest_merge(spark):
+    """NULL group keys resume from their manifest row (eqNullSafe), and
+    chained increments via merge_manifests equal a single-pass pack."""
+    from vbb_data_pipeline_spark.operators.sampling import (
+        merge_manifests,
+        pack_token_shards_incremental,
+        shard_manifest,
+    )
+
+    schema = "grp string, key long, n long"
+    a = spark.createDataFrame([(None, 1, 60), ("g", 2, 60)], schema)
+    b = spark.createDataFrame([(None, 3, 60), ("g", 4, 60)], schema)
+    c = spark.createDataFrame([(None, 5, 60), ("g", 6, 60)], schema)
+    budget = 100
+
+    packed_a = pack_token_shards(a, ["grp"], "key", "n", budget)
+    m_a = shard_manifest(packed_a, ["grp"], "n")
+    packed_b = pack_token_shards_incremental(b, m_a, ["grp"], "key", "n", budget)
+    m_ab = merge_manifests(
+        [m_a, shard_manifest(packed_b, ["grp"], "n")], ["grp"]
+    )
+    packed_c = pack_token_shards_incremental(c, m_ab, ["grp"], "key", "n", budget)
+
+    got = {
+        r.key: r.shard_id
+        for r in packed_a.unionByName(packed_b).unionByName(packed_c).collect()
+    }
+    single = pack_token_shards(
+        spark.createDataFrame(
+            [(None, 1, 60), ("g", 2, 60), (None, 3, 60), ("g", 4, 60),
+             (None, 5, 60), ("g", 6, 60)],
+            schema,
+        ),
+        ["grp"],
+        "key",
+        "n",
+        budget,
+    )
+    exp = {r.key: r.shard_id for r in single.collect()}
+    assert got == exp
+    # NULL-group docs did NOT restart at shard 0: doc 3 tops up the
+    # tail shard (60+60=120 crosses no second boundary), doc 5
+    # continues into shard 1 — a shard-0 restart would give 0 here
+    assert got[3] == 0 and got[5] == 1

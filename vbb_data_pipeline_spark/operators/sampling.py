@@ -279,6 +279,30 @@ def shard_manifest(
     )
 
 
+def merge_manifests(
+    manifests: list[DataFrame],
+    group_cols: list[str],
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Combine per-batch :func:`shard_manifest` outputs into one.
+
+    The repeated-increment loop: manifest(A∪B) = merge(manifest(A),
+    manifest(B-increment)) — union + one (group, shard) re-sum, all at
+    catalog scale, so chaining batches never re-aggregates packed
+    corpus rows (a topped-up tail shard appears in both inputs and its
+    token counts add).
+    """
+    if not manifests:
+        raise ValueError("manifests must be non-empty")
+    out = manifests[0]
+    for m in manifests[1:]:
+        out = out.unionByName(m)
+    return out.groupBy(*group_cols, shard_col).agg(
+        F.sum(F.col("n_docs")).cast("long").alias("n_docs"),
+        F.sum(F.col("n_tokens")).cast("long").alias("n_tokens"),
+    )
+
+
 def pack_token_shards_incremental(
     new_docs: DataFrame,
     manifest: DataFrame,
@@ -325,6 +349,13 @@ def pack_token_shards_incremental(
     t = F.col("_total")
     tail = F.col("_tail_tokens")
     cont = F.floor(t / F.lit(budget)) == F.floor((t - tail) / F.lit(budget))
+    # normalize first: a manifest assembled by unioning per-batch
+    # manifests (see merge_manifests) carries duplicate (group, shard)
+    # rows for a topped-up tail shard — sum them before picking the
+    # tail, or max_by would read an arbitrary duplicate
+    manifest = manifest.groupBy(*group_cols, shard_col).agg(
+        F.sum(F.col("n_tokens")).cast("long").alias("n_tokens")
+    )
     last = (
         manifest.groupBy(*group_cols)
         .agg(
@@ -346,7 +377,15 @@ def pack_token_shards_incremental(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    joined = new_docs.join(F.broadcast(last), group_cols, "left").select(
+    # eqNullSafe: NULL group keys are real window partitions for the
+    # packer (module rule: total over NULLs), so they must also find
+    # their manifest row — a plain equi-join would silently restart
+    # NULL groups at shard 0, colliding with existing shards
+    cond = None
+    for c in group_cols:
+        eq = new_docs[c].eqNullSafe(last[c])
+        cond = eq if cond is None else (cond & eq)
+    joined = new_docs.join(F.broadcast(last), cond, "left").select(
         new_docs["*"],
         F.coalesce(F.col("_base_shard"), F.lit(0).cast("long")).alias(
             "_base_shard"
@@ -388,14 +427,15 @@ def stratified_sample_n(
     same membership a smaller ``n`` would choose — shrinking the
     target keeps a subset, growing it only adds (nested samples).
 
-    Strata absent from ``n_per_stratum`` are dropped. One shuffle (the
-    per-stratum rank window, keyed by the stratum — fine for
-    human-enumerated strata; for thousands of strata pre-filter with
-    :func:`stratified_sample` to cut the ranked volume first).
+    Strata absent from ``n_per_stratum`` are dropped — BEFORE the
+    window, so only requested strata pay the rank shuffle. One
+    shuffle, keyed by the stratum (fine for human-enumerated strata;
+    for very large targets pre-thin with :func:`stratified_sample`).
     """
     for stratum, n in n_per_stratum.items():
         if n < 0:
             raise ValueError(f"count for {stratum!r} must be >= 0")
+    df = df.filter(F.col(stratum_col).isin(list(n_per_stratum)))
     bucket = sample_bucket(key_col, seed=seed, hash_mode=hash_mode)
     target = _case_chain(
         [

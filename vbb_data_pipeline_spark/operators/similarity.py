@@ -469,9 +469,21 @@ def embedding_neardup_pairs(
     translations duplicate meaning without sharing shingles, and only
     the embedding signal catches them. Bucket equi-join, never a cross
     join; norms precomputed per vector before the pair stage.
+
+    The within-bucket join is quadratic PER BUCKET, so ``num_planes``
+    is the scale lever: 2^planes buckets must keep the expected bucket
+    occupancy small relative to the corpus (raise it as the corpus
+    grows; at 100 TB you want enough planes that a bucket holds
+    thousands, not millions). NULL vectors are excluded up front —
+    they would all collide into one bucket and contribute nothing but
+    NULL cosines.
     """
     b = hyperplane_lsh_buckets(
-        embeddings, num_planes=num_planes, dim=dim, id_col=id_col, vec_col=vec_col
+        embeddings.filter(F.col(vec_col).isNotNull()),
+        num_planes=num_planes,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
     )
     bd = b.select(
         "bucket", F.col(id_col), F.col(vec_col).alias("_v")

@@ -146,6 +146,7 @@ def e4_corpus_prep(
     jaccard_threshold: float = 0.8,
     embedding_col: str | None = None,
     embedding_dim: int = 64,
+    embedding_planes: int = 8,
     cosine_threshold: float = 0.9,
     split_weights: dict[str, float] | None = None,
     shard_budget: int = 50_000,
@@ -179,10 +180,12 @@ def e4_corpus_prep(
        member (cluster_id ≠ doc id) is dropped. Linear-cost at 100 TB:
        no O(n²) stage anywhere (see operators/dedup.py). When
        ``embedding_col`` names a vector column on ``docs``, SEMANTIC
-       near-dup pairs (hyperplane-LSH-blocked cosine ≥
+       near-dup pairs (hyperplane-LSH-blocked cosine strictly above
        ``cosine_threshold``) union with the text pairs before cluster
        assembly — paraphrases duplicate meaning without sharing
-       shingles, and only the embedding signal catches them.
+       shingles, and only the embedding signal catches them. Size
+       ``embedding_planes`` to the corpus: the within-bucket join is
+       quadratic per bucket, so 2^planes must keep buckets small.
     5. **Split** — hash-deterministic train/val/test assignment, stable
        under corpus growth.
     6. **Mix** (optional) — epoch-aware weighted domain up/down-sampling
@@ -263,11 +266,15 @@ def e4_corpus_prep(
         semantic = embedding_neardup_pairs(
             exact.select(id_col, embedding_col),
             dim=embedding_dim,
+            num_planes=embedding_planes,
             threshold=cosine_threshold,
             id_col=id_col,
             vec_col=embedding_col,
         ).select("id_a", "id_b")
         near = near.unionByName(semantic).distinct()
+        # the vector served its purpose: don't ship ~dim*8 bytes/row
+        # through the split/mix/pack exchange and into the output
+        exact = exact.drop(embedding_col)
     # connected_components materializes its label frames eagerly
     # (localCheckpoint per round), so by the time it returns, the
     # candidate frame jaccard_pairs persisted has served its purpose —
