@@ -153,3 +153,51 @@ def test_corpus_scale_matches_duckdb(spark):
         ).fetchall()
     }
     assert got_big == exp_big
+
+
+def test_compression_signals(spark):
+    """zlib ratio and char entropy over hand-built texts vs direct
+    python computation."""
+    import math
+    import zlib
+
+    from vbb_data_pipeline_spark.functions.udfs import compression_signals
+
+    texts = [
+        (0, "spam " * 200),                      # highly compressible
+        (1, "The quick brown fox jumps over the lazy dog near the bank."),
+        (2, "aaaaaaaaaaaaaaaa"),                 # zero entropy
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.sig.ratio, r.sig.entropy)
+        for r in df.select(
+            "doc_id", compression_signals("text").alias("sig")
+        ).collect()
+    }
+
+    def expected(t):
+        raw = t.encode("utf-8")
+        ratio = len(zlib.compress(raw, 6)) / len(raw)
+        counts = {}
+        for ch in t:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(t)
+        ent = -sum(c / n * math.log2(c / n) for c in counts.values())
+        return ratio, ent
+
+    for doc_id, t in texts:
+        if t is None:
+            assert got[doc_id] == (None, None)
+        elif t == "":
+            assert got[doc_id][0] is None and got[doc_id][1] == 0.0
+        else:
+            er, ee = expected(t)
+            assert got[doc_id][0] == pytest.approx(er, rel=1e-12)
+            assert got[doc_id][1] == pytest.approx(ee, rel=1e-12)
+
+    # the signals order as the recipe expects
+    assert got[0][0] < 0.2 < got[1][0]      # repetitive ≪ prose ratio
+    assert got[2][1] == 0.0 < got[1][1]     # single-char entropy is 0

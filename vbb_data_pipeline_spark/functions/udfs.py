@@ -142,3 +142,41 @@ def chunk_native(text: Column | str, max_words: int) -> Column:
     return F.transform(
         starts, lambda s: F.array_join(F.slice(words, s, max_words), " ")
     )
+
+
+# ------------------------------------------- compression-based quality
+
+@pandas_udf("ratio double, entropy double")
+def compression_signals(text: pd.Series) -> pd.DataFrame:
+    """Per-document compressibility signals (Arrow-batched):
+
+    - ``ratio``: ``len(zlib(text)) / len(utf8(text))`` — repetitive or
+      templated text compresses far below ~0.4; random/encrypted
+      garbage sits near 1.0. The classic corpus-quality signal the
+      Gopher/C4 family uses alongside the regex heuristics in
+      ``functions/text.py``.
+    - ``entropy``: character-level Shannon entropy in bits (0 for
+      single-char runs, ~4.2 for ordinary English prose, ~6+ for
+      base64/binary-ish spills).
+
+    A genuine pandas_udf use: zlib and a histogram-entropy loop have
+    no Catalyst expression, and the Arrow batch amortizes the Python
+    boundary. NULL/empty texts yield NULL ratio and 0.0 entropy.
+    """
+    import math
+    import zlib
+
+    ratios, ents = [], []
+    for t in text:
+        if t is None or len(t) == 0:
+            ratios.append(None)
+            ents.append(0.0 if t is not None else None)
+            continue
+        raw = t.encode("utf-8")
+        ratios.append(len(zlib.compress(raw, 6)) / len(raw))
+        counts: dict[str, int] = {}
+        for ch in t:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(t)
+        ents.append(-sum(c / n * math.log2(c / n) for c in counts.values()))
+    return pd.DataFrame({"ratio": ratios, "entropy": ents})
