@@ -315,3 +315,29 @@ def test_e4_hygiene_knobs(spark):
     # doc 2: 5 non-empty lines, 3 duplicates -> 0.6 > 0.5 -> dropped
     assert kept == {1, 3}
     spark.catalog.clearCache()
+
+
+def test_e4_compression_band(spark):
+    """compression_bounds drops repetitive garbage the regex heuristics
+    miss (high quality_score, tiny zlib ratio)."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river bank "
+            "and then the story continues with many varied ordinary words",
+         "en", "web"),
+        (2, ("click here to win a prize now " * 40).strip(), "en", "spamfarm"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        compression_bounds=(0.3, 1.0),
+        jaccard_threshold=1.01,
+        shard_budget=10**6,
+        hash_mode="oracle",
+    )
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1}
+    spark.catalog.clearCache()

@@ -140,6 +140,7 @@ def e4_corpus_prep(
     min_quality: float = 0.3,
     redact: bool = False,
     max_dup_line_frac: float | None = None,
+    compression_bounds: tuple[float, float] | None = None,
     eval_df: DataFrame | None = None,
     eval_text_col: str = "text",
     decontam_min_matches: int = 5,
@@ -166,7 +167,13 @@ def e4_corpus_prep(
        placeholders BEFORE anything hashes the text (so dedup keys and
        shards see the redacted form); ``max_dup_line_frac`` drops
        documents whose duplicate-line fraction exceeds the cap (the
-       Gopher repetition filter, ``functions/text.py``).
+       Gopher repetition filter, ``functions/text.py``);
+       ``compression_bounds=(lo, hi)`` keeps only documents whose zlib
+       compression ratio falls inside the band — below ``lo`` is
+       repetitive/templated garbage, above ``hi`` is random/binary
+       spill (``functions/udfs.compression_signals``; the one
+       Arrow-batched Python stage in the pipeline, skipped entirely
+       when the bound is None).
     2. **Quality gate** — drop documents below ``min_quality``
        (C4/Gopher-style filtering).
     2b. **Decontamination** (when ``eval_df`` is given) — drop
@@ -239,6 +246,12 @@ def e4_corpus_prep(
         kept = kept.filter(
             dup_line_fraction(text_col) <= F.lit(float(max_dup_line_frac))
         )
+    if compression_bounds is not None:
+        from vbb_data_pipeline_spark.functions.udfs import compression_signals
+
+        lo, hi = compression_bounds
+        ratio = compression_signals(F.col(text_col)).getField("ratio")
+        kept = kept.filter(ratio.between(F.lit(float(lo)), F.lit(float(hi))))
     if eval_df is not None:
         from vbb_data_pipeline_spark.operators.contamination import decontaminate
 
