@@ -106,41 +106,30 @@ def test_arrivals_wire_format(spark, gtfs, window_jan_feb):
 # ---------------------------------------------------------------------------
 # Stream-stream interval join (watermark-bounded state)
 # ---------------------------------------------------------------------------
-def test_stream_stream_interval_join_matches_batch(spark):
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Purchases within 30 min after a click, per user: the streaming
     result (two file streams, availableNow to completion) must equal
     the batch twin of the same interval join."""
     import uuid
 
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     from vbb_data_pipeline_spark.queries import load_table
     from vbb_data_pipeline_spark.streaming.joins import interval_join
     from vbb_data_pipeline_spark.streaming.windows import run_to_memory
 
     sf = "/root/testdata/sf0.001"
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stage a normalized copy (load_table gives ts a proper
+    # TimestampType regardless of the testdata's parquet encoding —
+    # watermarks reject TIMESTAMP_NTZ event time).
+    e = load_table(spark, sf, "events")
+    staged = str(tmp_path / "events_stream")
+    e.write.mode("overwrite").parquet(staged)
 
     def stream_side(etype, id_alias, ts_alias):
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-        )
+        raw = spark.readStream.schema(e.schema).parquet(staged)
         return (
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .filter(F.col("event_type") == etype)
+            raw.filter(F.col("event_type") == etype)
             .select(
                 F.col("event_id").alias(id_alias),
                 "user_id",

@@ -146,7 +146,17 @@ def chunk_native(text: Column | str, max_words: int) -> Column:
 
 # ------------------------------------------- compression-based quality
 
-@pandas_udf("ratio double, entropy double")
+_COMPRESSION_SIGNALS_TYPE = T.StructType(
+    [
+        T.StructField("ratio", T.DoubleType()),
+        T.StructField("entropy", T.DoubleType()),
+    ]
+)
+
+
+# StructType (not a DDL string) so the decorator never needs an active
+# SparkSession at import time — DDL parsing goes through the JVM.
+@pandas_udf(_COMPRESSION_SIGNALS_TYPE)
 def compression_signals(text: pd.Series) -> pd.DataFrame:
     """Per-document compressibility signals (Arrow-batched):
 
