@@ -23,32 +23,50 @@ from vbb_data_pipeline_spark.streaming.windows import (
     tumbling,
 )
 
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) surfaces as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: str) -> T.StructType:
+    ts_field = {
+        "bigint": T.LongType(),  # TIMESTAMP(NANOS) surfaced as long
+        "timestamp_ntz": T.TimestampNTZType(),  # timestamp[us], no UTC adj
+    }.get(ts_type, T.TimestampType())
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events table (nanos → timestamp, same
-    conversion as the batch loader)."""
+    """Streaming read of the events table.
+
+    Mirrors ``load_table``'s dtype branch (queries/__init__.py): the
+    testdata's ``ts`` is either TIMESTAMP(NANOS)-as-long (divide to
+    micros) or timestamp[us] with isAdjustedToUTC=false (surfaces as
+    timestamp_ntz; cast to timestamp — the session zone is pinned UTC
+    so the wall-clock value is preserved and watermarks get the
+    TimestampType they require). A batch footer probe (driver-side,
+    no job) picks the branch so both layouts stream correctly.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.session.timeZone") not in ("UTC", "Etc/UTC"):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts")
     # file-stream sources take directories: stream the sf dir with a
     # glob restricted to the events table
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @register(
