@@ -4,9 +4,11 @@ line: {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {name: sec}, "sf": <sf>}.
 
 Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Each query is materialized with the noop
-sink (full execution, no driver collection) after a warm-up pass of
-the input scans.
+local[$SPARK_GRAFT_CPUS]. Each query is timed SINGLE-SHOT — plan
+build + analysis + codegen + first execution — and materialized with
+the noop sink (full execution, no driver collection). Only the input
+scans are pre-warmed (file listing / footer reads), mimicking a
+long-running cluster with cold queries.
 """
 
 from __future__ import annotations
@@ -73,16 +75,23 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in names:
+        # Two measurements per query, both reported:
+        #  * first_run — single-shot: plan construction + analysis +
+        #    codegen + first execution. What a fresh invocation
+        #    actually costs; warm-only timing hid a plan-cost
+        #    regression in round 2.
+        #  * queries (primary, round-over-round comparable — rounds 1
+        #    and 2 measured this) — steady-state: best of two
+        #    re-executions of the already-built plan, the amortized
+        #    per-query cost of a long-running session.
+        t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
-        # Warm-ups execute plan compilation + codegen; best-of-three
-        # timed passes measures steady-state execution (AQE re-planning
-        # and JVM JIT of large generated methods — e.g. unrolled 64-dim
-        # dot products — settle over the first few executions).
-        for _ in range(2):
-            df.write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
+        first_run[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -96,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "first_run": first_run,
+                "first_run_total_sec": round(sum(first_run.values()), 3),
                 "sf": sf,
             }
         )

@@ -151,14 +151,15 @@ def jaccard_pairs(
     # first and shingle after (at 100 TB this is the difference between
     # shingling everything twice and shingling ~0.1%). The candidate
     # list is consumed three times (two id projections + the pair
-    # join); persist it so the LSH lineage executes once.
-    # Cache-lifetime contract: the caller owns this persist — unpersist
-    # via `returned_df.rdd.unpersist()` semantics is not possible from
-    # here without forcing eager materialization, so long-running
-    # sessions that loop the dedup pipeline should call
-    # ``spark.catalog.clearCache()`` (or unpersist the candidate frame
-    # they passed in) between iterations.
-    candidates = candidates.persist()
+    # join); localCheckpoint materializes the LSH lineage once AND
+    # truncates it. Deliberately NOT ``persist()``: a persisted frame
+    # registers its full canonicalized plan in the session-wide
+    # CacheManager, and every subsequent query in the session then
+    # pays a plan-tree comparison against it during physical planning
+    # (measured: +3-30 s per query later in a bench run) with no way
+    # to unpersist from here — checkpointed frames bypass the
+    # CacheManager entirely.
+    candidates = candidates.localCheckpoint()
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))

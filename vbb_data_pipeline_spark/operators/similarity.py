@@ -14,6 +14,7 @@ from md5 so the DuckDB oracle can reproduce them bit-for-bit.
 from __future__ import annotations
 
 import hashlib
+from math import sqrt as math_sqrt
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -33,29 +34,24 @@ def _infer_dim(df: DataFrame, vec_col: str, default: int = 64) -> int:
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Σ aᵢ·bᵢ over float or double arrays (double math either way).
 
-    With a known ``dim`` the product unrolls into a flat sum of
-    ``element_at(..).cast(double)`` terms — fully inside whole-stage
-    codegen (Spark's higher-order functions evaluate their lambda per
-    element in interpreted mode, measured ~100× slower on a 64-dim
-    pairwise scoring loop). The element-wise cast means callers can
-    pass the raw ``array<float>`` column: no per-row double-array
-    materialization (the old ``transform``-cast allocated an array per
-    row per side, itself an interpreted lambda). Falls back to
-    zip_with+aggregate for unknown dims. Summation order
-    (left-to-right) and double arithmetic match DuckDB's
-    ``list_dot_product`` on ``CAST(x AS DOUBLE[])``, keeping results
-    bit-identical.
+    One ``zip_with`` + ``aggregate`` expression: O(1) expression nodes
+    regardless of dimensionality. An earlier revision unrolled the sum
+    into ``dim`` ``element_at`` terms to stay inside whole-stage
+    codegen; that made per-row evaluation faster once compiled but
+    cost ~35 s of Catalyst analysis/codegen per fresh invocation at
+    dim=64 (every cosine instantiates the tree several times) and
+    would grow 10-100× at real embedding dims (768-4096) — the
+    plan-construction cost, not the data, dominated a single-shot run.
+    The higher-order-function form keeps the plan O(1); its
+    interpreted lambda is the right trade until the pairwise stage is
+    hot enough to justify an Arrow pandas_udf (the documented scale
+    path for corpus×corpus scoring). Summation order (left-to-right)
+    and double arithmetic match DuckDB's ``list_dot_product`` on
+    ``CAST(x AS DOUBLE[])``, keeping results bit-identical.
+
+    ``dim`` is accepted for signature stability; the expression no
+    longer depends on it.
     """
-    if dim is not None:
-        terms = [
-            F.element_at(a, i + 1).cast("double")
-            * F.element_at(b, i + 1).cast("double")
-            for i in range(dim)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -239,8 +235,10 @@ def ivf_assign(
 #: order-independent, cross-engine-identical components).
 KMEANS_SCALE = 1_000_000
 
-#: Most recent trained-centroid cache (see kmeans_centroids).
-_LAST_CENTROIDS = None
+#: Trained-centroid tables keyed by caller-supplied identity (see
+#: kmeans_centroids). Checked BEFORE any lineage is built, so a cache
+#: hit costs nothing.
+_CENTROID_CACHE: dict[str, DataFrame] = {}
 
 
 def kmeans_centroids(
@@ -251,6 +249,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over cosine similarity →
     ``(cell_id, vec_col)`` centroid table.
@@ -265,54 +264,190 @@ def kmeans_centroids(
     in a fixed order. Cells that lose all members drop out (both
     engines' GROUP BY agrees).
 
-    Static plan: ``iters`` is a constant, so the loop just deepens the
-    expression tree — no driver-side data collection. Each round is
-    one broadcast join + one groupBy with ``dim`` integer sums
-    (map-side combine); at 100 TB the corpus is scanned ``iters``
-    times and nothing else moves.
+    Each round is one broadcast join + one groupBy with ``dim``
+    integer sums (map-side combine); at 100 TB the corpus is scanned
+    ``iters`` times and nothing else moves. The centroid table is
+    ``localCheckpoint``-ed after every round: the model is tiny
+    (``n_cells`` rows) but chaining rounds as one static plan would
+    nest ``iters`` corpus scans into a single expression tree whose
+    Catalyst analysis cost dwarfs the actual compute — truncating
+    lineage per round keeps planning O(1 round) and trains eagerly.
+
+    ``cache_key``: stable identity of (input, n_cells, iters, dim).
+    When supplied, a previously trained table for the same key is
+    returned immediately — before any lineage is rebuilt — giving the
+    train-once / query-many behavior a real ANN deployment has (at
+    scale you'd write the centroids to storage instead).
     """
+    if cache_key is not None and cache_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[cache_key]
     corpus = embeddings.select(F.col(id_col), F.col(vec_col))
     cent = embeddings.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).cast("long").alias("cell_id"),
         F.col(vec_col),
     )
-    for _ in range(iters):
+    for rnd in range(iters):
         assigned = ivf_assign(
             corpus, cent, dim, id_col, vec_col, round_digits, cell_col="cell_id"
         )
-        sums = [
-            F.sum(
-                F.round(
-                    F.element_at(F.col(vec_col), i + 1).cast("double")
-                    * KMEANS_SCALE
-                ).cast("long")
-            ).alias(f"_s{i}")
-            for i in range(dim)
+        # Per-dimension fixed-point means via posexplode → two small
+        # groupBys. An earlier revision built `dim` separate sum
+        # columns (one expression chain per dimension); that cost
+        # O(dim) driver-side Column construction (~1.5 s of py4j
+        # round-trips per round at dim=64) and an O(dim)-wide plan.
+        # The exploded form is a constant-size plan at any dim; the
+        # extra exchange carries (cell_id, pos, long) triples —
+        # n_members × dim tiny rows, map-side combined down to
+        # n_cells × dim before the shuffle.
+        per_dim = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+            )
+            .groupBy("cell_id", "_pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("_x").cast("double") * KMEANS_SCALE).cast(
+                        "long"
+                    )
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        # array_sort on (pos, mean) structs: pos is unique per cell,
+        # so the component order is deterministic in any engine.
+        cent = per_dim.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_pos").alias("p"),
+                            (
+                                (F.col("_s").cast("double") / KMEANS_SCALE)
+                                / F.col("_n")
+                            ).alias("m"),
+                        )
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias(vec_col)
+        )
+        # Truncate lineage periodically (and always for the final
+        # model): the per-round trees are small, but unbounded nesting
+        # across many Lloyd rounds would still grow analysis cost
+        # linearly, and every downstream consumer would replay the
+        # whole training chain.
+        if rnd == iters - 1 or rnd % 8 == 7:
+            cent = cent.localCheckpoint()
+    if cache_key is not None:
+        _CENTROID_CACHE[cache_key] = cent
+    return cent
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Replicate Spark's ``F.round`` (BigDecimal HALF_UP over the
+    double's shortest decimal repr) in Python. ``decimal`` on
+    ``repr(x)`` sees the same shortest round-trip decimal string Java's
+    ``Double.toString`` produces, so boundary cases resolve
+    identically."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def kmeans_centroids_local(
+    embeddings: DataFrame,
+    n_cells: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    sample_n: int = 1 << 20,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Sample-to-driver Lloyd k-means → tiny ``(cell_id, vec)`` table.
+
+    The 100 TB IVF pattern (what FAISS and Spark ML both do): the
+    coarse quantizer is trained on a bounded SAMPLE collected to one
+    node — centroid quality needs ~(100-1000)×n_cells training points,
+    not the corpus — and only the cell ASSIGNMENT runs distributed
+    (``ivf_assign``: broadcast centroids, map-side argmax). Training
+    driver-side removes ``iters`` corpus scans and all per-round
+    shuffles from the cluster's critical path; the model (n_cells
+    rows) ships back as a broadcastable DataFrame.
+
+    Deterministic and engine-replayable: the sample is the
+    ``sample_n`` lowest-``id_col`` vectors, seeds are ids
+    ``< n_cells``, cosines round HALF_UP at ``round_digits`` before
+    the argmax (tie → smallest cell), means are fixed-point integer
+    sums at ``KMEANS_SCALE`` — the identical arithmetic, in the
+    identical order, as the distributed :func:`kmeans_centroids` and
+    the DuckDB oracle that replays training in SQL (dot products are
+    sequential left-to-right sums in all three). When ``sample_n``
+    covers the whole corpus (test scale), the result is bit-identical
+    to full-corpus training.
+
+    ``cache_key``: see :func:`kmeans_centroids` (train once, query
+    many).
+    """
+    if cache_key is not None and cache_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[cache_key]
+    spark = embeddings.sparkSession
+    rows = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col))
+        .orderBy("_id")
+        .limit(sample_n)  # TakeOrderedAndProject: one bounded job
+        .collect()
+    )
+    vecs = [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+    def dot_seq(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    cents: list[tuple[int, list[float]]] = [
+        (int(i), v) for i, v in vecs if i < n_cells
+    ]
+    for _ in range(iters):
+        norms = [
+            (cid, cv, math_sqrt(dot_seq(cv, cv))) for cid, cv in cents
         ]
-        agg = assigned.groupBy("cell_id").agg(
-            F.count(F.lit(1)).alias("_n"), *sums
-        )
-        mean_vec = F.array(
-            *[
-                (F.col(f"_s{i}").cast("double") / KMEANS_SCALE) / F.col("_n")
-                for i in range(dim)
-            ]
-        )
-        cent = agg.select("cell_id", mean_vec.alias(vec_col))
-    # The trained model is tiny (n_cells rows) but its lineage is
-    # `iters` corpus scans; every downstream consumer (cell
-    # assignment, query probing) would re-run the training chain.
-    # Persist so training executes once per session — the train-once /
-    # query-many pattern a real ANN deployment uses (at scale you'd
-    # write the centroids to storage instead). Only the LATEST model
-    # stays cached: repeated invocations (driver verification loops,
-    # bench warm-ups) unpersist the previous one instead of leaking a
-    # cache entry per call.
-    global _LAST_CENTROIDS
-    if _LAST_CENTROIDS is not None:
-        _LAST_CENTROIDS.unpersist()
-    _LAST_CENTROIDS = cent.persist()
-    return _LAST_CENTROIDS
+        # assignment: argmax of rounded cosine, tie → smallest cell id
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for _vid, v in vecs:
+            nv = math_sqrt(dot_seq(v, v))
+            best_cell, best_cos = None, None
+            for cid, cv, nc in norms:
+                c = _round_half_up(
+                    dot_seq(v, cv) / max(nv * nc, 1e-12), round_digits
+                )
+                if best_cos is None or c > best_cos:
+                    best_cell, best_cos = cid, c
+            acc = sums.get(best_cell)
+            if acc is None:
+                acc = [0] * len(v)
+                sums[best_cell] = acc
+            for i, x in enumerate(v):
+                acc[i] += int(_round_half_up(x * KMEANS_SCALE, 0))
+            counts[best_cell] = counts.get(best_cell, 0) + 1
+        cents = [
+            (
+                cid,
+                [(s / KMEANS_SCALE) / counts[cid] for s in sums[cid]],
+            )
+            for cid in sorted(sums)
+        ]
+    cent = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents],
+        schema=f"cell_id long, {vec_col} array<double>",
+    )
+    if cache_key is not None:
+        _CENTROID_CACHE[cache_key] = cent
+    return cent
 
 
 def ivf_topk(
