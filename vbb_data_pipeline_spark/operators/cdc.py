@@ -35,16 +35,25 @@ from vbb_data_pipeline_spark.functions.hashing import md5_long
 
 
 def _row_hash(cols: Sequence[str]) -> Column:
-    """Order-insensitive-to-NULL row digest over ``cols``.
+    """Row digest over ``cols``: md5-derived int64
+    (``functions/hashing.md5_long``) so the identical digest is
+    computable in DuckDB for the oracle.
 
-    md5-derived int64 (``functions/hashing.md5_long``) so the
-    identical digest is computable in DuckDB for the oracle; NULLs
-    are encoded distinctly from empty strings via a sentinel.
+    Each part is length-prefixed (``<len>:<value>``, NULL → ``n:``) —
+    self-delimiting, so a value containing any separator/control
+    character (or a literal sentinel string) cannot make two distinct
+    rows collide across column boundaries, and NULL stays distinct
+    from every real value including the empty string (``0:``).
     """
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
-    ]
-    return md5_long(F.concat_ws("\x1f", *parts))
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("n:")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return md5_long(F.concat(*parts))
 
 
 def snapshot_diff(
@@ -65,11 +74,22 @@ def snapshot_diff(
     shuffle per side carries ~16 bytes/row regardless of row width.
     The caller re-joins the ``op`` table to whichever side it needs
     payloads from (targeted, usually a small fraction of the table).
+
+    Keys join NULL-safely (``eqNullSafe``): a row whose key contains
+    NULL matches its counterpart instead of being reported as a
+    simultaneous insert+delete.
     """
     ks = list(keys)
-    o = old.select(*ks, _row_hash(compare_cols).alias("_oh"))
-    n = new.select(*ks, _row_hash(compare_cols).alias("_nh"))
-    joined = o.join(n, ks, "full_outer")
+    o = old.select(*ks, _row_hash(compare_cols).alias("_oh")).alias("_o")
+    n = new.select(*ks, _row_hash(compare_cols).alias("_nh")).alias("_n")
+    cond = None
+    for k in ks:
+        c = F.col(f"_o.{k}").eqNullSafe(F.col(f"_n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    # _oh/_nh are never NULL on a matched side (the digest itself is
+    # total), so side presence is detected via the digests even when
+    # key columns are legitimately NULL.
     op = (
         F.when(F.col("_oh").isNull(), F.lit("insert"))
         .when(F.col("_nh").isNull(), F.lit("delete"))
@@ -78,7 +98,13 @@ def snapshot_diff(
     return (
         joined.withColumn("op", op)
         .filter(F.col("op").isNotNull())
-        .select(*ks, "op")
+        .select(
+            *[
+                F.coalesce(F.col(f"_o.{k}"), F.col(f"_n.{k}")).alias(k)
+                for k in ks
+            ],
+            "op",
+        )
     )
 
 
@@ -123,7 +149,10 @@ def latest_per_key(
     return top.select(*ks, *[F.col(f"_row.{c}").alias(c) for c in payload])
 
 
-HIGH_TS = "9999-12-31 00:00:00"
+#: Open-row sentinel for SCD2 ``valid_to``. Chosen inside pandas/
+#: Arrow's timestamp[ns] range (max 2262-04-11): 9999-12-31 made every
+#: ``toPandas()`` of a current dimension slice throw ArrowInvalid.
+HIGH_TS = "2200-01-01 00:00:00"
 
 
 def scd2_apply(
@@ -156,14 +185,20 @@ def scd2_apply(
     slivers. History — the bulk of the table at 100 TB — is never
     shuffled at all; partition the stored dim by a ``valid_to``-derived
     flag so the current slice is a partition-pruned read.
+
+    A NULL ``valid_to`` is treated as an open row (the other common
+    SCD2 convention) rather than silently vanishing from both the
+    history and current slices, which is what a plain ``!=``/``==``
+    pair would do to it.
     """
     ks = list(keys)
     attrs = list(attr_cols)
     ts = F.to_timestamp(F.lit(as_of))
     high = F.to_timestamp(F.lit(HIGH_TS))
 
-    history = dim.filter(F.col(valid_to) != high)
-    current = dim.filter(F.col(valid_to) == high)
+    is_open = F.coalesce(F.col(valid_to) == high, F.lit(True))
+    history = dim.filter(~is_open)
+    current = dim.filter(is_open).withColumn(valid_to, high)
 
     diff = snapshot_diff(
         current.select(*ks, *attrs), snapshot.select(*ks, *attrs), ks, attrs

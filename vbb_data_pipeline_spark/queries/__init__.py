@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "events_q",
     "streaming_q",
     "misc_q",
+    "cdc_q",
 ]
 
 

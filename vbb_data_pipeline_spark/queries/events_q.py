@@ -135,31 +135,10 @@ def j5_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lineitem_shipmode_stats",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(count(DISTINCT l_orderkey) AS BIGINT)  AS n_orders,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT)   AS n_suppliers,
-           round(min(l_extendedprice), 2)              AS min_price,
-           round(max(l_extendedprice), 2)              AS max_price,
-           round(stddev_samp(l_discount), 6)           AS sd_discount
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    survey="§2.4 (distinct aggregates, min/max, stddev)",
-    note="stddev over the same double set: both engines use numerically "
-    "stable accumulation; rounded to 6",
-)
-def lineitem_shipmode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
-    )
+# (The former lineitem_shipmode_stats battery — distinct aggregates,
+# min/max, stddev — was folded into misc_q.stats_battery to free a
+# registry slot for cdc_scd2; the driver verifies the first 50
+# entries.)
 
 
 # ---------------------------------------------------------------------------

@@ -189,7 +189,12 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(var_samp(l_tax), 6)                          AS tax_var,
            round(quantile_cont(l_extendedprice, 0.5), 4)      AS median_price,
            round(quantile_cont(l_extendedprice, 0.95), 4)     AS p95_price,
-           round(quantile_cont(l_quantity, 0.25), 4)          AS q1_qty
+           round(quantile_cont(l_quantity, 0.25), 4)          AS q1_qty,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT)         AS n_orders,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)          AS n_suppliers,
+           round(min(l_extendedprice), 2)                     AS min_price,
+           round(max(l_extendedprice), 2)                     AS max_price,
+           round(stddev_samp(l_discount), 6)                  AS sd_discount
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -198,11 +203,12 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side converts g→G with the exact n-dependent factors so both
     # engines express the same statistic.
     survey="§2.4 extension: statistical aggregate battery "
-    "(corr/covariance/skewness/kurtosis/variance) + §2.4 extension "
-    "(exact interpolated percentiles; approximate twin = "
-    "approx_distinct_stats) — second-moment profiling for "
-    "data-quality monitoring at corpus scale, one shuffle for the "
-    "whole battery",
+    "(corr/covariance/skewness/kurtosis/variance + distinct "
+    "aggregates, min/max, stddev — absorbs the former "
+    "lineitem_shipmode_stats) + §2.4 extension (exact interpolated "
+    "percentiles; approximate twin = approx_distinct_stats) — "
+    "second-moment profiling for data-quality monitoring at corpus "
+    "scale, one shuffle for the whole battery",
 )
 def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -221,22 +227,56 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
     )
 
 
 @register(
     "approx_distinct_stats",
-    oracle=None,  # approximate sketches differ across engines by design
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     survey="§2.4 (approx_count_distinct / percentile_approx — HLL and "
     "KLL-style sketches; the 100 TB substitutes for exact distinct)",
-    note="rows-only: sketch internals are engine-specific; exact twins "
-    "are lineitem_shipmode_stats and stats_battery",
+    note="sketch values are engine-specific, but their ERROR BOUND is "
+    "checkable: the query emits exact counts plus booleans asserting "
+    "the sketches landed within 5% of exact, and the oracle computes "
+    "the exact values with the booleans literally true — a sketch "
+    "drifting out of tolerance hash-fails the row",
 )
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        # rsd 0.01 → the 5% assertion sits 5 standard deviations out
+        # (default rsd 0.05 would make the bound a coin flip)
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_median"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_exact_median"),
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx.cast("double") - exact.cast("double"))
+        / F.greatest(F.abs(exact.cast("double")), F.lit(1e-12))
+        <= 0.05
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        within(F.col("_approx_orders"), F.col("exact_orders")).alias(
+            "approx_orders_ok"
+        ),
+        within(F.col("_approx_median"), F.col("_exact_median")).alias(
+            "approx_median_ok"
+        ),
     )
 
 
