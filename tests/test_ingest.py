@@ -67,6 +67,44 @@ def test_read_gtfs_zip(spark, gtfs_zip):
     assert cal.start_date == 20240101  # YYYYMMDD stays int
 
 
+def test_distributed_zip_extraction_parity(spark, tmp_path):
+    """Executor-side extraction (binaryFile + mapInPandas) returns the
+    same typed rows as the driver-side path, across providers."""
+    from vbb_data_pipeline_spark.sources.gtfs import read_gtfs_zips_distributed
+
+    vrs_stops = STOPS_CSV.replace("s1", "v1").replace("s2", "v2")
+    for provider, date, csv_text in [
+        ("vbb", "2024-02-01", STOPS_CSV),
+        ("vrs", "2024-02-02", vrs_stops),
+    ]:
+        p = tmp_path / provider / f"{date}.zip"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("stops.txt", csv_text)
+            zf.writestr("notes.md", "skip me")  # P8
+    run_ids = {("vbb", "2024-02-01"): 7, ("vrs", "2024-02-02"): 8}
+
+    dist = read_gtfs_zips_distributed(
+        spark, f"{tmp_path}/*/", "stops", run_ids
+    )
+    driver_rows = []
+    for provider, date, rid in [("vbb", "2024-02-01", 7), ("vrs", "2024-02-02", 8)]:
+        t = read_gtfs_zip(
+            spark, str(tmp_path / provider / f"{date}.zip"), rid, provider
+        )["stops"]
+        driver_rows.extend(t.collect())
+
+    key = lambda r: (r.run_id, r.stop_id)  # noqa: E731
+    got = sorted(dist.collect(), key=key)
+    exp = sorted(driver_rows, key=key)
+    assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+    # an unregistered archive is skipped, not loaded
+    partial = read_gtfs_zips_distributed(
+        spark, f"{tmp_path}/*/", "stops", {("vbb", "2024-02-01"): 7}
+    )
+    assert {r.provider_id for r in partial.collect()} == {"vbb"}
+
+
 def test_idempotent_double_load(spark, gtfs_zip):
     """Loading the same archive twice ≡ loading it once (S8/J3)."""
     t1 = read_gtfs_zip(spark, gtfs_zip, run_id=7, provider_id="vbb")["stops"]

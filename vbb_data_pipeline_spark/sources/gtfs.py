@@ -5,13 +5,16 @@ archives and loads them row-at-a-time into Postgres with sanitized
 headers, empty-string→NULL, and ``(run_id, provider_id)`` lineage
 columns (``airflow/plugins/database_loader/operators.py:134-167``).
 
-Spark restatement: zip extraction is a driver-side pre-step (archives
-are single sequential streams — parallelism comes from loading many
-archives, one task each, not from splitting one zip), then
-``spark.read.csv`` with the declared schema, header validation, and
-lineage columns added as literals. At 100 TB the landing zone is
-object storage laid out ``provider_id=<p>/run_date=<d>/*.csv`` and the
-same reader fans out per partition.
+Spark restatement, two tiers:
+
+* catalog-scale: driver-side extraction (:func:`extract_zip`) then
+  ``spark.read.csv`` with the declared schema, header validation, and
+  lineage columns added as literals;
+* landing-zone scale: :func:`read_gtfs_zips_distributed` —
+  ``binaryFile`` scan + executor-side unzip/parse in one Arrow-batched
+  ``mapInPandas`` stage, one task per archive (a zip is a single
+  sequential stream; parallelism comes from many archives, not from
+  splitting one). No archive bytes touch the driver.
 """
 
 from __future__ import annotations
@@ -116,6 +119,104 @@ def read_gtfs_zip(
         table: read_gtfs_csv(spark, path, table, run_id, provider_id)
         for table, path in members.items()
     }
+
+
+def read_gtfs_zips_distributed(
+    spark: SparkSession,
+    landing_glob: str,
+    table: str,
+    run_ids: dict[tuple[str, str], int],
+) -> DataFrame:
+    """S6 at landing-zone scale: executor-side zip extraction.
+
+    The driver-side path (:func:`read_gtfs_zip`) mirrors the
+    reference's one-Python-process unzip
+    (``database_loader/operators.py:134-167``) and is fine for
+    catalog-scale runs; at a 100 TB landing zone the unzip itself must
+    ride the cluster. This reader scans ``<base>/<provider>/
+    <run_date>.zip`` archives with the ``binaryFile`` source (one task
+    per archive — a zip is a single sequential stream, so parallelism
+    comes from many archives, not from splitting one) and extracts +
+    CSV-parses the ``table`` member inside an Arrow-batched
+    ``mapInPandas``. No archive bytes ever touch the driver.
+
+    Parsing semantics are identical to the driver path: sanitized
+    headers applied positionally (F6), empty string → NULL (F8),
+    missing schema columns NULL-filled, payload emitted as strings and
+    cast JVM-side with the declared schema. ``run_ids`` maps
+    ``(provider_id, run_date)`` — derived from the path per F9 — to
+    the catalog-assigned run id; archives without an entry (not yet
+    registered) or without the member are skipped.
+    """
+    schema = _csv_read_schema(table)
+    out_names = [f.name for f in schema.fields]
+    udf_schema = T.StructType(
+        [
+            T.StructField("run_id", T.IntegerType()),
+            T.StructField("provider_id", T.StringType()),
+        ]
+        + [T.StructField(n, T.StringType()) for n in out_names]
+    )
+    run_map = dict(run_ids)  # catalog-scale metadata, ships with the task
+
+    def extract(batches):
+        import csv
+        import io
+        import zipfile as zf_mod
+        from pathlib import PurePosixPath
+
+        import pandas as pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                pure = PurePosixPath(str(path).split("://", 1)[-1])
+                provider = pure.parent.name
+                rid = run_map.get((provider, pure.stem))
+                if rid is None:
+                    continue
+                with zf_mod.ZipFile(io.BytesIO(content)) as z:
+                    member = next(
+                        (
+                            m
+                            for m in z.namelist()
+                            if PurePosixPath(m).stem.lower() == table
+                        ),
+                        None,
+                    )
+                    if member is None:
+                        continue
+                    text = io.TextIOWrapper(z.open(member), encoding="utf-8-sig")
+                    reader = csv.reader(text)
+                    header = [sanitize_header(c) for c in next(reader, [])]
+                    rows = list(reader)
+                data = {}
+                for name in out_names:
+                    if name in header:
+                        i = header.index(name)
+                        vals = [(r[i] if i < len(r) else "") for r in rows]
+                        data[name] = [v if v != "" else None for v in vals]
+                    else:
+                        data[name] = [None] * len(rows)
+                yield pd.DataFrame(
+                    {
+                        "run_id": [rid] * len(rows),
+                        "provider_id": [provider] * len(rows),
+                        **data,
+                    }
+                )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(landing_glob)
+        .select("path", "content")
+    )
+    parsed = raw.mapInPandas(extract, schema=udf_schema)
+    return parsed.select(
+        "run_id",
+        "provider_id",
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+    )
 
 
 def idempotent_append(
