@@ -1,0 +1,78 @@
+"""Arrow/numpy brute-force top-k (the scale path) vs the expression
+path: identical results, pair-free plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_arrow,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _key(rows):
+    return sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
+
+
+def test_arrow_topk_matches_expression_path(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exp = brute_force_topk(emb, q, k=5, dim=64).collect()
+    got = brute_force_topk_arrow(emb, q, k=5).collect()
+    assert _key(got) == _key(exp)
+
+
+def test_arrow_topk_respects_partition_boundaries(spark, emb):
+    """Per-batch local top-k must still produce the global top-k after
+    the re-rank, regardless of how the corpus is partitioned."""
+    q = emb.filter(F.col("vec_id") < 3)
+    exp = _key(brute_force_topk(emb, q, k=7, dim=64).collect())
+    for nparts in (1, 13):
+        got = _key(
+            brute_force_topk_arrow(emb.repartition(nparts), q, k=7).collect()
+        )
+        assert got == exp
+
+
+def test_arrow_topk_empty_queries(spark, emb):
+    out = brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 0), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+    ]
+
+
+def test_arrow_topk_null_vectors_ignored(spark, emb):
+    """NULL corpus vectors are dropped, never crash the matmul."""
+    base = emb.select("vec_id", "embedding")
+    with_null = base.unionByName(
+        base.limit(1).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    got = brute_force_topk_arrow(with_null, q, k=5).collect()
+    assert all(r.neighbor_id < 100000 for r in got)
+
+
+def test_arrow_topk_plan_is_pair_free(spark, emb):
+    """One Python stage over the corpus + one window shuffle — no
+    cartesian/cross product materializing pair rows."""
+    q = emb.filter(F.col("vec_id") < 10)
+    df = brute_force_topk_arrow(emb, q, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -131,6 +131,106 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors on the Arrow/numpy path — the
+    scale formulation of :func:`brute_force_topk`.
+
+    The expression form materializes one row per (query, corpus) pair
+    before ranking; correct, but the pair rows exist. This operator
+    never materializes pairs: the query set (small by contract — it is
+    broadcast either way) is collected to a ``|Q|×dim`` numpy matrix,
+    broadcast to executors, and a single ``mapInPandas`` pass over the
+    corpus computes each Arrow batch's ``B×|Q|`` score matrix with one
+    BLAS matmul, emitting only the per-batch top-k rows per query
+    (``partitions × k × |Q|`` rows total). A final window rank over
+    that sliver picks the global top-k — the only shuffle, carrying
+    k·|Q| rows per partition.
+
+    At 100 TB: one corpus scan, no pair materialization, Python cost
+    is a vectorized matmul per Arrow batch. Cosines are rounded before
+    ranking (ties on neighbor id) like every similarity operator here;
+    numpy's pairwise summation can differ from sequential summation
+    below the rounding threshold, which the rounding absorbs.
+    """
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long"), vec_col)
+        .collect()
+    )
+    if not q_rows:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    import numpy as np
+
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype="float64")
+    q_norm = np.maximum(np.sqrt((q_mat * q_mat).sum(axis=1)), 1e-12)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat / q_norm[:, None]))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qn = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype="int64")
+            c_mat = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            c_norm = np.maximum(np.sqrt((c_mat * c_mat).sum(axis=1)), 1e-12)
+            scores = (c_mat / c_norm[:, None]) @ qn.T  # B × |Q|
+            scores = np.round(scores, round_digits)
+            # self-match suppression + per-batch top-k per query
+            for qi in range(nq):
+                col = scores[:, qi]
+                keep = c_ids != ids[qi]
+                cand_scores, cand_ids = col[keep], c_ids[keep]
+                if not len(cand_ids):
+                    continue
+                # top-k by (score desc, id asc): lexsort on (-score, id)
+                order = np.lexsort((cand_ids, -cand_scores))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), ids[qi]),
+                        "neighbor_id": cand_ids[order],
+                        "cosine": cand_scores[order],
+                    }
+                )
+
+    local_topk = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local_topk.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )
+
+
 def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) =
     (md5int("p_d") mod 2001 - 1000) / 1000 ∈ [-1, 1].
