@@ -169,3 +169,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     exp = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == exp
     assert len(exp) > 0
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 StatefulProcessor API)
+# --------------------------------------------------------------------------
+def test_tws_capability_gate(spark):
+    """Without protobuf the wrapper must fail fast at plan build with
+    a clear message — never crash executor workers mid-query."""
+    import pytest
+
+    from vbb_data_pipeline_spark.streaming.stateful import (
+        running_counts_tws,
+        tws_available,
+    )
+
+    events = load_table(spark, SF, "events").select("ts", "user_id")
+    if tws_available():
+        pytest.skip("protobuf present; gate not exercised")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        running_counts_tws(events)
+
+
+def test_tws_running_counts_equals_batch(spark, tmp_path):
+    """StatefulProcessor running counters == batch aggregate (same
+    guarantee the applyInPandasWithState twin is oracle-checked for).
+    Runs only where Spark's streaming Python runner can start."""
+    import pytest
+
+    from vbb_data_pipeline_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_counts_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not installed; transformWithState runner "
+                    "cannot start in this environment")
+    import uuid
+
+    events = load_table(spark, SF, "events").select("ts", "user_id")
+    events.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "ev"))
+        out = running_counts_tws(stream)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        run_to_memory(out, name, output_mode="update")
+        got = {
+            (r.user_id, r.n_events, r.last_ts)
+            for r in spark.table(name).collect()
+        }
+        exp = {
+            (r.user_id, r.n_events, r.last_ts)
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert got == exp
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
