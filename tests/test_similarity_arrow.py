@@ -76,3 +76,38 @@ def test_arrow_topk_plan_is_pair_free(spark, emb):
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index: inverted lists as storage partitioning
+# --------------------------------------------------------------------------
+def test_ivf_index_matches_inline_and_prunes(spark, emb, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        ivf_write_index,
+        kmeans_centroids_local,
+    )
+
+    cent = kmeans_centroids_local(emb, n_cells=8, iters=1)
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, cent, idx, dim=64)
+
+    got = ivf_topk_from_index(
+        spark, idx, q, cent, k=5, nprobe=2, dim=64
+    )
+    exp = ivf_topk(
+        emb, q, k=5, n_cells=8, nprobe=2, dim=64, centroids=cent
+    ).collect()
+    assert _key(got.collect()) == _key(exp)
+
+    # the index scan must carry a cell_id partition filter (pruned
+    # read); other scans (queries/centroids) have empty filter lists
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "cell_id" in seg[:200]
+        for seg in plan.split("PartitionFilters")[1:]
+    ), plan

@@ -641,6 +641,119 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF inverted lists as storage layout: the
+    corpus, assigned to cells, written hive-partitioned by
+    ``cell_id``.
+
+    This is the at-rest form of the "inverted lists = storage
+    partitioning" claim: ``n_cells`` is bounded (a partition-count,
+    not a key-cardinality), so directory partitioning is the right
+    mechanism, and a probe query's ``cell_id IN (...)`` filter prunes
+    to nprobe/n_cells of the corpus BEFORE file listing. Write once,
+    probe many — the assignment scan never re-runs per query.
+    """
+    assigned = ivf_assign(
+        embeddings, centroids, dim, id_col, vec_col, round_digits,
+        cell_col="cell_id",
+    )
+    assigned.write.partitionBy("cell_id").mode(mode).parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index
+    (:func:`ivf_write_index`).
+
+    Probe-cell selection runs on the broadcast centroid table exactly
+    as in :func:`ivf_topk`; the union of probed cells (≤ nprobe·|Q|
+    ids — driver-side metadata, not data) becomes a static
+    ``cell_id IN (...)`` predicate so the scan partition-prunes to the
+    probed inverted lists. Candidates then broadcast-join the probes
+    and exact-rank — identical semantics to :func:`ivf_topk`, minus
+    the per-query assignment scan.
+    """
+    cent = centroids.select(
+        F.col("cell_id"),
+        F.col(vec_col).alias("_mv"),
+    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+    probe_scored = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "_qv",
+        "_qn",
+        "cell_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_mv"), dim)
+            / F.greatest(F.col("_qn") * F.col("_mn"), F.lit(1e-12)),
+            round_digits,
+        ).alias("_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "_qn", "cell_id")
+    )
+    probed_cells = sorted(
+        {r.cell_id for r in probes.select("cell_id").distinct().collect()}
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("cell_id").isin(probed_cells)
+    )
+    cand = index.select(
+        "cell_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv"), dim)
+                / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int,
