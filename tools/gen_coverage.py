@@ -16,7 +16,7 @@ NON_QUERY_ROWS = [
     ("S1/S2 url extraction + change detection", "sources/catalog.url_changed; F5 regexp in string_battery", "tests/test_catalog.py"),
     ("S3/S4 download / fixture copy", "pre-engine (driver fetch); fixtures in tests", "tests/test_ingest.py"),
     ("S5 landing scan", "sources/catalog.scan_landing", "tests/test_catalog.py"),
-    ("S6 zip→CSV typed load", "sources/gtfs.read_gtfs_zip/read_gtfs_csv + idempotent_append (header sanitize F6, empty→NULL F8, lineage cols)", "tests/test_ingest.py"),
+    ("S6 zip→CSV typed load", "sources/gtfs.read_gtfs_zip/read_gtfs_csv + idempotent_append (header sanitize F6, empty→NULL F8, lineage cols); landing-zone tier = read_gtfs_zips_distributed (binaryFile + executor-side unzip in one mapInPandas stage)", "tests/test_ingest.py (incl. distributed/driver parity)"),
     ("S7 JDBC batched sink", "sources/connectors.jdbc_sink_spec/write_jdbc (batchsize=100k parity)", "tests/test_connectors.py (option wiring + fail-fast)"),
     ("S8 conflict-ignoring insert", "sources/catalog.new_runs + anti-join append", "tests/test_catalog.py (double-load idempotency)"),
     ("S9 insert-returning-id", "sources/catalog.assign_run_ids (deterministic dense_rank)", "tests/test_catalog.py"),
@@ -36,6 +36,10 @@ NON_QUERY_ROWS = [
     ("S5 at object-store scale", "sources/catalog.scan_landing_distributed (binaryFile listing, path-only)", "tests/test_catalog.py (parity with driver scan)"),
     ("§2.10 UDF/UDAF/UDTF trio", "functions/udfs: cosine_pandas (scalar pandas_udf), weighted_mean_pandas (grouped-agg UDAF) + native twin, ChunkDocument (Python UDTF, lateral context-window chunking) + chunk_native codegen twin", "tests/test_multimodal.py (scalar parity); tests/test_udaf_udtf.py (UDAF vs native, UDTF vs python + native twins, NULL totality)"),
     ("ext: TF-IDF top terms", "functions/text.tf_idf_top_terms (explode → 2 hash aggs → top-k window)", "tests/test_tfidf.py (DuckDB differential)"),
+    ("ext: corpus-wide line dedup (C4)", "operators/dedup.line_dedup_corpus (winner election = map-side-combinable min(struct) over line hashes — skew-safe for billion-copy boilerplate lines; full text shuffles twice)", "tests/test_line_dedup.py (DuckDB differentials + boilerplate/min_chars/empty-doc edges + no-Window plan guard)"),
+    ("ext: CDC / SCD2 reconciliation", "operators/cdc.snapshot_diff / merge_upsert / latest_per_key / scd2_apply (digest-before-join: exchanges carry keys + 8-byte hashes)", "cdc_scd2 registry oracle + tests/test_cdc.py (DuckDB differentials, idempotency, NULL-key/NULL-valid_to edges)"),
+    ("ext: ANN scale paths", "operators/similarity.brute_force_topk_arrow (broadcast query matrix, per-batch BLAS matmul, pair-free) + ivf_write_index / ivf_topk_from_index (inverted lists as cell_id-partitioned storage, partition-pruned probes) + kmeans_centroids_local (FAISS-style sample-to-driver training)", "tests/test_similarity_arrow.py (expression-path parity, partition-boundary, pruning plan)"),
+    ("§2.9 ext: Spark 4 stateful API", "streaming/stateful.running_counts_tws (transformWithStateInPandas, named ValueState, RocksDB provider; capability-gated on protobuf)", "tests/test_streaming.py (gate + batch parity where runnable)"),
     ("ext: format coverage", "ORC / JSON-lines / CSV round trips with pushdown", "tests/test_formats.py"),
     ("ext: multimodal resize / frame-sample", "operators/multimodal.resize_images (REAL for PPM; PIL-gated for codecs) + frame_sample (REAL for Y4M video)", "tests/test_multimodal.py"),
 ]

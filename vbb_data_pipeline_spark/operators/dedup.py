@@ -227,6 +227,81 @@ def simhash(
     return summed.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def line_dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-WIDE line-level dedup (the C4 construction, Raffel et
+    al. 2020 §2.2: every three-sentence span / line is kept once
+    across the whole corpus): a line survives only in its first
+    occurrence — smallest ``(id_col, line_no)`` over all documents —
+    and every other copy is dropped; documents are then reassembled
+    in original line order. Removes boilerplate (headers, footers,
+    license blocks, navigation) that within-document signals
+    (``functions/text.dup_line_fraction``) cannot see.
+
+    Lines shorter than ``min_chars`` pass through unconditionally
+    (blank lines and separators are structure, not boilerplate).
+
+    Skew-safe 100 TB shape: the winner election groups by LINE HASH
+    with ``min(struct(id, line_no))`` — map-side combinable, and the
+    exchange carries only ``(hash, id, line_no)`` triples, so a line
+    occurring a billion times ("", "---") combines to one row per map
+    task instead of sorting a billion-row window partition. Full line
+    text shuffles exactly twice: the semi-join against the winner set
+    (keyed on ``(id, line_no)`` — unskewed by construction) and the
+    per-document reassembly groupBy.
+
+    Returns ``(id_col, text_col)`` with deduplicated text; documents
+    whose every eligible line was removed keep their surviving short
+    lines (possibly the empty string).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
+    )
+    eligible = lines.filter(F.length("_line") >= min_chars) if min_chars else lines
+    winners = (
+        eligible.select(
+            md5_long(F.col("_line")).alias("_h"), id_col, "_line_no"
+        )
+        .groupBy("_h")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("_line_no").alias("n"))
+            ).alias("_w")
+        )
+        .select(F.col("_w.i").alias(id_col), F.col("_w.n").alias("_line_no"))
+    )
+    if min_chars:
+        short = lines.filter(F.length("_line") < min_chars).select(
+            id_col, "_line_no"
+        )
+        keep_keys = winners.unionByName(short)
+    else:
+        keep_keys = winners
+    kept = lines.join(keep_keys, [id_col, "_line_no"], "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_line_no"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # documents that lost every line still come back (empty text)
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
 def dedup_rank(
     df: DataFrame, group_col: str, id_col: str, keep: str = "min"
 ) -> DataFrame:
