@@ -341,3 +341,38 @@ def test_e4_compression_band(spark):
     )
     assert {r.doc_id for r in out.select("doc_id").collect()} == {1}
     spark.catalog.clearCache()
+
+
+def test_e4_line_dedup_stage(spark):
+    """line_dedup_min_chars strips cross-corpus boilerplate before
+    profiling: token counts and dedup keys see the stripped text, and
+    a doc that was pure boilerplate survives with zero tokens (the
+    quality/min-token gates downstream decide its fate, not the dedup
+    stage)."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    header = "SPDX license header line that repeats everywhere"
+    rows = [
+        (1, f"{header}\nalpha document body with ordinary varied words", "en", "web"),
+        (2, f"{header}\nbeta document body with other ordinary words", "en", "web"),
+        (3, header, "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.01,
+        line_dedup_min_chars=5,
+        jaccard_threshold=1.01,
+        shard_budget=10**6,
+        hash_mode="oracle",
+    ).collect()
+    kept = {r.doc_id: r for r in out}
+    assert set(kept) == {1, 2, 3}
+    # doc 3 lost its only (boilerplate) line: profiled at zero tokens
+    assert kept[3].n_tokens == 0
+    # doc 1 keeps the header (first occurrence); doc 2 lost it, so its
+    # token count reflects only the body
+    assert kept[1].n_tokens > kept[2].n_tokens
+    spark.catalog.clearCache()

@@ -139,6 +139,7 @@ def e4_corpus_prep(
     text_col: str = "text",
     min_quality: float = 0.3,
     redact: bool = False,
+    line_dedup_min_chars: int | None = None,
     max_dup_line_frac: float | None = None,
     compression_bounds: tuple[float, float] | None = None,
     eval_df: DataFrame | None = None,
@@ -165,7 +166,11 @@ def e4_corpus_prep(
        one codegen pass over the scan.
     1b. **Hygiene** (optional) — ``redact=True`` rewrites PII spans to
        placeholders BEFORE anything hashes the text (so dedup keys and
-       shards see the redacted form); ``max_dup_line_frac`` drops
+       shards see the redacted form); ``line_dedup_min_chars`` runs
+       corpus-WIDE line dedup (the C4 construction,
+       ``operators/dedup.line_dedup_corpus``) before profiling, so
+       token counts, quality scores and every downstream hash see the
+       boilerplate-stripped text; ``max_dup_line_frac`` drops
        documents whose duplicate-line fraction exceeds the cap (the
        Gopher repetition filter, ``functions/text.py``);
        ``compression_bounds=(lo, hi)`` keeps only documents whose zlib
@@ -236,6 +241,16 @@ def e4_corpus_prep(
         from vbb_data_pipeline_spark.functions.text import redact_pii
 
         docs = docs.withColumn(text_col, redact_pii(text_col))
+    if line_dedup_min_chars is not None:
+        from vbb_data_pipeline_spark.operators.dedup import line_dedup_corpus
+
+        deduped_text = line_dedup_corpus(
+            docs.select(id_col, text_col),
+            text_col,
+            id_col,
+            min_chars=line_dedup_min_chars,
+        )
+        docs = docs.drop(text_col).join(deduped_text, id_col)
     profiled = docs.withColumn("n_tokens", bpe_token_count(text_col)).withColumn(
         "quality", quality_score(text_col)
     )
@@ -288,13 +303,7 @@ def e4_corpus_prep(
         # the vector served its purpose: don't ship ~dim*8 bytes/row
         # through the split/mix/pack exchange and into the output
         exact = exact.drop(embedding_col)
-    # connected_components materializes its label frames eagerly
-    # (localCheckpoint per round), so by the time it returns, the
-    # candidate frame jaccard_pairs persisted has served its purpose —
-    # release it here instead of passing the cache-lifetime contract
-    # (operators/dedup.py jaccard_pairs docstring) on to E4's callers.
     clusters = connected_components(near)
-    cands.unpersist()
     losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
