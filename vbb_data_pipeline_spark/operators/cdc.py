@@ -200,9 +200,17 @@ def scd2_apply(
     history = dim.filter(~is_open)
     current = dim.filter(is_open).withColumn(valid_to, high)
 
+    # The diff — changed keys only, small by CDC nature — feeds three
+    # consumers (close / pass-through / open). Without materialization
+    # each replays the full-outer digest join AND both snapshot scans
+    # (measured: 9 scans, 12 exchanges, zero ReusedExchange in the
+    # executed plan). localCheckpoint computes it once and truncates
+    # lineage; deliberately NOT persist() — a persisted plan taxes
+    # every later query in the session via CacheManager plan
+    # comparison (see operators/dedup.jaccard_pairs).
     diff = snapshot_diff(
         current.select(*ks, *attrs), snapshot.select(*ks, *attrs), ks, attrs
-    )
+    ).localCheckpoint()
     closed = (
         current.join(
             diff.filter(F.col("op").isin("update", "delete")), ks, "left_semi"
