@@ -30,6 +30,7 @@ NON_QUERY_ROWS = [
     ("ext: benchmark decontamination", "operators/contamination.contamination_report / decontaminate (eval n-gram set broadcast; corpus text never shuffles — only matching (doc_id, gram_hash) pairs move)", "tests/test_contamination.py (raw-gram DuckDB differential — also cross-checks the hash join; plan hygiene)"),
     ("§2.9 ext: stream-stream interval join", "streaming/joins.interval_join (watermark-bounded state; batch ≡ stream)", "tests/test_streaming.py (stream vs batch twin)"),
     ("S8 streaming twin: idempotent sink", "streaming/sinks.write_stream_idempotent (foreachBatch conflict-ignoring append)", "tests/test_layout_sinks.py (full replay inserts 0 rows)"),
+    ("ext: streaming CDC (SCD2 sink)", "streaming/sinks.write_stream_scd2 / scd2_batch_fold (snapshot micro-batches folded into a stored SCD2 dimension via foreachBatch; atomic temp-and-swap rewrite, checkpoint-idempotent)", "tests/test_stream_scd2.py (two-batch fold: update/delete/insert + history + replay no-op)"),
     ("§4 storage layout", "sources/layout.write_bucketed / write_partitioned (co-located joins, partition pruning)", "tests/test_layout_sinks.py + tests/test_bucketing.py (0-Exchange join)"),
     ("ext: corpus sampling & sharding", "operators/sampling.deterministic_split / stratified_sample / pack_token_shards / weighted_domain_mix (hash-deterministic membership — stable under corpus growth; NULL-total; codegen-native; packer = 1 shuffle, rest = 0) + stratified_sample_n (exact per-stratum counts, nested under target shrink — the eval-set builder)", "tests/test_sampling.py (full-assignment DuckDB differentials + plan hygiene + randomized pack property)"),
     ("ext: append-only corpus growth", "operators/sampling.shard_manifest + pack_token_shards_incremental (resume greedy packing from a catalog-scale manifest broadcast — new batches never repack or rewrite existing shards)", "tests/test_sampling.py (increment-vs-single-pass equivalence on the corpus; oversized-tail + new-group edges)"),
