@@ -38,3 +38,33 @@ def test_long_chain_converges_with_few_rounds(spark):
 def test_bridge_merges_components(spark):
     got = _cc(spark, [(1, 2), (10, 11), (2, 10)])
     assert set(got.values()) == {1}
+
+
+def test_lsh_bucket_size_cap(spark):
+    """max_bucket_size drops pathological buckets (the quadratic-skew
+    guard) without touching small buckets."""
+    from vbb_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "identical boilerplate text block") for i in range(10)]
+    rows += [(100, "a different shared document body"),
+             (101, "a different shared document body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, "text", "doc_id", hash_mode="oracle")
+
+    unc = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", hash_mode="oracle").collect()
+    }
+    cap = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", hash_mode="oracle", max_bucket_size=5
+        ).collect()
+    }
+    # uncapped: the 10-clone group is fully paired (45 pairs) + (100,101)
+    assert (100, 101) in unc and len(unc) == 46
+    # capped at 5: the size-10 buckets vanish; the size-2 bucket stays
+    assert cap == {(100, 101)}

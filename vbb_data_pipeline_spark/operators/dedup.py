@@ -100,6 +100,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     hash_mode: str = "fast",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes // bands`` rows; docs sharing any band hash are
@@ -107,8 +108,19 @@ def lsh_candidate_pairs(
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``. The
     band-bucket self-join is the scale path: shuffle on band key,
-    never O(n²). Fast mode buckets on an int64 ``xxhash64`` of the
-    band (8-byte shuffle key) instead of a 32-char md5 hex string.
+    never O(n²) — EXCEPT inside a degenerate bucket. A band value
+    shared by millions of documents (empty docs, a boilerplate
+    template) makes that one bucket quadratic: 10M occupants = 50×10¹²
+    pairs from a single reducer. ``max_bucket_size`` caps it: buckets
+    with more occupants are dropped from candidate generation (one
+    extra map-side-combinable count per bucket — the occupancy frame
+    is (bucket, n), not pairs). The standard recall argument: a
+    near-dup pair colliding ONLY in a pathological bucket has
+    `bands - 1` other chances, and members of such buckets are better
+    handled by exact/fingerprint dedup (identical content) than by a
+    quadratic join. Default None preserves exact recall — the
+    oracle-checked registry query replays banding without a cap;
+    set it (e.g. 100_000) for production corpus runs.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -122,6 +134,14 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("_bucket"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            melted.groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("_bucket")
+        )
+        melted = melted.join(ok, "_bucket", "left_semi")
     a = melted.alias("a")
     b = melted.alias("b")
     pairs = (
