@@ -215,3 +215,75 @@ def test_cosine_udf_null_safe(spark):
     got = {r.id: r.c for r in df.select("id", cosine_udf("a", "b").alias("c")).collect()}
     assert abs(got[1] - 1.0) < 1e-9
     assert got[2] is None and got[3] is None
+
+
+# --------------------------------------------------------------------------
+# Audio: real WAV/PCM decode + features
+# --------------------------------------------------------------------------
+def _make_wav(rate=8000, channels=1, sampwidth=2, seconds=0.1, freq=440.0):
+    import io
+    import math
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = math.sin(2 * math.pi * freq * i / rate)
+            if sampwidth == 1:
+                frames += bytes([int(128 + 127 * v)] * channels)
+            else:
+                s = int(32767 * v).to_bytes(2, "little", signed=True)
+                frames += s * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav(spark):
+    import math
+
+    from vbb_data_pipeline_spark.operators.multimodal import audio_features
+
+    wav = _make_wav()
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = audio_features(df).collect()[0]
+    assert row.status == "ok"
+    assert row.sample_rate == 8000 and row.channels == 1 and row.bits == 16
+    assert row.n_samples == 800
+    assert abs(row.duration_ms - 100.0) < 1e-9
+    # a full-scale sine has rms ~ 1/sqrt(2) and peak ~ 1
+    assert abs(row.rms - 1 / math.sqrt(2)) < 0.01
+    assert 0.98 <= row.peak <= 1.0
+    # 440 Hz at 8 kHz crosses zero ~880 times/s -> zcr ~ 0.11
+    assert 0.09 <= row.zero_crossing_rate <= 0.13
+
+
+def test_audio_features_stereo_8bit_and_unsupported(spark):
+    from vbb_data_pipeline_spark.operators.multimodal import audio_features
+
+    stereo = _make_wav(channels=2, sampwidth=1)
+    rows = spark.createDataFrame(
+        [(1, bytearray(stereo)), (2, bytearray(b"\x00\x01not audio"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in audio_features(rows).collect()}
+    assert out[1].status == "ok"
+    assert out[1].channels == 2 and out[1].bits == 8
+    assert out[1].rms is not None
+    assert out[2].status == "unsupported"
+    assert out[2].sample_rate is None
+
+
+def test_audio_stage_is_single_python_pass(spark):
+    from vbb_data_pipeline_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_wav()))], "doc_id long, payload binary"
+    )
+    plan = audio_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan

@@ -353,3 +353,119 @@ def frame_sample(
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode + features (WAV/PCM, pure stdlib + numpy)
+# ---------------------------------------------------------------------------
+#: Output schema of the audio feature stage.
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+#: WAV sample width (bytes) → numpy dtype of the PCM frames.
+_PCM_DTYPES = {1: "u1", 2: "<i2", 4: "<i4"}
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE PCM payload → (meta dict, float samples in
+    [-1, 1] mono-mixed) or ``None`` for non-WAV / compressed audio.
+
+    Pure stdlib (``wave``) + numpy: PCM needs no codec library, so —
+    like PPM images and Y4M video — the audio path is REAL end-to-end
+    in this engine. Compressed formats (mp3/ogg/flac) would slot in
+    behind the same signature once a decoder is present.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            meta = {
+                "sample_rate": w.getframerate(),
+                "channels": w.getnchannels(),
+                "bits": w.getsampwidth() * 8,
+                "n_samples": w.getnframes(),
+            }
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    dtype = _PCM_DTYPES.get(meta["bits"] // 8)
+    if dtype is None:
+        return meta, None  # metadata-only (e.g. 24-bit PCM)
+    x = np.frombuffer(raw, dtype=dtype).astype("float64")
+    if meta["bits"] == 8:  # unsigned with 128 midpoint
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(1 << (meta["bits"] - 1))
+    if meta["channels"] > 1:
+        x = x[: len(x) - len(x) % meta["channels"]]
+        x = x.reshape(-1, meta["channels"]).mean(axis=1)
+    return meta, x
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio feature stage: binary payload → typed metadata + signal
+    features (RMS, peak, zero-crossing rate), one Arrow-batched
+    ``mapInPandas`` pass, no shuffle.
+
+    REAL for WAV/PCM; other payloads emit a metadata row tagged
+    ``unsupported`` (total — never fails the stage). The features are
+    the standard cheap quality signals for audio corpus curation:
+    silence/clipping detection (rms/peak) and noisiness (zcr).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_bytes = len(payload)
+                decoded = decode_wav(payload)
+                if decoded is None:
+                    rows.append(
+                        (doc_id, n_bytes, None, None, None, None, None,
+                         None, None, None, "unsupported")
+                    )
+                    continue
+                meta, x = decoded
+                dur = (
+                    meta["n_samples"] / meta["sample_rate"] * 1000.0
+                    if meta["sample_rate"]
+                    else None
+                )
+                if x is None or not len(x):
+                    rows.append(
+                        (doc_id, n_bytes, meta["sample_rate"],
+                         meta["channels"], meta["bits"], meta["n_samples"],
+                         dur, None, None, None, "metadata_only")
+                    )
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                peak = float(np.max(np.abs(x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append(
+                    (doc_id, n_bytes, meta["sample_rate"], meta["channels"],
+                     meta["bits"], meta["n_samples"], dur,
+                     round(rms, 6), round(peak, 6), round(zcr, 6), "ok")
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return df.select(id_col, "payload").mapInPandas(batches, AUDIO_SCHEMA)
