@@ -43,7 +43,7 @@ NON_QUERY_ROWS = [
     ("ext: ANN scale paths", "operators/similarity.brute_force_topk_arrow (broadcast query matrix, per-batch BLAS matmul, pair-free) + ivf_write_index / ivf_topk_from_index (inverted lists as cell_id-partitioned storage, partition-pruned probes) + kmeans_centroids_local (FAISS-style sample-to-driver training)", "tests/test_similarity_arrow.py (expression-path parity, partition-boundary, pruning plan)"),
     ("§2.9 ext: Spark 4 stateful API", "streaming/stateful.running_counts_tws (transformWithStateInPandas, named ValueState, RocksDB provider; capability-gated on protobuf)", "tests/test_streaming.py (gate + batch parity where runnable)"),
     ("ext: format coverage", "ORC / JSON-lines / CSV round trips with pushdown", "tests/test_formats.py"),
-    ("ext: multimodal resize / frame-sample", "operators/multimodal.resize_images (REAL for PPM; PIL-gated for codecs) + frame_sample (REAL for Y4M video)", "tests/test_multimodal.py"),
+    ("ext: multimodal resize / frame-sample / audio", "operators/multimodal.resize_images (REAL for PPM; PIL-gated for codecs) + frame_sample (REAL for Y4M video) + audio_features (REAL WAV/PCM decode: RMS / peak / zero-crossing-rate via stdlib wave + numpy, one mapInPandas pass)", "tests/test_multimodal.py (incl. sine-wave physics checks)"),
 ]
 
 

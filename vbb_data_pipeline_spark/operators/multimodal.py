@@ -1,15 +1,17 @@
 """Multimodal column plumbing (north-star extension).
 
 Image/audio/video payloads are opaque ``BinaryType`` columns with
-typed metadata; decode / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. All stages are REAL for the formats a pure
-stdlib can handle — PNG/GIF/JPEG header decode
+typed metadata; decode / resize / frame-sample / audio-feature
+stages run as Arrow-batched ``mapInPandas``. All stages are REAL for
+the formats a pure stdlib can handle — PNG/GIF/JPEG header decode
 (:func:`parse_image_header`), binary-PPM nearest-neighbor resize
 (:func:`resize_payload`), Y4M video frame sampling
-(:func:`frame_sample`) — and total for everything else: payloads
-needing an absent codec (PNG/JPEG pixel data, h264) pass through
-tagged ``unsupported`` / yield zero frames instead of failing the
-stage. PIL is used automatically when importable.
+(:func:`frame_sample`), WAV/PCM audio decode + signal features
+(:func:`decode_wav` / :func:`audio_features`) — and total for
+everything else: payloads needing an absent codec (PNG/JPEG pixel
+data, h264, mp3) pass through tagged ``unsupported`` / yield zero
+frames instead of failing the stage. PIL is used automatically when
+importable.
 """
 
 from __future__ import annotations
