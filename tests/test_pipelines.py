@@ -376,3 +376,33 @@ def test_e4_line_dedup_stage(spark):
     # token count reflects only the body
     assert kept[1].n_tokens > kept[2].n_tokens
     spark.catalog.clearCache()
+
+
+def test_e4_lm_band(spark):
+    """lm_band drops the far-from-corpus tail (CCNet cut): gibberish
+    scores in the bottom percentiles and is removed; ordinary prose
+    survives."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    prose = [
+        (i, f"the quick brown fox story number {i} continues along the "
+            "river with ordinary words and the usual rhythm of prose",
+         "en", "web")
+        for i in range(1, 9)
+    ]
+    rows = prose + [(99, "zqx vkj wpm qqq zzz xxx jjj kkk", "en", "spam")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        lm_band=(0.2, 1.0),
+        jaccard_threshold=1.01,
+        shard_budget=10**6,
+        hash_mode="oracle",
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 99 not in kept
+    assert len(kept) >= 6  # the prose bulk survives
+    spark.catalog.clearCache()

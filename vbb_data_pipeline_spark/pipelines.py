@@ -140,6 +140,8 @@ def e4_corpus_prep(
     min_quality: float = 0.3,
     redact: bool = False,
     line_dedup_min_chars: int | None = None,
+    lm_band: tuple[float, float] | None = None,
+    lm_vocab_size: int = 50_000,
     max_dup_line_frac: float | None = None,
     compression_bounds: tuple[float, float] | None = None,
     eval_df: DataFrame | None = None,
@@ -178,7 +180,12 @@ def e4_corpus_prep(
        repetitive/templated garbage, above ``hi`` is random/binary
        spill (``functions/udfs.compression_signals``; the one
        Arrow-batched Python stage in the pipeline, skipped entirely
-       when the bound is None).
+       when the bound is None); ``lm_band=(lo_pct, hi_pct)`` applies
+       the CCNet cut — self-train a unigram LM on the corpus
+       (``operators/lm.py``) and keep only documents whose mean token
+       log-prob falls between those score percentiles (0.0-1.0),
+       dropping the far-from-corpus tail (garbage) and optionally the
+       too-templated head.
     2. **Quality gate** — drop documents below ``min_quality``
        (C4/Gopher-style filtering).
     2b. **Decontamination** (when ``eval_df`` is given) — drop
@@ -267,6 +274,24 @@ def e4_corpus_prep(
         lo, hi = compression_bounds
         ratio = compression_signals(F.col(text_col)).getField("ratio")
         kept = kept.filter(ratio.between(F.lit(float(lo)), F.lit(float(hi))))
+    if lm_band is not None:
+        from vbb_data_pipeline_spark.operators.lm import lm_quality_scores
+
+        lo_pct, hi_pct = lm_band
+        scores = lm_quality_scores(
+            kept.select(id_col, text_col), text_col, id_col,
+            vocab_size=lm_vocab_size,
+        ).select(id_col, "lm_score")
+        # two corpus-level scalars (the band edges) — model metadata,
+        # like the unigram totals themselves
+        edges = scores.agg(
+            F.percentile("lm_score", F.lit(float(lo_pct))).alias("lo"),
+            F.percentile("lm_score", F.lit(float(hi_pct))).alias("hi"),
+        ).collect()[0]
+        in_band = scores.filter(
+            F.col("lm_score").between(F.lit(edges.lo), F.lit(edges.hi))
+        ).select(id_col)
+        kept = kept.join(in_band, id_col, "left_semi")
     if eval_df is not None:
         from vbb_data_pipeline_spark.operators.contamination import decontaminate
 
