@@ -462,10 +462,15 @@ def kmeans_centroids_local(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
-    sample_n: int = 1 << 20,
+    sample_n: int = 1 << 18,
     cache_key: str | None = None,
 ) -> DataFrame:
     """Sample-to-driver Lloyd k-means → tiny ``(cell_id, vec)`` table.
+
+    ``sample_n`` bounds driver memory: 262k × 1024-dim float64 ≈ 2 GB
+    worst case; FAISS guidance is ~(100-1000)×n_cells training points,
+    so shrink it for small cell counts and large dims rather than
+    raising it — quantizer quality saturates long before the corpus.
 
     The 100 TB IVF pattern (what FAISS and Spark ML both do): the
     coarse quantizer is trained on a bounded SAMPLE collected to one
