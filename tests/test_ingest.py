@@ -115,3 +115,30 @@ def test_idempotent_double_load(spark, gtfs_zip):
     t2 = read_gtfs_zip(spark, gtfs_zip, run_id=8, provider_id="vbb")["stops"]
     third = idempotent_append(second, t2, "stops")
     assert third.count() == 4
+
+
+def test_distributed_zip_corrupt_handling(spark, tmp_path):
+    """A truncated archive fails loudly by default and is skipped with
+    skip_corrupt=True."""
+    import pytest
+
+    from vbb_data_pipeline_spark.sources.gtfs import read_gtfs_zips_distributed
+
+    good = tmp_path / "vbb" / "2024-02-01.zip"
+    good.parent.mkdir(parents=True)
+    with zipfile.ZipFile(good, "w") as zf:
+        zf.writestr("stops.txt", STOPS_CSV)
+    bad = tmp_path / "vbb" / "2024-02-02.zip"
+    bad.write_bytes(b"PK\x03\x04 this is not really a zip archive")
+    run_ids = {("vbb", "2024-02-01"): 1, ("vbb", "2024-02-02"): 2}
+
+    with pytest.raises(Exception):
+        read_gtfs_zips_distributed(
+            spark, f"{tmp_path}/*/", "stops", run_ids
+        ).collect()
+
+    ok = read_gtfs_zips_distributed(
+        spark, f"{tmp_path}/*/", "stops", run_ids, skip_corrupt=True
+    ).collect()
+    assert {r.run_id for r in ok} == {1}
+    assert len(ok) == 2

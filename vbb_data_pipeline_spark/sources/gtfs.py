@@ -126,6 +126,7 @@ def read_gtfs_zips_distributed(
     landing_glob: str,
     table: str,
     run_ids: dict[tuple[str, str], int],
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """S6 at landing-zone scale: executor-side zip extraction.
 
@@ -147,6 +148,13 @@ def read_gtfs_zips_distributed(
     ``(provider_id, run_date)`` — derived from the path per F9 — to
     the catalog-assigned run id; archives without an entry (not yet
     registered) or without the member are skipped.
+
+    ``skip_corrupt``: a landing zone at scale always contains some
+    truncated/garbled archives (interrupted uploads). Default False
+    fails the task loudly (correct for catalog-scale loads where every
+    archive matters); True skips undecodable archives so one bad
+    upload cannot stall a corpus-wide backfill — pair with a
+    reconciliation count against the catalog.
     """
     schema = _csv_read_schema(table)
     out_names = [f.name for f in schema.fields]
@@ -174,21 +182,28 @@ def read_gtfs_zips_distributed(
                 rid = run_map.get((provider, pure.stem))
                 if rid is None:
                     continue
-                with zf_mod.ZipFile(io.BytesIO(content)) as z:
-                    member = next(
-                        (
-                            m
-                            for m in z.namelist()
-                            if PurePosixPath(m).stem.lower() == table
-                        ),
-                        None,
-                    )
-                    if member is None:
+                try:
+                    with zf_mod.ZipFile(io.BytesIO(content)) as z:
+                        member = next(
+                            (
+                                m
+                                for m in z.namelist()
+                                if PurePosixPath(m).stem.lower() == table
+                            ),
+                            None,
+                        )
+                        if member is None:
+                            continue
+                        text = io.TextIOWrapper(
+                            z.open(member), encoding="utf-8-sig"
+                        )
+                        reader = csv.reader(text)
+                        header = [sanitize_header(c) for c in next(reader, [])]
+                        rows = list(reader)
+                except (zf_mod.BadZipFile, OSError, UnicodeDecodeError):
+                    if skip_corrupt:
                         continue
-                    text = io.TextIOWrapper(z.open(member), encoding="utf-8-sig")
-                    reader = csv.reader(text)
-                    header = [sanitize_header(c) for c in next(reader, [])]
-                    rows = list(reader)
+                    raise
                 data = {}
                 for name in out_names:
                     if name in header:
