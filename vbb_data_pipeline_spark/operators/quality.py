@@ -62,3 +62,63 @@ def dq_null_report(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in cols
     ]
     return df.agg(*aggs)
+
+
+#: Types whose min/max stringify deterministically across engines.
+_ORDERED_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float",
+                  "string", "date", "timestamp", "timestamp_ntz", "decimal")
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass column profile: ``(column, dtype, n, n_null,
+    n_distinct, min_value, max_value)`` — the summary a pipeline
+    writes next to every landed table (what Deequ/Great Expectations
+    call a profile, reduced to the aggregates Spark computes in a
+    single wide aggregation).
+
+    One job, one reduce: all per-column aggregates evaluate in the
+    same partial-aggregation pass, so profiling never rescans the
+    table per column. ``exact_distinct=False`` (default) uses HLL —
+    the 100 TB mode; ``True`` uses exact distinct counts (test /
+    oracle mode; Spark plans one Expand over the distinct sets, still
+    a single scan). min/max are emitted as strings so the result
+    schema is column-count-independent; complex types (arrays,
+    structs, maps, binary) profile counts only.
+    """
+    names = [c for c in (cols or df.columns)]
+    dtypes = dict(df.dtypes)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+        )
+        aggs.append(
+            (
+                F.countDistinct(c)
+                if exact_distinct
+                else F.approx_count_distinct(c, 0.01)
+            ).alias(f"_dist_{c}")
+        )
+        orderable = any(dtypes[c].startswith(t) for t in _ORDERED_TYPES)
+        null_s = F.lit(None).cast("string")
+        aggs.append(
+            (F.min(c).cast("string") if orderable else null_s).alias(f"_min_{c}")
+        )
+        aggs.append(
+            (F.max(c).cast("string") if orderable else null_s).alias(f"_max_{c}")
+        )
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into one row per column: the stack
+    # happens on ONE row, so this costs nothing at any scale
+    parts = ", ".join(
+        f"'{c}', '{dtypes[c]}', _n, _null_{c}, _dist_{c}, _min_{c}, _max_{c}"
+        for c in names
+    )
+    return wide.selectExpr(
+        f"stack({len(names)}, {parts}) AS "
+        "(column, dtype, n, n_null, n_distinct, min_value, max_value)"
+    )
