@@ -60,8 +60,9 @@ def test_flagship_no_python_eval(spark, reg):
 def test_dedup_minhash_bounded_exchanges(spark, reg):
     """MinHash+LSH pipeline: explode→agg→band-join→semi-join→re-rank —
     shuffle count must stay bounded (no accidental cartesian/resort
-    cascades). The plan re-states the persisted candidate lineage, so
-    the static count is generous; the runtime executes it once."""
+    cascades). Candidates are localCheckpoint-ed (computed once,
+    lineage truncated), so the visible plan is the re-rank over the
+    materialized candidate RDD."""
     df = reg["dedup_minhash_lsh"].fn(spark, SF)
     assert count_exchanges(df) <= 16
 
