@@ -111,3 +111,34 @@ def test_ivf_index_matches_inline_and_prunes(spark, emb, tmp_path):
         "cell_id" in seg[:200]
         for seg in plan.split("PartitionFilters")[1:]
     ), plan
+
+
+def test_embedding_neardup_bucket_cap(spark, emb):
+    """max_bucket_size drops degenerate hyperplane buckets (identical
+    embedding spikes) from the quadratic pair stage."""
+    from vbb_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    base = emb.select("vec_id", "embedding").limit(50)
+    one = base.limit(1).select(F.col("embedding").alias("_e"))
+    spike = (
+        base.limit(20)
+        .crossJoin(one)
+        .select((F.col("vec_id") + 10_000).alias("vec_id"),
+                F.col("_e").alias("embedding"))
+    )
+    corpus = base.unionByName(spike)
+
+    unc = embedding_neardup_pairs(corpus, dim=64, threshold=0.9)
+    cap = embedding_neardup_pairs(
+        corpus, dim=64, threshold=0.9, max_bucket_size=10
+    )
+    unc_pairs = {(r.id_a, r.id_b) for r in unc.collect()}
+    cap_pairs = {(r.id_a, r.id_b) for r in cap.collect()}
+    spike_pairs = {p for p in unc_pairs if p[0] >= 10_000 and p[1] >= 10_000}
+    # uncapped sees the quadratic spike (20 clones -> 190 pairs)
+    assert len(spike_pairs) >= 190
+    # capped: the spike's bucket (>10 occupants) is gone entirely
+    assert not any(p[0] >= 10_000 and p[1] >= 10_000 for p in cap_pairs)
+    assert cap_pairs <= unc_pairs

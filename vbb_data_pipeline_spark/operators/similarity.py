@@ -811,6 +811,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate candidate pairs: LSH-blocked cosine.
 
@@ -827,9 +828,14 @@ def embedding_neardup_pairs(
     is the scale lever: 2^planes buckets must keep the expected bucket
     occupancy small relative to the corpus (raise it as the corpus
     grows; at 100 TB you want enough planes that a bucket holds
-    thousands, not millions). NULL vectors are excluded up front —
-    they would all collide into one bucket and contribute nothing but
-    NULL cosines.
+    thousands, not millions). ``max_bucket_size`` is the backstop for
+    degenerate buckets the planes cannot split (e.g. a spike of
+    identical embeddings): over-occupied buckets are dropped after a
+    map-side occupancy count, exactly like
+    ``dedup.lsh_candidate_pairs`` — identical-vector spikes are
+    exact-dedup territory, not a quadratic join's. NULL vectors are
+    excluded up front — they would all collide into one bucket and
+    contribute nothing but NULL cosines.
     """
     b = hyperplane_lsh_buckets(
         embeddings.filter(F.col(vec_col).isNotNull()),
@@ -838,6 +844,14 @@ def embedding_neardup_pairs(
         id_col=id_col,
         vec_col=vec_col,
     )
+    if max_bucket_size is not None:
+        ok = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        b = b.join(ok, "bucket", "left_semi")
     bd = b.select(
         "bucket", F.col(id_col), F.col(vec_col).alias("_v")
     ).withColumn("_n", l2_norm(F.col("_v"), dim))
