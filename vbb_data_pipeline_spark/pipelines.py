@@ -148,6 +148,7 @@ def e4_corpus_prep(
     eval_text_col: str = "text",
     decontam_min_matches: int = 5,
     jaccard_threshold: float = 0.8,
+    lsh_max_bucket_size: int | None = None,
     embedding_col: str | None = None,
     embedding_dim: int = 64,
     embedding_planes: int = 8,
@@ -205,6 +206,9 @@ def e4_corpus_prep(
        shingles, and only the embedding signal catches them. Size
        ``embedding_planes`` to the corpus: the within-bucket join is
        quadratic per bucket, so 2^planes must keep buckets small.
+       ``lsh_max_bucket_size`` is the degenerate-bucket backstop for
+       BOTH candidate generators (MinHash bands and hyperplane
+       buckets) — see ``operators/dedup.lsh_candidate_pairs``.
     5. **Split** — hash-deterministic train/val/test assignment, stable
        under corpus growth.
     6. **Mix** (optional) — epoch-aware weighted domain up/down-sampling
@@ -307,7 +311,9 @@ def e4_corpus_prep(
     exact = fingerprint_dedup(kept, text_col, id_col)
 
     sigs = minhash_signatures(exact, text_col, id_col, hash_mode=mode)
-    cands = lsh_candidate_pairs(sigs, id_col, hash_mode=mode)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, hash_mode=mode, max_bucket_size=lsh_max_bucket_size
+    )
     near = jaccard_pairs(exact, cands, text_col, id_col).filter(
         F.col("jaccard") >= F.lit(jaccard_threshold)
     ).select("id_a", "id_b")
@@ -323,6 +329,7 @@ def e4_corpus_prep(
             threshold=cosine_threshold,
             id_col=id_col,
             vec_col=embedding_col,
+            max_bucket_size=lsh_max_bucket_size,
         ).select("id_a", "id_b")
         near = near.unionByName(semantic).distinct()
         # the vector served its purpose: don't ship ~dim*8 bytes/row
