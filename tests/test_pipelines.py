@@ -406,3 +406,34 @@ def test_e4_lm_band(spark):
     assert 99 not in kept
     assert len(kept) >= 6  # the prose bulk survives
     spark.catalog.clearCache()
+
+
+def test_e4_normalize_stage(spark):
+    """normalize=True makes NFKC-divergent duplicates collapse in the
+    fingerprint dedup stage."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    rows = [
+        (1, "the file café menu appears with ordinary words around it", "en", "web"),
+        (2, "the ﬁle café menu appears with ordinary words around it", "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    kept_raw = {
+        r.doc_id
+        for r in e4_corpus_prep(
+            docs, min_quality=0.0, jaccard_threshold=1.01,
+            shard_budget=10**6, hash_mode="oracle",
+        ).select("doc_id").collect()
+    }
+    assert kept_raw == {1, 2}  # ligature splits the fingerprint group
+    kept_norm = {
+        r.doc_id
+        for r in e4_corpus_prep(
+            docs, min_quality=0.0, normalize=True, jaccard_threshold=1.01,
+            shard_budget=10**6, hash_mode="oracle",
+        ).select("doc_id").collect()
+    }
+    assert kept_norm == {1}  # normalized duplicates collapse, lowest id wins
+    spark.catalog.clearCache()

@@ -245,6 +245,44 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+#: Control (Cc minus \\t \\n \\r) + common format (Cf) characters:
+#: soft hyphen, zero-width spaces/joiners, bidi marks, word joiner,
+#: invisible operators, BOM. Explicit ranges — portable to RE2.
+CONTROL_FORMAT_RE = (
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+    "\u00ad\u200b-\u200f\u202a-\u202e\u2060-\u2064\ufeff]"
+)
+
+
+def clean_text(col: Column | str) -> Column:
+    """Codegen-native text cleanup — the pre-dedup normalization pass
+    every corpus pipeline runs before hashing anything:
+
+    * strip control/format characters (``\\p{Cc}\\p{Cf}``) except
+      newline and tab — zero-width joiners, BOMs, bidi marks et al.
+      make visually identical texts hash differently;
+    * tabs and runs of spaces collapse to one space; spaces around
+      newlines drop;
+    * runs of 3+ newlines collapse to 2 (paragraph break);
+    * leading/trailing whitespace trimmed.
+
+    Pure ``regexp_replace`` chain (no Python, no shuffle). The
+    control/format set is written as explicit code-point ranges (not
+    Java's ``\\p{Cf}&&...`` intersection syntax) so the identical
+    pattern runs in DuckDB/RE2 for differential tests. Unicode
+    canonical forms (NFC/NFKC) need a real Unicode library — see
+    ``functions/udfs.normalize_unicode`` for that Arrow-batched step;
+    run it BEFORE this when both apply.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "\r\n?", "\n")  # CRLF/CR → LF
+    c = F.regexp_replace(c, CONTROL_FORMAT_RE, "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(c)
+
+
 def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
     """Replace PII spans with ``<KIND>`` placeholders.
 

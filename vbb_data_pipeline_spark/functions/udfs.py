@@ -144,6 +144,46 @@ def chunk_native(text: Column | str, max_words: int) -> Column:
     )
 
 
+# ------------------------------------------- unicode normalization
+
+@pandas_udf(T.StringType())
+def _nfkc_pandas(text: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return text.map(
+        lambda t: unicodedata.normalize("NFKC", t) if t is not None else None
+    )
+
+
+@pandas_udf(T.StringType())
+def _nfc_pandas(text: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return text.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+def normalize_unicode(col: Column | str, form: str = "NFKC") -> Column:
+    """Unicode canonical/compatibility normalization (Arrow-batched).
+
+    The pre-dedup step ``functions/text.clean_text`` cannot do
+    natively: composed vs decomposed accents (é vs e+◌́), ligatures
+    (ﬁ → fi), full-width forms (Ａ → A) all hash differently while
+    reading identically, splitting dedup/fingerprint groups. Spark has
+    no built-in Unicode normalizer, so this is a justified pandas_udf
+    (stdlib ``unicodedata`` over Arrow batches); NFKC for corpus
+    hashing keys, NFC when compatibility folding is too lossy for the
+    stored text. NULL-total.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if form == "NFKC":
+        return _nfkc_pandas(c)
+    if form == "NFC":
+        return _nfc_pandas(c)
+    raise ValueError(f"unsupported form {form!r}: use 'NFC' or 'NFKC'")
+
+
 # ------------------------------------------- compression-based quality
 
 _COMPRESSION_SIGNALS_TYPE = T.StructType(

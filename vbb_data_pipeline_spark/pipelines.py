@@ -138,6 +138,7 @@ def e4_corpus_prep(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.3,
+    normalize: bool = False,
     redact: bool = False,
     line_dedup_min_chars: int | None = None,
     lm_band: tuple[float, float] | None = None,
@@ -167,9 +168,13 @@ def e4_corpus_prep(
 
     1. **Profile** — token count (BPE-ish) + heuristic quality score,
        one codegen pass over the scan.
-    1b. **Hygiene** (optional) — ``redact=True`` rewrites PII spans to
-       placeholders BEFORE anything hashes the text (so dedup keys and
-       shards see the redacted form); ``line_dedup_min_chars`` runs
+    1b. **Hygiene** (optional) — ``normalize=True`` applies NFKC
+       unicode normalization + control-char/whitespace cleanup first
+       (``functions/udfs.normalize_unicode`` + ``text.clean_text``) so
+       visually identical texts share dedup keys; ``redact=True``
+       rewrites PII spans to placeholders BEFORE anything hashes the
+       text (so dedup keys and shards see the redacted form);
+       ``line_dedup_min_chars`` runs
        corpus-WIDE line dedup (the C4 construction,
        ``operators/dedup.line_dedup_corpus``) before profiling, so
        token counts, quality scores and every downstream hash see the
@@ -248,6 +253,17 @@ def e4_corpus_prep(
     mode = hash_mode or default_hash_mode()
     weights = split_weights or {"train": 0.9, "val": 0.05, "test": 0.05}
 
+    if normalize:
+        # NFKC + control-char/whitespace cleanup FIRST: every
+        # downstream hash (fingerprints, MinHash shingles, line
+        # hashes) must see the normalized form or visually identical
+        # texts land in different dedup groups
+        from vbb_data_pipeline_spark.functions.text import clean_text
+        from vbb_data_pipeline_spark.functions.udfs import normalize_unicode
+
+        docs = docs.withColumn(
+            text_col, clean_text(normalize_unicode(text_col))
+        )
     if redact:
         from vbb_data_pipeline_spark.functions.text import redact_pii
 
