@@ -1,0 +1,59 @@
+"""PageRank vs a pure-Python power-iteration oracle (identical
+construction, identical arithmetic order not required — compared at
+rounded precision)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vbb_data_pipeline_spark.operators.graph import pagerank
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),  # d has in-degree 0
+    ("e", "e"),  # self-loop
+    # f: dangling (in-edges only)
+    ("a", "f"),
+]
+
+
+def _python_pagerank(edges, iters=10, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        new = {v: (1 - d) / n + d * dangling / n for v in nodes}
+        for s, t in edges:
+            new[t] += d * rank[s] / out[s]
+        rank = new
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+def test_pagerank_matches_python_oracle(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(edges, iters=10).collect()}
+    exp = _python_pagerank(EDGES, iters=10)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 2e-6, (v, got[v], exp[v])
+    # total rank mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_ordering_matches_oracle(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(edges, iters=15).collect()}
+    exp = _python_pagerank(EDGES, iters=15)
+    order = lambda d: sorted(d, key=lambda v: (-d[v], v))  # noqa: E731
+    assert order(got) == order(exp)
+    # a (sole recipient of hub c's mass) outranks the leaf b
+    assert got["a"] > got["b"]
+
+
+def test_pagerank_empty(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges).count() == 0
