@@ -498,3 +498,76 @@ def test_incremental_pack_null_group_and_manifest_merge(spark):
     # tail shard (60+60=120 crosses no second boundary), doc 5
     # continues into shard 1 — a shard-0 restart would give 0 here
     assert got[3] == 0 and got[5] == 1
+
+
+# ------------------------------------------- weighted sample (A-ES)
+def test_weighted_sample_n_matches_duckdb_replay(spark):
+    """The A-ES race is a pure function of (seed, key, weight): DuckDB
+    replaying the identical formula picks the identical id set."""
+    import duckdb
+
+    from vbb_data_pipeline_spark.operators.sampling import (
+        _U_MOD,
+        weighted_sample_n,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.length("text").alias("w")
+    )
+    got = {
+        r.doc_id
+        for r in weighted_sample_n(
+            docs, 50, "w", "doc_id", seed=7, hash_mode="oracle"
+        ).collect()
+    }
+    exp = {
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            WITH d AS (
+                SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+                       CAST(('0x' || substr(md5('ws|7|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM read_parquet('{sf}/documents.parquet')
+            )
+            SELECT doc_id FROM d
+            WHERE w > 0
+            ORDER BY -ln(((h % {_U_MOD}) + 0.5) / {float(_U_MOD)}) / w ASC,
+                     doc_id ASC
+            LIMIT 50
+            """
+        ).fetchall()
+    }
+    assert got == exp and len(got) == 50
+
+
+def test_weighted_sample_respects_weights(spark):
+    """Across seeds, heavy keys are drawn far more often than light
+    ones (sanity of proportionality, not an exact distribution test)."""
+    from vbb_data_pipeline_spark.operators.sampling import weighted_sample_n
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(110)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    heavy_hits = light_hits = 0
+    for seed in range(8):
+        picked = {
+            r.k
+            for r in weighted_sample_n(
+                df, 10, "w", "k", seed=seed, hash_mode="oracle"
+            ).collect()
+        }
+        assert len(picked) == 10
+        heavy_hits += sum(1 for k in picked if k < 10)
+        light_hits += sum(1 for k in picked if k >= 10)
+    assert heavy_hits > light_hits * 2
+
+
+def test_weighted_sample_excludes_bad_weights(spark):
+    from vbb_data_pipeline_spark.operators.sampling import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "k long, w double",
+    )
+    picked = {r.k for r in weighted_sample_n(df, 10, "w", "k").collect()}
+    assert picked == {1, 5}

@@ -145,6 +145,57 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+#: Modulus turning a hash into a uniform in (0, 1): 2^40 keeps
+#: ((h % M) + 0.5) / M exactly representable as a double in both
+#: engines (< 2^53 significand).
+_U_MOD = 1 << 40
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``n`` rows, inclusion probability proportional to ``weight_col``
+    (quality-weighted corpus draws, eval-set carving by score).
+
+    The Efraimidis-Spirakis A-ES construction: each row gets an
+    exponential race time ``es = -ln(u) / w`` with ``u`` uniform in
+    (0,1), and the ``n`` smallest win. ``u`` derives from the same
+    seeded hash as every membership decision here
+    (``(hash(seed|key) % 2^40 + 0.5) / 2^40``), so the sample is a
+    pure function of ``(seed, key, weight)`` — stable across reruns,
+    partitionings and engines, and replayable in a DuckDB oracle.
+
+    Rows with NULL or non-positive weight are excluded (they would
+    win never/always degenerately). Plan: one scalar expression per
+    row, then ``orderBy(es).limit(n)`` — TakeOrderedAndProject keeps a
+    per-partition top-``n`` heap and merges on the driver; the corpus
+    is never globally sorted. Tie-break on the key column.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    mode = hash_mode or default_hash_mode()
+    key_str = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY))
+    h = hash_long(F.concat(F.lit(f"ws|{seed}|"), key_str), mode)
+    u = ((h % F.lit(_U_MOD)).cast("double") + F.lit(0.5)) / F.lit(
+        float(_U_MOD)
+    )
+    w = F.col(weight_col).cast("double")
+    es = -F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_es", es)
+        .orderBy(F.col("_es").asc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("_es")
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     group_cols: list[str],
