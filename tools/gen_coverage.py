@@ -37,6 +37,7 @@ NON_QUERY_ROWS = [
     ("S5 at object-store scale", "sources/catalog.scan_landing_distributed (binaryFile listing, path-only)", "tests/test_catalog.py (parity with driver scan)"),
     ("§2.10 UDF/UDAF/UDTF trio", "functions/udfs: cosine_pandas (scalar pandas_udf), weighted_mean_pandas (grouped-agg UDAF) + native twin, ChunkDocument (Python UDTF, lateral context-window chunking) + chunk_native codegen twin", "tests/test_multimodal.py (scalar parity); tests/test_udaf_udtf.py (UDAF vs native, UDTF vs python + native twins, NULL totality)"),
     ("ext: TF-IDF top terms", "functions/text.tf_idf_top_terms (explode → 2 hash aggs → top-k window)", "tests/test_tfidf.py (DuckDB differential)"),
+    ("ext: weighted sampling (A-ES)", "operators/sampling.weighted_sample_n (Efraimidis-Spirakis exponential race over hash-derived uniforms — exactly n rows, odds proportional to weight, pure function of (seed,key,weight); TakeOrderedAndProject, no global sort)", "tests/test_sampling.py (DuckDB formula replay; proportionality; bad-weight totality)"),
     ("ext: graph ops (PageRank)", "operators/graph.pagerank (fixed-iteration power method; rank-to-edges join + map-side groupBy per round, dangling mass via scalar aggregate, localCheckpoint per round) — host-rank quality weighting; CC lives in operators/dedup.connected_components", "tests/test_graph.py (Python power-iteration oracle, mass conservation, ordering)"),
     ("ext: text normalization", "functions/text.clean_text (codegen regexp chain: CRLF fold, control/format strip, whitespace collapse) + functions/udfs.normalize_unicode (NFKC/NFC pandas_udf — no Catalyst Unicode normalizer exists); E4 normalize=True runs both before any hashing", "tests/test_normalize.py (DuckDB chain differential; unicodedata parity; fingerprint-collision proof)"),
     ("ext: table profiling (Deequ-style)", "operators/quality.profile_table (per-column n/nulls/distinct/min/max from ONE wide aggregation — single scan at any column count; HLL distincts by default, exact mode for oracles)", "tests/test_profile.py (DuckDB differential + single-scan plan)"),
