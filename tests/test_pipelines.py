@@ -437,3 +437,50 @@ def test_e4_normalize_stage(spark):
     }
     assert kept_norm == {1}  # normalized duplicates collapse, lowest id wins
     spark.catalog.clearCache()
+
+
+def test_e4_all_stages_compose(spark):
+    """Kitchen-sink run: every optional stage enabled at once on the
+    sf0.001 corpus — stages must compose without column/plan conflicts
+    and stay deterministic."""
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+    from vbb_data_pipeline_spark.queries import load_table
+
+    # 150 docs: enough to exercise every stage's non-trivial path
+    # while keeping the composed (oracle-hash-mode) run CI-sized
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        "doc_id < 150"
+    )
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    docs = docs.join(emb, "doc_id", "left")
+    eval_df = docs.filter("doc_id < 3").select("text")
+
+    kwargs = dict(
+        min_quality=0.2,
+        normalize=True,
+        redact=True,
+        line_dedup_min_chars=8,
+        lm_band=(0.02, 1.0),
+        max_dup_line_frac=0.9,
+        compression_bounds=(0.05, 1.0),
+        eval_df=eval_df,
+        decontam_min_matches=5,
+        jaccard_threshold=0.8,
+        lsh_max_bucket_size=1000,
+        embedding_col="embedding",
+        shard_budget=5_000,
+        seed=11,
+        hash_mode="oracle",
+    )
+    out = e4_corpus_prep(docs, **kwargs).collect()
+    assert out, "composition must keep some documents"
+    assert len({r.doc_id for r in out}) == len(out)
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    # (run-to-run determinism of the composition is covered by
+    # test_e4_corpus_prep_end_to_end; re-running the full kitchen sink
+    # here would double a fixed-cost-dominated test)
+    spark.catalog.clearCache()
