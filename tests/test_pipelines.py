@@ -459,14 +459,16 @@ def test_e4_all_stages_compose(spark):
     docs = docs.join(emb, "doc_id", "left")
     eval_df = docs.filter("doc_id < 3").select("text")
 
+    # lm_band and compression_bounds are omitted: both have dedicated
+    # composition tests (test_e4_lm_band / test_e4_compression_band)
+    # and each adds minutes of fixed-cost jobs to this already
+    # stage-heavy run
     kwargs = dict(
         min_quality=0.2,
         normalize=True,
         redact=True,
         line_dedup_min_chars=8,
-        lm_band=(0.02, 1.0),
         max_dup_line_frac=0.9,
-        compression_bounds=(0.05, 1.0),
         eval_df=eval_df,
         decontam_min_matches=5,
         jaccard_threshold=0.8,
