@@ -229,3 +229,130 @@ def test_scd2_key_reappears(spark):
     current = dim2[dim2["valid_to"] == pd.Timestamp(HIGH_TS)]
     assert current["v"].tolist() == ["b"]
     assert current["valid_from"].tolist() == [pd.Timestamp("2024-03-01")]
+
+
+def test_scd2_null_key_rows(spark):
+    """NULL-key rows flow through close/open like any other key
+    (ADVICE r3 medium: the semi/anti joins must be eqNullSafe — with
+    plain `==` a changed NULL-key row stays open with stale attributes
+    and an inserted NULL-key row is silently dropped)."""
+    dim0 = spark.createDataFrame(
+        [(None, "stale"), (1, "keep")], "k int, v string"
+    ).select(
+        "k", "v",
+        F.to_timestamp(F.lit("2024-01-01")).alias("valid_from"),
+        F.to_timestamp(F.lit(HIGH_TS)).alias("valid_to"),
+    )
+    snap = spark.createDataFrame([(None, "fresh"), (1, "keep")], "k int, v string")
+    dim1 = scd2_apply(dim0, snap, ["k"], ["v"], "2024-02-01").toPandas()
+    nulls = dim1[dim1["k"].isna()]
+    # changed NULL-key row: one closed (stale) + one opened (fresh)
+    assert sorted(nulls["v"].tolist()) == ["fresh", "stale"]
+    closed = nulls[nulls["valid_to"] != pd.Timestamp(HIGH_TS)]
+    assert closed["v"].tolist() == ["stale"]
+    # untouched non-null key: single open row, original valid_from
+    keeps = dim1[dim1["k"] == 1]
+    assert len(keeps) == 1
+    assert keeps["valid_to"].tolist() == [pd.Timestamp(HIGH_TS)]
+    assert keeps["valid_from"].tolist() == [pd.Timestamp("2024-01-01")]
+
+    # brand-new NULL key opens a row
+    dim0b = spark.createDataFrame([(1, "x")], "k int, v string").select(
+        "k", "v",
+        F.to_timestamp(F.lit("2024-01-01")).alias("valid_from"),
+        F.to_timestamp(F.lit(HIGH_TS)).alias("valid_to"),
+    )
+    snapb = spark.createDataFrame([(1, "x"), (None, "new")], "k int, v string")
+    dim1b = scd2_apply(dim0b, snapb, ["k"], ["v"], "2024-02-01").toPandas()
+    assert len(dim1b) == 2
+    assert sorted(dim1b["v"].tolist()) == ["new", "x"]
+    # deleted NULL key closes
+    dim2b = scd2_apply(
+        spark.createDataFrame(
+            [(1, "x", "2024-01-01", HIGH_TS), (None, "y", "2024-01-01", HIGH_TS)],
+            "k int, v string, f string, t string",
+        ).select(
+            "k", "v",
+            F.to_timestamp("f").alias("valid_from"),
+            F.to_timestamp("t").alias("valid_to"),
+        ),
+        spark.createDataFrame([(1, "x")], "k int, v string"),
+        ["k"], ["v"], "2024-02-01",
+    ).toPandas()
+    closed_null = dim2b[dim2b["k"].isna()]
+    assert closed_null["valid_to"].tolist() == [pd.Timestamp("2024-02-01")]
+
+
+def test_snapshot_diff_128bit_matches_duckdb_construction(spark, oracle):
+    """digest_bits=128 (two-half md5 struct, for >10^8-row tables where
+    a 64-bit digest's birthday bound bites) must agree with DuckDB
+    replaying the identical construction AND with the 64-bit path's ops
+    on the same fixture."""
+    got = snapshot_diff(
+        _old(spark), _new(spark),
+        ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
+        digest_bits=128,
+    ).toPandas()
+    # same ops as the raw-column oracle (reuses the 64-bit test's SQL)
+    exp = oracle.sql(
+        f"""
+        WITH o AS ({OLD_SQL}), n AS ({NEW_SQL})
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'update' END AS op
+        FROM o FULL OUTER JOIN n USING (o_orderkey)
+        WHERE op IS NOT NULL
+        """
+    ).df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp), check_dtype=False)
+
+    # the struct digest itself twins DuckDB's two-half construction
+    from vbb_data_pipeline_spark.functions.hashing import md5_long_pair_sql
+    from vbb_data_pipeline_spark.operators.cdc import _row_bytes, _row_hash
+
+    enc_sql = (
+        "concat("
+        "CASE WHEN CAST(o_orderstatus AS VARCHAR) IS NULL THEN 'n:' "
+        "ELSE concat(CAST(length(CAST(o_orderstatus AS VARCHAR)) AS VARCHAR)"
+        ", ':', CAST(o_orderstatus AS VARCHAR)) END, "
+        "CASE WHEN CAST(o_totalprice AS VARCHAR) IS NULL THEN 'n:' "
+        "ELSE concat(CAST(length(CAST(o_totalprice AS VARCHAR)) AS VARCHAR)"
+        ", ':', CAST(o_totalprice AS VARCHAR)) END)"
+    )
+    h1_sql, h2_sql = md5_long_pair_sql(enc_sql)
+    exp_h = oracle.sql(
+        f"WITH o AS ({OLD_SQL}) SELECT o_orderkey, {h1_sql} AS h1,"
+        f" {h2_sql} AS h2 FROM o"
+    ).df()
+    got_h = (
+        _old(spark)
+        .select(
+            "o_orderkey",
+            _row_hash(["o_orderstatus", "o_totalprice"], 128).alias("_h"),
+        )
+        .select("o_orderkey", "_h.h1", "_h.h2")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(got_h), _sorted(exp_h), check_dtype=False
+    )
+
+
+def test_scd2_digest_bits_parity(spark):
+    """64- and 128-bit modes produce identical dimensions at test scale."""
+    dim0 = (
+        _old(spark)
+        .withColumn("valid_from", F.to_timestamp(F.lit("2024-01-01")))
+        .withColumn("valid_to", F.to_timestamp(F.lit(HIGH_TS)))
+    )
+    a = scd2_apply(
+        dim0, _new(spark), ["o_orderkey"], SCD_ATTRS, "2024-02-01"
+    ).toPandas()
+    b = scd2_apply(
+        dim0, _new(spark), ["o_orderkey"], SCD_ATTRS, "2024-02-01",
+        digest_bits=128,
+    ).toPandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)

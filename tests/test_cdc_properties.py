@@ -26,7 +26,10 @@ VALUES = st.one_of(
     st.text(alphabet="ab\x1f:0n", max_size=4),
 )
 
-ROWS = st.dictionaries(st.integers(min_value=0, max_value=7), VALUES, max_size=6)
+# Keys include None: the SCD2/diff NULL-key path (eqNullSafe joins)
+# must behave exactly like any other key value.
+KEYS = st.one_of(st.none(), st.integers(min_value=0, max_value=7))
+ROWS = st.dictionaries(KEYS, VALUES, max_size=6)
 
 
 def _df(spark, d: dict[int, str | None]):
@@ -78,15 +81,15 @@ def test_scd2_idempotent_and_single_open_row(spark, old, new):
         .withColumn("valid_from", F.to_timestamp(F.lit("2024-01-01")))
         .withColumn("valid_to", F.to_timestamp(F.lit(HIGH_TS)))
     )
+    def key(r):
+        # None keys sort first (mixed None/int is unorderable in py3)
+        return (r.k is None, r.k or 0, str(r.valid_from), str(r.valid_to))
+
     dim1 = scd2_apply(dim0, _df(spark, new), ["k"], ["v"], "2024-02-01")
-    rows1 = sorted(
-        dim1.collect(), key=lambda r: (r.k, str(r.valid_from), str(r.valid_to))
-    )
+    rows1 = sorted(dim1.collect(), key=key)
     # folding the same snapshot again is a no-op
     dim2 = scd2_apply(dim1, _df(spark, new), ["k"], ["v"], "2024-03-01")
-    rows2 = sorted(
-        dim2.collect(), key=lambda r: (r.k, str(r.valid_from), str(r.valid_to))
-    )
+    rows2 = sorted(dim2.collect(), key=key)
     assert [r.asDict() for r in rows1] == [r.asDict() for r in rows2]
     # at most one open row per key, and open rows mirror the snapshot
     import datetime

@@ -31,13 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vbb_data_pipeline_spark.functions.hashing import md5_long
+from vbb_data_pipeline_spark.functions.hashing import md5_long, md5_long_pair
 
 
-def _row_hash(cols: Sequence[str]) -> Column:
-    """Row digest over ``cols``: md5-derived int64
-    (``functions/hashing.md5_long``) so the identical digest is
-    computable in DuckDB for the oracle.
+def _row_bytes(cols: Sequence[str]) -> Column:
+    """Canonical self-delimiting encoding of a row's ``cols``.
 
     Each part is length-prefixed (``<len>:<value>``, NULL → ``n:``) —
     self-delimiting, so a value containing any separator/control
@@ -53,7 +51,42 @@ def _row_hash(cols: Sequence[str]) -> Column:
                 F.concat(F.length(s).cast("string"), F.lit(":"), s)
             )
         )
-    return md5_long(F.concat(*parts))
+    return F.concat(*parts)
+
+
+def _row_hash(cols: Sequence[str], digest_bits: int = 64) -> Column:
+    """Row digest over ``cols``: md5-derived int64
+    (``functions/hashing.md5_long``) so the identical digest is
+    computable in DuckDB for the oracle.
+
+    ``digest_bits=64`` (default) is one 60-bit hash — right for test
+    scale and DuckDB parity, but an 8-byte digest reaches ~50%
+    birthday-collision probability around 2^32 ≈ 4×10⁹ DISTINCT rows
+    sharing a key-space, inside the 100 TB design point; a collision
+    silently suppresses a real update. ``digest_bits=128`` packs BOTH
+    independent halves of the same single md5 evaluation
+    (``md5_long_pair``) into a struct — collision probability at 10¹²
+    rows is ~10⁻⁵ — at no extra md5 cost and +8 bytes on the exchange.
+    Use 128 for tables beyond ~10⁸ rows.
+    """
+    enc = _row_bytes(cols)
+    if digest_bits == 64:
+        return md5_long(enc)
+    if digest_bits == 128:
+        h1, h2 = md5_long_pair(enc)
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
+    raise ValueError(f"digest_bits must be 64 or 128, got {digest_bits}")
+
+
+def _key_eq(left: str, right: str, keys: Sequence[str]) -> Column:
+    """NULL-safe conjunction ``left.k <=> right.k`` over ``keys`` for
+    alias-qualified joins; plain ``==`` would silently drop NULL-key
+    rows from semi joins and leak them through anti joins."""
+    cond = None
+    for k in keys:
+        c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+        cond = c if cond is None else (cond & c)
+    return cond
 
 
 def snapshot_diff(
@@ -61,6 +94,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str],
+    digest_bits: int = 64,
 ) -> DataFrame:
     """CDC diff of two snapshots of the same logical table.
 
@@ -78,15 +112,18 @@ def snapshot_diff(
     Keys join NULL-safely (``eqNullSafe``): a row whose key contains
     NULL matches its counterpart instead of being reported as a
     simultaneous insert+delete.
+
+    ``digest_bits``: see :func:`_row_hash` — 64 (DuckDB-parity
+    default) or 128 (two-half md5 struct; use beyond ~10⁸ rows).
     """
     ks = list(keys)
-    o = old.select(*ks, _row_hash(compare_cols).alias("_oh")).alias("_o")
-    n = new.select(*ks, _row_hash(compare_cols).alias("_nh")).alias("_n")
-    cond = None
-    for k in ks:
-        c = F.col(f"_o.{k}").eqNullSafe(F.col(f"_n.{k}"))
-        cond = c if cond is None else (cond & c)
-    joined = o.join(n, cond, "full_outer")
+    o = old.select(
+        *ks, _row_hash(compare_cols, digest_bits).alias("_oh")
+    ).alias("_o")
+    n = new.select(
+        *ks, _row_hash(compare_cols, digest_bits).alias("_nh")
+    ).alias("_n")
+    joined = o.join(n, _key_eq("_o", "_n", ks), "full_outer")
     # _oh/_nh are never NULL on a matched side (the digest itself is
     # total), so side presence is detected via the digests even when
     # key columns are legitimately NULL.
@@ -163,6 +200,7 @@ def scd2_apply(
     as_of: str,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    digest_bits: int = 64,
 ) -> DataFrame:
     """Fold one snapshot into a type-2 slowly-changing dimension.
 
@@ -209,21 +247,30 @@ def scd2_apply(
     # every later query in the session via CacheManager plan
     # comparison (see operators/dedup.jaccard_pairs).
     diff = snapshot_diff(
-        current.select(*ks, *attrs), snapshot.select(*ks, *attrs), ks, attrs
+        current.select(*ks, *attrs),
+        snapshot.select(*ks, *attrs),
+        ks,
+        attrs,
+        digest_bits,
     ).localCheckpoint()
+    # Semi/anti joins below must be NULL-safe like snapshot_diff's own
+    # join: a key-name-list join compiles to plain `==`, so a NULL-key
+    # dimension row would never match its diff entry — a changed/
+    # deleted NULL-key row would stay open with stale attributes and an
+    # inserted one would vanish from `opened`.
+    changed = diff.filter(F.col("op").isin("update", "delete")).alias("_d")
+    arrived = diff.filter(F.col("op").isin("update", "insert")).alias("_d")
     closed = (
-        current.join(
-            diff.filter(F.col("op").isin("update", "delete")), ks, "left_semi"
-        )
+        current.alias("_l")
+        .join(changed, _key_eq("_l", "_d", ks), "left_semi")
         .withColumn(valid_to, ts)
     )
-    untouched = current.join(
-        diff.filter(F.col("op").isin("update", "delete")), ks, "left_anti"
+    untouched = current.alias("_l").join(
+        changed, _key_eq("_l", "_d", ks), "left_anti"
     )
     opened = (
-        snapshot.join(
-            diff.filter(F.col("op").isin("update", "insert")), ks, "left_semi"
-        )
+        snapshot.alias("_l")
+        .join(arrived, _key_eq("_l", "_d", ks), "left_semi")
         .select(*ks, *attrs)
         .withColumn(valid_from, ts)
         .withColumn(valid_to, high)
