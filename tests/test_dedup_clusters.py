@@ -68,3 +68,14 @@ def test_lsh_bucket_size_cap(spark):
     assert (100, 101) in unc and len(unc) == 46
     # capped at 5: the size-10 buckets vanish; the size-2 bucket stays
     assert cap == {(100, 101)}
+
+
+def test_cc_leaves_no_cache_entry(spark):
+    """connected_components must not persist() anything: a CacheManager
+    entry taxes every later query's planning session-wide (round-2
+    postmortem). Runs the operator and asserts the session cache is
+    empty — and would stay empty even if the loop raised mid-round."""
+    mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert mgr.isEmpty(), "cache dirty before test"
+    _cc(spark, [(1, 2), (2, 3), (4, 5), (5, 6), (6, 4)])
+    assert mgr.isEmpty(), "connected_components left a CacheManager entry"

@@ -57,3 +57,36 @@ def test_pagerank_ordering_matches_oracle(spark):
 def test_pagerank_empty(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges).count() == 0
+
+
+def test_pagerank_one_action_per_round(spark, monkeypatch):
+    """Each power-iteration round must cost exactly ONE driver action
+    (the eager localCheckpoint of the new ranks): dangling mass rides
+    that same job as a broadcast one-row aggregate, not a second
+    collect(). Counted at the API layer (job counts are AQE-dependent):
+    zero collect()s inside pagerank, and localCheckpoints == 3 setup
+    (nodes, out_deg, rank init) + one per round."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    counts = {"collect": 0, "ckpt": 0}
+    orig_collect = dfmod.DataFrame.collect
+    orig_ckpt = dfmod.DataFrame.localCheckpoint
+
+    def counting_collect(self):
+        counts["collect"] += 1
+        return orig_collect(self)
+
+    def counting_ckpt(self, eager=True):
+        counts["ckpt"] += 1
+        return orig_ckpt(self, eager)
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(dfmod.DataFrame, "localCheckpoint", counting_ckpt)
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long")
+    iters = 4
+    result = pagerank(df, iters=iters)
+    assert counts["collect"] == 0, "pagerank ran a driver collect() mid-loop"
+    assert counts["ckpt"] == 3 + iters, (
+        f"expected 3 setup + {iters} per-round checkpoints, got {counts['ckpt']}"
+    )
+    assert result.count() == 4

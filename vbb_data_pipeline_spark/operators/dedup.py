@@ -363,10 +363,17 @@ def connected_components(
     engines and partitionings. Only nodes that appear in ``pairs`` are
     returned (singletons are their own trivial cluster).
     """
+    # localCheckpoint, deliberately NOT persist(): edges is re-read
+    # every round (same compute-once reuse), but a persisted plan
+    # registers in the session CacheManager and taxes EVERY later
+    # query's planning with a canonicalized-plan comparison for the
+    # life of the loop — the round-2 bench-regression pattern. A
+    # checkpoint also needs no paired unpersist, so an exception
+    # mid-loop can't leak a cache entry.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -397,5 +404,4 @@ def connected_components(
         if s is None or (prev_sum is not None and s == prev_sum):
             break
         prev_sum = s
-    edges.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))

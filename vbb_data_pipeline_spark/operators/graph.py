@@ -34,11 +34,14 @@ def pagerank(
     100 TB shape: the edge list is the only big table. Per round: one
     join of the current rank table (N rows) to edges on ``src``
     (hash shuffle on node id), one groupBy(dst) sum with map-side
-    combine, and one scalar aggregate for dangling mass (driver-side
-    metadata, like the CC convergence scalar). Ranks are
-    ``localCheckpoint``-ed per round — the CC lesson: a
-    self-referencing iterative plan grows exponentially without
-    lineage truncation. Out-degrees compute once, before the loop.
+    combine. Dangling mass (nodes with no out-edges) is NOT a driver
+    ``collect`` — it is a one-row aggregate broadcast back into the
+    rank update (broadcast nested-loop join of a single row), so each
+    round is exactly ONE driver job: the eager ``localCheckpoint`` of
+    the new ranks. Ranks are ``localCheckpoint``-ed per round — the
+    CC lesson: a self-referencing iterative plan grows exponentially
+    without lineage truncation. Out-degrees compute once, before the
+    loop.
 
     Deterministic: fixed ``iters`` (no convergence race), exact
     double arithmetic in a fixed operation order, ranks rounded at
@@ -63,12 +66,15 @@ def pagerank(
         with_deg = ranks.join(
             out_deg, ranks.node == out_deg.src, "left"
         ).select("node", "rank", "_deg")
-        # dangling nodes (no out-edges) spread their rank uniformly
+        # dangling nodes (no out-edges) spread their rank uniformly.
+        # Kept IN the plan as a one-row aggregate instead of a driver
+        # collect(): the crossJoin below broadcasts this single row
+        # (BroadcastNestedLoopJoin of 1 row — constant cost), folding
+        # what used to be a second full scan + driver round-trip into
+        # the same job as the rank update.
         dangling = (
             with_deg.filter(F.col("_deg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contrib = (
             with_deg.filter(F.col("_deg").isNotNull())
@@ -79,12 +85,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling / n_total))
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n_total))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
