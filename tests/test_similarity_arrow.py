@@ -142,3 +142,57 @@ def test_embedding_neardup_bucket_cap(spark, emb):
     # capped: the spike's bucket (>10 occupants) is gone entirely
     assert not any(p[0] >= 10_000 and p[1] >= 10_000 for p in cap_pairs)
     assert cap_pairs <= unc_pairs
+
+
+def test_half_up_rounding_parity_on_dyadic_half_ticks(spark):
+    """The Arrow path must round HALF_UP like F.round — np.round
+    (half-to-even) diverges on exact dyadic half-ticks, e.g.
+    0.015625 (1/64) at 5 digits: HALF_UP gives 0.01563, np.round
+    gives 0.01562. Pins the rounding kernel on exactly those values
+    (only dyadic rationals can BE exact half-ticks in binary FP)."""
+    import numpy as np
+
+    p = 10.0 ** 5
+    vals = np.array([0.015625, -0.015625, 0.000005, 0.25, 1.0])
+    got = np.sign(vals) * np.floor(np.abs(vals) * p + 0.5) / p
+    assert got.tolist() == [0.01563, -0.01563, 0.00001, 0.25, 1.0]
+    # np.round would give 0.01562 (half-to-even) — pin the difference
+    assert np.round(0.015625, 5) == 0.01562
+
+
+def test_expression_plan_is_dim_independent_and_arrow_wins_at_768(spark):
+    """r2-regression tripwire: (a) the expression path's analyzed plan
+    must not grow with dim (zip_with+aggregate is O(1) nodes — an
+    unrolled form cost ~35 s of Catalyst work at dim=64 and would be
+    10-100x at real embedding dims); (b) at dim=768 the Arrow path
+    beats the expression path wall-clock (it is the default route)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def mk(dim, n=400):
+        rows = [(i, rng.standard_normal(dim).tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    plans = {}
+    times = {}
+    for dim in (8, 768):
+        e = mk(dim)
+        q = e.filter(F.col("vec_id") < 5)
+        t0 = time.time()
+        df = brute_force_topk(e, q, k=3, dim=dim)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        df.collect()
+        times[("expr", dim)] = time.time() - t0
+        plans[dim] = len(plan)
+        t0 = time.time()
+        brute_force_topk_arrow(e, q, k=3).collect()
+        times[("arrow", dim)] = time.time() - t0
+    # (a) plan text size within noise between dim=8 and dim=768
+    assert plans[768] < plans[8] * 1.5, plans
+    # (b) Arrow no slower than the expression path at dim=768 (allow
+    # 1.3x jitter headroom on a 400-row toy corpus; at real corpus
+    # sizes the gap is 12x, PERF.md)
+    assert times[("arrow", 768)] < times[("expr", 768)] * 1.3, times

@@ -195,7 +195,14 @@ def brute_force_topk_arrow(
             )
             c_norm = np.maximum(np.sqrt((c_mat * c_mat).sum(axis=1)), 1e-12)
             scores = (c_mat / c_norm[:, None]) @ qn.T  # B × |Q|
-            scores = np.round(scores, round_digits)
+            # HALF_UP like F.round / the expression path / the DuckDB
+            # oracle — np.round is half-to-even, which diverges on
+            # exact half-ticks (dyadic cosines such as 1/64 at 5
+            # digits). Sign-aware floor(|x|·10^d + 0.5): exact
+            # half-ticks are dyadic, so |x|·10^d is computed exactly
+            # and lands on .5 precisely, rounding up as HALF_UP does.
+            p = 10.0 ** round_digits
+            scores = np.sign(scores) * np.floor(np.abs(scores) * p + 0.5) / p
             # self-match suppression + per-batch top-k per query
             for qi in range(nq):
                 col = scores[:, qi]
@@ -335,10 +342,30 @@ def ivf_assign(
 #: order-independent, cross-engine-identical components).
 KMEANS_SCALE = 1_000_000
 
-#: Trained-centroid tables keyed by caller-supplied identity (see
-#: kmeans_centroids). Checked BEFORE any lineage is built, so a cache
-#: hit costs nothing.
-_CENTROID_CACHE: dict[str, DataFrame] = {}
+#: Trained-centroid tables keyed by (session UUID, caller-supplied
+#: identity) — see kmeans_centroids. Checked BEFORE any lineage is
+#: built, so a cache hit costs nothing. The session UUID in the key
+#: makes a stop/recreate cycle (test reruns, long-lived processes) a
+#: clean miss instead of returning a DataFrame bound to a dead
+#: session; FIFO-bounded so a parameter sweep can't grow it without
+#: limit (each entry pins a localCheckpoint's blocks on the executors
+#: for the life of its session).
+_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CENTROID_CACHE_MAX = 16
+
+
+def _cache_get(spark, cache_key: str | None) -> DataFrame | None:
+    if cache_key is None:
+        return None
+    return _CENTROID_CACHE.get((spark._jsparkSession.sessionUUID(), cache_key))
+
+
+def _cache_put(spark, cache_key: str | None, cent: DataFrame) -> None:
+    if cache_key is None:
+        return
+    while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+        _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+    _CENTROID_CACHE[(spark._jsparkSession.sessionUUID(), cache_key)] = cent
 
 
 def kmeans_centroids(
@@ -379,8 +406,9 @@ def kmeans_centroids(
     train-once / query-many behavior a real ANN deployment has (at
     scale you'd write the centroids to storage instead).
     """
-    if cache_key is not None and cache_key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[cache_key]
+    cached = _cache_get(embeddings.sparkSession, cache_key)
+    if cached is not None:
+        return cached
     corpus = embeddings.select(F.col(id_col), F.col(vec_col))
     cent = embeddings.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).cast("long").alias("cell_id"),
@@ -438,8 +466,7 @@ def kmeans_centroids(
         # whole training chain.
         if rnd == iters - 1 or rnd % 8 == 7:
             cent = cent.localCheckpoint()
-    if cache_key is not None:
-        _CENTROID_CACHE[cache_key] = cent
+    _cache_put(embeddings.sparkSession, cache_key, cent)
     return cent
 
 
@@ -495,8 +522,9 @@ def kmeans_centroids_local(
     ``cache_key``: see :func:`kmeans_centroids` (train once, query
     many).
     """
-    if cache_key is not None and cache_key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[cache_key]
+    cached = _cache_get(embeddings.sparkSession, cache_key)
+    if cached is not None:
+        return cached
     spark = embeddings.sparkSession
     rows = (
         embeddings.filter(F.col(vec_col).isNotNull())
@@ -550,8 +578,7 @@ def kmeans_centroids_local(
         [(cid, cv) for cid, cv in cents],
         schema=f"cell_id long, {vec_col} array<double>",
     )
-    if cache_key is not None:
-        _CENTROID_CACHE[cache_key] = cent
+    _cache_put(spark, cache_key, cent)
     return cent
 
 

@@ -56,9 +56,15 @@ COS_SQL = (
     "query side broadcast, corpus never replicated)",
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Routed through the Arrow/BLAS path (the scale formulation: no
+    # pair materialization, per-batch matmul + local top-k) since its
+    # HALF_UP rounding matches F.round — verified bit-identical to the
+    # expression path at sf0.01 AND sf0.1 against this oracle. The
+    # expression path remains the zero-Python baseline
+    # (tests/test_similarity_arrow.py pins their equivalence).
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    out = sim.brute_force_topk(e, queries, k=5, dim=DIM)
+    out = sim.brute_force_topk_arrow(e, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
