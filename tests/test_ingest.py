@@ -142,3 +142,48 @@ def test_distributed_zip_corrupt_handling(spark, tmp_path):
     ).collect()
     assert {r.run_id for r in ok} == {1}
     assert len(ok) == 2
+
+
+def test_distributed_zip_corrupt_deflate_and_nul_csv(spark, tmp_path):
+    """skip_corrupt must also cover a zlib.error (valid zip directory,
+    garbled deflate stream read MID-member) and csv.Error (NUL bytes
+    in the member) — ADVICE r3: these escaped the except tuple and
+    failed whole-corpus backfills the flag exists to protect."""
+    from vbb_data_pipeline_spark.sources.gtfs import read_gtfs_zips_distributed
+
+    good = tmp_path / "vbb" / "2024-03-01.zip"
+    good.parent.mkdir(parents=True)
+    with zipfile.ZipFile(good, "w") as zf:
+        zf.writestr("stops.txt", STOPS_CSV)
+
+    # corrupt deflate: compress, then garble the member's data bytes
+    # while leaving the local/central headers intact
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("stops.txt", STOPS_CSV * 50)
+    raw = bytearray(buf.getvalue())
+    start = raw.index(b"stops.txt") + len("stops.txt")
+    for i in range(start + 5, start + 45):
+        raw[i] ^= 0xFF
+    bad_deflate = tmp_path / "vbb" / "2024-03-02.zip"
+    bad_deflate.write_bytes(bytes(raw))
+
+    # a field beyond csv.field_size_limit() (default 128 KiB) ->
+    # csv.Error("field larger than field limit") mid-read
+    bad_field = tmp_path / "vbb" / "2024-03-03.zip"
+    with zipfile.ZipFile(bad_field, "w") as zf:
+        zf.writestr(
+            "stops.txt", 'stop_id,stop_name\n"' + "x" * 200_000 + '",row\n'
+        )
+
+    run_ids = {
+        ("vbb", "2024-03-01"): 1,
+        ("vbb", "2024-03-02"): 2,
+        ("vbb", "2024-03-03"): 3,
+    }
+    ok = read_gtfs_zips_distributed(
+        spark, f"{tmp_path}/*/", "stops", run_ids, skip_corrupt=True
+    ).collect()
+    assert {r.run_id for r in ok} == {1}

@@ -56,3 +56,18 @@ def test_profile_is_single_scan(spark):
     df = profile_table(orders, exact_distinct=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_profile_hostile_column_names(spark):
+    """Quote/backtick/dot-bearing column names must neither break the
+    unpivot nor mislabel rows (ADVICE r3: the old string-SQL stack()
+    interpolated raw names into quoted literals)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)],
+        ["it's", "a.b`c"],
+    )
+    got = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(got) == {"it's", "a.b`c"}
+    assert got["it's"]["n_null"] == 0 and got["it's"]["n_distinct"] == 2
+    assert got["a.b`c"]["n_null"] == 1 and got["a.b`c"]["n_distinct"] == 1
+    assert got["it's"]["min_value"] == "1" and got["it's"]["max_value"] == "2"

@@ -91,34 +91,55 @@ def profile_table(
     """
     names = [c for c in (cols or df.columns)]
     dtypes = dict(df.dtypes)
+    # Aliases and labels are indexed, not name-derived, and the
+    # unpivot is built from typed Column expressions (F.stack +
+    # F.lit labels), so a column name containing quotes, dots, or
+    # backticks can neither break parsing nor mislabel rows.
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
-    for c in names:
+    for i, c in enumerate(names):
+        # exact-name resolution: backticks doubled, whole name quoted,
+        # so dots are not parsed as struct access nor backticks as
+        # delimiters
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{i}")
         )
         aggs.append(
             (
-                F.countDistinct(c)
+                F.countDistinct(col)
                 if exact_distinct
-                else F.approx_count_distinct(c, 0.01)
-            ).alias(f"_dist_{c}")
+                else F.approx_count_distinct(col, 0.01)
+            ).alias(f"_dist_{i}")
         )
         orderable = any(dtypes[c].startswith(t) for t in _ORDERED_TYPES)
         null_s = F.lit(None).cast("string")
         aggs.append(
-            (F.min(c).cast("string") if orderable else null_s).alias(f"_min_{c}")
+            (F.min(col).cast("string") if orderable else null_s).alias(
+                f"_min_{i}"
+            )
         )
         aggs.append(
-            (F.max(c).cast("string") if orderable else null_s).alias(f"_max_{c}")
+            (F.max(col).cast("string") if orderable else null_s).alias(
+                f"_max_{i}"
+            )
         )
     wide = df.agg(*aggs)
     # unpivot the single wide row into one row per column: the stack
     # happens on ONE row, so this costs nothing at any scale
-    parts = ", ".join(
-        f"'{c}', '{dtypes[c]}', _n, _null_{c}, _dist_{c}, _min_{c}, _max_{c}"
-        for c in names
-    )
-    return wide.selectExpr(
-        f"stack({len(names)}, {parts}) AS "
-        "(column, dtype, n, n_null, n_distinct, min_value, max_value)"
+    parts: list[Column] = []
+    for i, c in enumerate(names):
+        parts += [
+            F.lit(c),
+            F.lit(dtypes[c]),
+            F.col("_n"),
+            F.col(f"_null_{i}"),
+            F.col(f"_dist_{i}"),
+            F.col(f"_min_{i}"),
+            F.col(f"_max_{i}"),
+        ]
+    return wide.select(
+        F.stack(F.lit(len(names)), *parts).alias(
+            "column", "dtype", "n", "n_null", "n_distinct",
+            "min_value", "max_value",
+        )
     )

@@ -170,6 +170,7 @@ def read_gtfs_zips_distributed(
     def extract(batches):
         import csv
         import io
+        import zlib
         import zipfile as zf_mod
         from pathlib import PurePosixPath
 
@@ -200,7 +201,13 @@ def read_gtfs_zips_distributed(
                         reader = csv.reader(text)
                         header = [sanitize_header(c) for c in next(reader, [])]
                         rows = list(reader)
-                except (zf_mod.BadZipFile, OSError, UnicodeDecodeError):
+                except (
+                    zf_mod.BadZipFile,
+                    OSError,
+                    UnicodeDecodeError,
+                    zlib.error,  # corrupt deflate stream mid-member
+                    csv.Error,   # NUL bytes / oversized CSV fields
+                ):
                     if skip_corrupt:
                         continue
                     raise
