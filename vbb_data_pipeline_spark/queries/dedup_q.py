@@ -123,12 +123,29 @@ def _minhash_oracle() -> str:
     sets AS (
         SELECT doc_id, list_distinct({SHINGLE_SQL}) AS s FROM toks
     )
-    SELECT p.id_a, p.id_b,
+    SELECT 'lsh' AS method, p.id_a, p.id_b,
            round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                  / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) AS jaccard
     FROM pairs p
     JOIN sets sa ON sa.doc_id = p.id_a
     JOIN sets sb ON sb.doc_id = p.id_b
+    UNION ALL
+    SELECT 'blocked', id_a, id_b, jaccard FROM (
+        WITH bsets AS (
+            SELECT doc_id, lang, source,
+                   list_distinct({TOK_SQL.format(c="text")}) AS s
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / greatest(len(list_distinct(a.s || b.s)), 1), 6)
+                   AS jaccard
+        FROM bsets a JOIN bsets b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
+    )
     """
 
 
@@ -137,7 +154,11 @@ def _minhash_oracle() -> str:
     oracle=_minhash_oracle(),
     survey="extension: MinHash({} perms) + LSH banding ({}×{}) candidate "
     "pairs with exact-Jaccard re-rank — the linear-cost 100 TB near-dup "
-    "path (no O(n²) stage)".format(NUM_HASHES, BANDS, ROWS_PER_BAND),
+    "path (no O(n²) stage) — tagged-union with the (lang, source)"
+    "-blocked token-set Jaccard variant (blocking keeps that pair "
+    "space linear-ish; LSH is the unblocked scale path)".format(
+        NUM_HASHES, BANDS, ROWS_PER_BAND
+    ),
     note="docs with <3 tokens have no shingles and drop out of the "
     "signature table in both engines",
 )
@@ -153,7 +174,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.lsh_candidate_pairs(
         sigs, "doc_id", num_hashes=NUM_HASHES, bands=BANDS, hash_mode=mode
     )
-    return dd.jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
+    lsh = dd.jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
+    return (
+        lsh.select(F.lit("lsh").alias("method"), "id_a", "id_b", "jaccard")
+        .unionByName(
+            _blocked_jaccard(d).select(
+                F.lit("blocked").alias("method"), "id_a", "id_b", "jaccard"
+            )
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -211,29 +240,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup within (lang, source) blocks
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sets AS (
-        SELECT doc_id, lang, source, list_distinct({TOK_SQL.format(c="text")}) AS s
-        FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
-    FROM sets a JOIN sets b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
-    """,
-    survey="extension: token-set Jaccard near-dup with (lang, source) "
-    "blocking — blocking keeps the pair space linear-ish; the unblocked "
-    "scale path is dedup_minhash_lsh",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _blocked_jaccard(d: DataFrame) -> DataFrame:
+    """(lang, source)-blocked token-set Jaccard near-dup — folded into
+    the dedup_minhash_lsh registry entry (r4) as its tagged-union
+    second leg; the within-block join IS the LSH entry's exact re-rank
+    with coarser blocking."""
     from vbb_data_pipeline_spark.functions.text import tokens
 
-    d = load_table(spark, sf_dir, "documents")
     sets_df = d.select(
         "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("s")
     )
@@ -255,6 +268,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             F.round(jac, 6).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line dedup (C4) — promoted from pytest-only to the oracle
+# gate in r4 (slot freed by folding ngram_jaccard into minhash_lsh)
+# ---------------------------------------------------------------------------
+LINE_MIN_CHARS = 6
+
+
+@register(
+    "line_dedup_corpus",
+    oracle=f"""
+    WITH lines AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS line_no,
+               unnest(parts) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+              FROM documents)
+    ),
+    winners AS (
+        SELECT doc_id, line_no FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY line ORDER BY doc_id, line_no
+            ) AS rn
+            FROM lines WHERE length(line) >= {{LINE_MIN_CHARS}}
+        ) WHERE rn = 1
+    ),
+    keep AS (
+        SELECT l.* FROM lines l SEMI JOIN winners w
+          ON l.doc_id = w.doc_id AND l.line_no = w.line_no
+        UNION ALL
+        SELECT * FROM lines WHERE length(line) < {{LINE_MIN_CHARS}}
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_no) AS text
+        FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.text, '') AS text
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN rebuilt r USING (doc_id)
+    """.format(LINE_MIN_CHARS=LINE_MIN_CHARS),
+    survey="extension: corpus-WIDE line-level dedup (C4, Raffel et al. "
+    "2020 §2.2) — every line kept only at its first (doc_id, line_no) "
+    "occurrence; winner election is a map-side-combinable min(struct) "
+    "on the line hash, so a billion-copy boilerplate line combines to "
+    "one row per task (never a windowed sort)",
+    note="lines shorter than {} chars pass through (blank lines / "
+    "separators are structure, not boilerplate)".format(LINE_MIN_CHARS),
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.line_dedup_corpus(
+        d, "text", "doc_id", min_chars=LINE_MIN_CHARS
     )
 
 
