@@ -74,7 +74,7 @@ R1_RENAMES = [
     ("text_quality_stats + text_langid + text_fingerprint", "text_doc_profile (per-doc profile)"),
     ("multimodal_binary_meta + multimodal_decode_dims", "multimodal_decode (real header parse added)"),
     ("dedup_exact + dedup_fingerprint", "dedup_exact_fingerprint (method tag)"),
-    ("dedup_ngram_jaccard", "dedup_minhash_lsh (method tag: blocked leg, folded r4)"),
+    ("dedup_simhash", "dedup_exact_fingerprint (method tag: simhash collision groups, folded r4)"),
     ("sim_lsh_buckets", "sim_lsh_topk (bucketing is its first stage)"),
 ]
 

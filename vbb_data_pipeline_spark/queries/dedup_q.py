@@ -34,6 +34,30 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy) + fingerprint dedup (sorted token set)
 # ---------------------------------------------------------------------------
+# SimHash (16-bit) per document
+# ---------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 16) -> str:
+    h = md5_long_sql("t")
+    sums = ",\n               ".join(
+        f"sum((({h} >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({TOK_SQL.format(c="text")}) AS t FROM documents
+    ),
+    bitsums AS (
+        SELECT doc_id,
+               {sums}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash
+    FROM bitsums
+    """
+
+# ---------------------------------------------------------------------------
 @register(
     "dedup_exact_fingerprint",
     oracle=f"""
@@ -52,12 +76,23 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
         SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
     )
     GROUP BY 2
+    UNION ALL
+    SELECT 'simhash',
+           CAST(simhash AS VARCHAR),
+           min(doc_id),
+           count(*)
+    FROM ({_simhash_oracle()})
+    GROUP BY 2
     """,
     survey="extension: exact dedup (hash-groupBy keep-first; reference "
     "idempotency analog: ON CONFLICT DO NOTHING, utils/__init__.py:"
     "55-56) + extension: near-exact dedup on sorted-token-set "
-    "fingerprint (functions/text.fingerprint) — tagged union; both "
-    "are one-shuffle hash aggregations whose wide columns never move",
+    "fingerprint (functions/text.fingerprint) + extension: SimHash "
+    "(Charikar) 16-bit sketch collision groups (folded r4; per-doc "
+    "sketch construction unchanged, operators/dedup.simhash) — tagged "
+    "union; all three are one-shuffle hash aggregations whose wide "
+    "columns never move",
+    note="simhash leg: docs with zero tokens drop out in both engines",
 )
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.text import fingerprint
@@ -69,10 +104,22 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = d.groupBy(fingerprint("text").alias("group_key")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
     )
+    sh = (
+        _simhash_docs(d)
+        .groupBy(F.col("simhash").cast("string").alias("group_key"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
     tag = lambda df, m: df.select(  # noqa: E731
         F.lit(m).alias("method"), "group_key", "keep_id", "n_docs"
     )
-    return tag(exact, "exact").unionByName(tag(fp, "fingerprint"))
+    return (
+        tag(exact, "exact")
+        .unionByName(tag(fp, "fingerprint"))
+        .unionByName(tag(sh, "simhash"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -123,29 +170,12 @@ def _minhash_oracle() -> str:
     sets AS (
         SELECT doc_id, list_distinct({SHINGLE_SQL}) AS s FROM toks
     )
-    SELECT 'lsh' AS method, p.id_a, p.id_b,
+    SELECT p.id_a, p.id_b,
            round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                  / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) AS jaccard
     FROM pairs p
     JOIN sets sa ON sa.doc_id = p.id_a
     JOIN sets sb ON sb.doc_id = p.id_b
-    UNION ALL
-    SELECT 'blocked', id_a, id_b, jaccard FROM (
-        WITH bsets AS (
-            SELECT doc_id, lang, source,
-                   list_distinct({TOK_SQL.format(c="text")}) AS s
-            FROM documents
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / greatest(len(list_distinct(a.s || b.s)), 1), 6)
-                   AS jaccard
-        FROM bsets a JOIN bsets b
-          ON a.lang = b.lang AND a.source = b.source
-         AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
-    )
     """
 
 
@@ -154,11 +184,7 @@ def _minhash_oracle() -> str:
     oracle=_minhash_oracle(),
     survey="extension: MinHash({} perms) + LSH banding ({}×{}) candidate "
     "pairs with exact-Jaccard re-rank — the linear-cost 100 TB near-dup "
-    "path (no O(n²) stage) — tagged-union with the (lang, source)"
-    "-blocked token-set Jaccard variant (blocking keeps that pair "
-    "space linear-ish; LSH is the unblocked scale path)".format(
-        NUM_HASHES, BANDS, ROWS_PER_BAND
-    ),
+    "path (no O(n²) stage)".format(NUM_HASHES, BANDS, ROWS_PER_BAND),
     note="docs with <3 tokens have no shingles and drop out of the "
     "signature table in both engines",
 )
@@ -174,51 +200,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.lsh_candidate_pairs(
         sigs, "doc_id", num_hashes=NUM_HASHES, bands=BANDS, hash_mode=mode
     )
-    lsh = dd.jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
-    return (
-        lsh.select(F.lit("lsh").alias("method"), "id_a", "id_b", "jaccard")
-        .unionByName(
-            _blocked_jaccard(d).select(
-                F.lit("blocked").alias("method"), "id_a", "id_b", "jaccard"
-            )
-        )
-    )
+    return dd.jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
 
 
-# ---------------------------------------------------------------------------
-# SimHash (16-bit) per document
-# ---------------------------------------------------------------------------
-def _simhash_oracle(bits: int = 16) -> str:
-    h = md5_long_sql("t")
-    sums = ",\n               ".join(
-        f"sum((({h} >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits)
-    )
-    value = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
-    )
-    return f"""
-    WITH toks AS (
-        SELECT doc_id, unnest({TOK_SQL.format(c="text")}) AS t FROM documents
-    ),
-    bitsums AS (
-        SELECT doc_id,
-               {sums}
-        FROM toks GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({value} AS BIGINT) AS simhash
-    FROM bitsums
-    """
 
 
-@register(
-    "dedup_simhash",
-    oracle=_simhash_oracle(),
-    survey="extension: SimHash (Charikar) 16-bit document sketch; "
-    "near-dups = small hamming distance (bit_count(a^b))",
-    note="docs with zero tokens drop out in both engines",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def _simhash_docs(d: DataFrame) -> DataFrame:
+    """Per-doc 16-bit SimHash (Charikar) — the sketch behind the
+    dedup_exact_fingerprint 'simhash' leg (folded r4; the collision
+    GROUPS are what dedup consumes — near-dups = small hamming
+    distance on these values, pytest-covered in test_hygiene)."""
     # inner explode → empty docs drop, matching the oracle's unnest
     from vbb_data_pipeline_spark.functions.hashing import hash_long
     from vbb_data_pipeline_spark.functions.text import tokens
@@ -240,13 +231,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup within (lang, source) blocks
 # ---------------------------------------------------------------------------
-def _blocked_jaccard(d: DataFrame) -> DataFrame:
-    """(lang, source)-blocked token-set Jaccard near-dup — folded into
-    the dedup_minhash_lsh registry entry (r4) as its tagged-union
-    second leg; the within-block join IS the LSH entry's exact re-rank
-    with coarser blocking."""
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id, lang, source, list_distinct({TOK_SQL.format(c="text")}) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+    FROM sets a JOIN sets b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
+    """,
+    survey="extension: token-set Jaccard near-dup with (lang, source) "
+    "blocking — blocking keeps the pair space linear-ish; the unblocked "
+    "scale path is dedup_minhash_lsh",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.text import tokens
 
+    d = load_table(spark, sf_dir, "documents")
     sets_df = d.select(
         "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("s")
     )
@@ -273,7 +280,7 @@ def _blocked_jaccard(d: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Corpus-wide line dedup (C4) — promoted from pytest-only to the oracle
-# gate in r4 (slot freed by folding ngram_jaccard into minhash_lsh)
+# gate in r4 (slot freed by folding simhash into exact_fingerprint)
 # ---------------------------------------------------------------------------
 LINE_MIN_CHARS = 6
 
@@ -293,14 +300,14 @@ LINE_MIN_CHARS = 6
             SELECT *, row_number() OVER (
                 PARTITION BY line ORDER BY doc_id, line_no
             ) AS rn
-            FROM lines WHERE length(line) >= {{LINE_MIN_CHARS}}
+            FROM lines WHERE length(line) >= {LINE_MIN_CHARS}
         ) WHERE rn = 1
     ),
     keep AS (
         SELECT l.* FROM lines l SEMI JOIN winners w
           ON l.doc_id = w.doc_id AND l.line_no = w.line_no
         UNION ALL
-        SELECT * FROM lines WHERE length(line) < {{LINE_MIN_CHARS}}
+        SELECT * FROM lines WHERE length(line) < {LINE_MIN_CHARS}
     ),
     rebuilt AS (
         SELECT doc_id,
@@ -310,7 +317,7 @@ LINE_MIN_CHARS = 6
     SELECT d.doc_id, coalesce(r.text, '') AS text
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN rebuilt r USING (doc_id)
-    """.format(LINE_MIN_CHARS=LINE_MIN_CHARS),
+    """,
     survey="extension: corpus-WIDE line-level dedup (C4, Raffel et al. "
     "2020 §2.2) — every line kept only at its first (doc_id, line_no) "
     "occurrence; winner election is a map-side-combinable min(struct) "
@@ -321,9 +328,7 @@ LINE_MIN_CHARS = 6
 )
 def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dd.line_dedup_corpus(
-        d, "text", "doc_id", min_chars=LINE_MIN_CHARS
-    )
+    return dd.line_dedup_corpus(d, "text", "doc_id", min_chars=LINE_MIN_CHARS)
 
 
 # ---------------------------------------------------------------------------

@@ -126,3 +126,33 @@ def write_kafka_batch(
 ) -> None:
     """Execute an S11 write (see :func:`kafka_sink_spec`)."""
     kafka_sink_spec(bootstrap, topic, **options).save(df)
+
+
+def kafka_source_spec(
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    **options: str,
+) -> ConnectorSpec:
+    """Batch Kafka read (the consume half of the S11/S12 round trip):
+    ``spark.read.format("kafka")`` over the topic's full retained
+    range. Yields the standard Kafka columns (``key``, ``value``
+    binary, ``topic``, ``partition``, ``offset``, ``timestamp``); cast
+    ``value`` to string and feed the wire-format parser
+    (``functions/jsonfns.parsed_arrivals``) to recover rows. Requires
+    the spark-sql-kafka package on the classpath — the environment
+    gate is a live broker URL (tests/test_kafka_roundtrip.py)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    opts.update(options)
+    return ConnectorSpec("kafka", opts)
+
+
+def read_kafka_batch(
+    spark: SparkSession, bootstrap: str, topic: str, **options: str
+) -> DataFrame:
+    """Execute a batch Kafka read (see :func:`kafka_source_spec`)."""
+    return kafka_source_spec(bootstrap, topic, **options).load(spark)
