@@ -12,14 +12,21 @@ table FACTOR times with TPC-H-style key-space offsets:
   (orders.o_custkey -> customer, lineitem.l_orderkey -> orders, ...)
   land entirely within the same copy — join fan-outs match a real
   larger SF instead of multiplying across copies;
-* documents get a deterministic per-copy token ROTATION (copy i
-  rotates the token sequence by i positions) so the corpus does not
-  become 10x exact clones: rotation preserves token multiset (langid /
-  token-count / quality profiles scale cleanly) while destroying
-  3-gram shingles, keeping the near-dup rate comparable to the base
-  corpus rather than quadratically inflating every LSH bucket;
+* documents get a deterministic per-(copy, doc) token PERMUTATION so
+  the corpus does not become 10x near-clones: a seeded shuffle
+  preserves the token multiset (langid / token-count / quality
+  profiles scale cleanly) while destroying consecutive 3-gram
+  shingles (measured Jaccard copy-vs-base = 0.0), keeping the
+  near-dup rate comparable to the base corpus rather than
+  quadratically inflating every LSH bucket.  (v1 of this tool used a
+  ROTATION, which preserves ~93% of shingles — every doc gained 9
+  genuine near-dups and the dedup family measured quadratic-in-factor,
+  a data artifact, not an operator bug; PERF.md §scale records both
+  runs);
 * embeddings get deterministic per-(copy, vec_id) gaussian noise
-  (sigma 0.05) for the same reason in cosine space.
+  (sigma 0.15: at dim 64 the expected copy-vs-base cosine is ~0.6,
+  below every near-dup threshold in the suite) for the same reason
+  in cosine space.
 
 Pure pyarrow/numpy — writes the exact arrow schema of the source, so
 everything the engine's load_table handles at sf0.1 behaves
@@ -69,16 +76,21 @@ def _offset_copy(table: pa.Table, offsets: dict[str, int], i: int) -> pa.Table:
     return table
 
 
-def _rotate_text(text_col: pa.ChunkedArray, i: int) -> pa.Array:
-    """Rotate each document's whitespace token sequence by ``i``."""
+def _permute_text(
+    text_col: pa.ChunkedArray, ids: list[int], i: int
+) -> pa.Array:
+    """Deterministically shuffle each document's whitespace token
+    sequence (seeded by (copy, doc_id)) — token multiset preserved,
+    consecutive shingles destroyed."""
     out = []
-    for text in text_col.to_pylist():
+    for doc_id, text in zip(ids, text_col.to_pylist()):
         if text is None:
             out.append(None)
             continue
         toks = text.split(" ")
-        r = i % len(toks) if toks else 0
-        out.append(" ".join(toks[r:] + toks[:r]))
+        rng = np.random.default_rng((i << 32) ^ (doc_id & 0xFFFFFFFF))
+        rng.shuffle(toks)
+        out.append(" ".join(toks))
     return pa.array(out, type=pa.string())
 
 
@@ -95,7 +107,7 @@ def _perturb_embeddings(table: pa.Table, i: int) -> pa.Table:
         rng = np.random.default_rng((i << 32) ^ (vid & 0xFFFFFFFF))
         out.append(
             (np.asarray(v, dtype="float32")
-             + rng.normal(0.0, 0.05, size=len(v)).astype("float32")).tolist()
+             + rng.normal(0.0, 0.15, size=len(v)).astype("float32")).tolist()
         )
     return table.set_column(idx, field, pa.array(out, type=field.type))
 
@@ -115,8 +127,14 @@ def main() -> None:
             c = _offset_copy(base, offsets, i)
             if t == "documents" and i > 0:
                 tix = c.schema.get_field_index("text")
+                # permute seeded by the BASE doc_id (pre-offset ids
+                # are identical across copies; the copy index i makes
+                # each copy's shuffle distinct anyway)
+                base_ids = base.column("doc_id").to_pylist()
                 c = c.set_column(
-                    tix, c.schema.field(tix), _rotate_text(c.column(tix), i)
+                    tix,
+                    c.schema.field(tix),
+                    _permute_text(c.column(tix), base_ids, i),
                 )
             if t == "embeddings" and i > 0:
                 c = _perturb_embeddings(c, i)

@@ -337,16 +337,9 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE sets AS (
-        SELECT doc_id, lang, source, list_distinct({TOK_SQL.format(c="text")}) AS s
-        FROM documents
-    ),
+    WITH RECURSIVE mh AS ({_minhash_oracle()}),
     pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sets a JOIN sets b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
+        SELECT id_a, id_b FROM mh WHERE jaccard > 0.5
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -364,35 +357,31 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM walk GROUP BY node
     """,
     survey="extension: near-dup cluster assembly — connected "
-    "components over candidate pairs by iterative min-label "
-    "propagation (operators/dedup.connected_components); cluster_id = "
-    "smallest member = canonical survivor. Oracle = DuckDB recursive "
-    "CTE reachability",
+    "components over MinHash-LSH candidate pairs (exact Jaccard > 0.5 "
+    "within candidates) by iterative min-label propagation "
+    "(operators/dedup.connected_components); cluster_id = smallest "
+    "member = canonical survivor. Oracle = DuckDB recursive CTE "
+    "reachability over the identical banding replay",
+    note="edge generation = the dedup_minhash_lsh construction (linear "
+    "banded bucket join), NOT blocked all-pairs: the r4 sf1 scale "
+    "bench measured the (lang, source)-blocked all-pairs edge build at "
+    "~40x per 10x docs (unbounded block sizes are quadratic); the "
+    "all-pairs baseline survives as dedup_ngram_jaccard, documented "
+    "small-corpus-only",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vbb_data_pipeline_spark.functions.text import tokens
-
+    mode = default_hash_mode()
     d = load_table(spark, sf_dir, "documents")
-    sets_df = d.select(
-        "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("s")
+    sigs = dd.minhash_signatures(
+        d, "text", "doc_id", num_hashes=NUM_HASHES, shingle_n=3, hash_mode=mode
     )
-    a = sets_df.alias("a")
-    b = sets_df.alias("b")
-    jac = F.size(F.array_intersect("a.s", "b.s")) / F.greatest(
-        F.size(F.array_union("a.s", "b.s")), F.lit(1)
+    cand = dd.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=NUM_HASHES, bands=BANDS, hash_mode=mode
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac > 0.5)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
+        dd.jaccard_pairs(d, cand, "text", "doc_id", shingle_n=3)
+        .filter(F.col("jaccard") > 0.5)
+        .select("id_a", "id_b")
     )
     labels = dd.connected_components(pairs)
     return labels.select(
