@@ -150,3 +150,20 @@ def test_salted_agg_two_shuffles(spark, reg):
     shuffle; anything more means the salting collapsed."""
     df = reg["salted_skew_agg"].fn(spark, SF)
     assert count_exchanges(df) <= 2
+
+
+def test_dedup_clusters_edges_use_lsh_not_allpairs(spark, reg):
+    """r4 regression guard: dedup_clusters' edge generation must ride
+    the MinHash-LSH banded bucket join, NOT the (lang, source)-blocked
+    all-pairs Jaccard join — the sf1 scale bench measured the latter
+    at ~40x per 10x docs (PERF.md §scale, commit 0d52956). CC
+    localCheckpoints its input, so assert on the EDGE frame the query
+    builds, replicated here from the registry construction."""
+    df = reg["dedup_clusters"].fn(spark, SF)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # the old quadratic construction equi-joined on the blocking
+    # columns; the LSH path never touches them
+    assert "lang" not in plan and "source" not in plan
+    # candidates + CC labels arrive as localCheckpoint-ed RDDs (the
+    # banding lineage is truncated by design — computed once)
+    assert "LogicalRDD" in plan
