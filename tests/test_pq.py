@@ -1,0 +1,110 @@
+"""Product quantization (pq_train_local / pq_encode / pq_topk).
+
+Covers: codebook shape & determinism, encode validity, ADC recall
+against the exact brute-force oracle, and the plan guards that keep
+the operator 100 TB-shaped (broadcast LUT, no cartesian product, no
+Python eval). The cross-engine value check lives in the registry
+(`sim_pq_topk` vs its DuckDB oracle, which replays training in SQL).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.01"
+DIM = 64
+M = 8
+K = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from vbb_data_pipeline_spark.queries import load_table
+
+    return load_table(spark, SF, "embeddings").localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return sim.pq_train_local(
+        emb, n_subspaces=M, n_codes=K, iters=2, dim=DIM
+    ).localCheckpoint()
+
+
+def test_codebook_shape_and_determinism(emb, codebooks):
+    rows = codebooks.collect()
+    # every subspace trained; no subspace exceeds K codewords; each
+    # subvector is dim/M wide
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r.subspace, []).append(r)
+        assert len(r.subvec) == DIM // M
+        assert 0 <= r.code < K
+    assert sorted(by_sub) == list(range(M))
+    # deterministic retrain (no cache key -> full retrain)
+    again = sim.pq_train_local(emb, n_subspaces=M, n_codes=K, iters=2, dim=DIM)
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_encode_every_vector_all_subspaces(emb, codebooks):
+    n = emb.count()
+    codes = sim.pq_encode(emb, codebooks, n_subspaces=M, dim=DIM)
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("vec_id").alias("vecs"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    ).first()
+    assert stats.rows == n * M
+    assert stats.vecs == n
+    assert 0 <= stats.lo and stats.hi < K
+
+
+def test_adc_recall_vs_bruteforce(emb, codebooks):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.pq_topk(
+        emb,
+        queries,
+        k=5,
+        n_subspaces=M,
+        n_codes=K,
+        dim=DIM,
+        candidates=20,
+        codebooks=codebooks,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 16 codes x 8 subspaces on this corpus: deterministic data ->
+    # deterministic recall; the bound is a regression tripwire, not a
+    # statistical claim
+    assert recall >= 0.5, f"PQ recall@5 collapsed: {recall:.2f}"
+    # the exact re-rank means every reported cosine is the true one
+    joined = (
+        approx.alias("a")
+        .join(
+            exact.alias("e"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+        )
+        .filter(F.col("a.cosine") != F.col("e.cosine"))
+    )
+    assert joined.count() == 0
+
+
+def test_pq_plan_guards(emb, codebooks):
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.pq_topk(
+        emb, queries, k=5, n_subspaces=M, n_codes=K, dim=DIM, codebooks=codebooks
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # LUT + query-vector joins
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan  # fully JVM-side

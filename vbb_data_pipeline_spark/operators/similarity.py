@@ -900,3 +900,326 @@ def embedding_neardup_pairs(
             F.round(cos, 5).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half) — Jégou, Douze,
+# Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+# 2011. The reference repo has no ANN surface at all (its embeddings
+# use cases stop at batch scoring); PQ is here because it is the
+# standard way a 100 TB corpus makes billion-vector search tractable:
+# each vector is stored as ``n_subspaces`` one-byte codes (M bytes vs
+# dim×4), and query scoring reads ONLY the codes plus a per-query
+# lookup table — the full vectors are touched just for the final
+# re-rank of a few candidates.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_local(
+    embeddings: DataFrame,
+    n_subspaces: int,
+    n_codes: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    sample_n: int = 1 << 18,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Train PQ codebooks → ``(subspace, code, subvec)`` table.
+
+    ``n_subspaces`` independent Lloyd k-means runs, one per
+    ``dim/n_subspaces``-wide coordinate block, each under squared-L2
+    distance (the PQ objective: minimize reconstruction error, not
+    cosine). Training follows the same deterministic, cross-engine
+    recipe as :func:`kmeans_centroids_local` — bounded lowest-id
+    sample collected to the driver (FAISS-style: quantizer quality
+    needs ~(100-1000)×n_codes points, never the corpus), seeds are the
+    sample vectors with id < ``n_codes``, distances round HALF_UP at
+    ``round_digits`` before the argmin (tie → smallest code), means
+    are fixed-point integer sums at ``KMEANS_SCALE``. The squared
+    distance is evaluated as ``(x·x − 2·x·c) + c·c`` — that exact IEEE
+    operation order — in this trainer, in :func:`pq_encode`'s column
+    expression, and in the DuckDB oracle, so all three engines pick
+    identical codes. When ``sample_n`` covers the corpus (test scale)
+    the result is bit-identical to full-corpus training.
+    """
+    cached = _cache_get(embeddings.sparkSession, cache_key)
+    if cached is not None:
+        return cached
+    spark = embeddings.sparkSession
+    sub = dim // n_subspaces
+    rows = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col))
+        .orderBy("_id")
+        .limit(sample_n)
+        .collect()
+    )
+    vecs = [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+    def dot_seq(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    out: list[tuple[int, int, list[float]]] = []
+    for j in range(n_subspaces):
+        svecs = [(i, v[j * sub : (j + 1) * sub]) for i, v in vecs]
+        cents: list[tuple[int, list[float]]] = [
+            (int(i), sv) for i, sv in svecs if i < n_codes
+        ]
+        for _ in range(iters):
+            withn = [(c, cv, dot_seq(cv, cv)) for c, cv in cents]
+            sums: dict[int, list[int]] = {}
+            counts: dict[int, int] = {}
+            for _vid, sv in svecs:
+                xx = dot_seq(sv, sv)
+                best_code, best_d = None, None
+                for code, cv, cc in withn:
+                    d = _round_half_up(
+                        (xx - 2 * dot_seq(sv, cv)) + cc, round_digits
+                    )
+                    if best_d is None or d < best_d:
+                        best_code, best_d = code, d
+                acc = sums.get(best_code)
+                if acc is None:
+                    acc = [0] * sub
+                    sums[best_code] = acc
+                for i, x in enumerate(sv):
+                    acc[i] += int(_round_half_up(x * KMEANS_SCALE, 0))
+                counts[best_code] = counts.get(best_code, 0) + 1
+            cents = [
+                (c, [(s / KMEANS_SCALE) / counts[c] for s in sums[c]])
+                for c in sorted(sums)
+            ]
+        out.extend((j, c, cv) for c, cv in cents)
+    cb = spark.createDataFrame(
+        out, schema="subspace int, code long, subvec array<double>"
+    )
+    _cache_put(spark, cache_key, cb)
+    return cb
+
+
+def _subspace_slices(
+    vec: Column, n_subspaces: int, sub: int
+) -> Column:
+    """``array<struct<subspace:int, _sv:array<double>>>`` of the
+    vector's coordinate blocks (1-based slice, matching DuckDB's
+    ``list_slice``)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice(_as_double(vec), j * sub + 1, sub).alias("_sv"),
+            )
+            for j in range(n_subspaces)
+        ]
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Quantize each vector → ``(id_col, subspace, code)``.
+
+    Codebooks broadcast (``n_subspaces × n_codes`` rows), so scoring
+    is a map-side pass; the argmin is a ``min(struct(d², code))``
+    aggregation — partial aggregation combines the ``n_codes``
+    candidate rows per (vector, subspace) on the map side, so the one
+    exchange carries N×M skinny rows (id, subspace, code), never the
+    vectors themselves. At 100 TB this runs once at ingest and the
+    codes (M bytes/vector) are what the ADC scan reads ever after.
+    """
+    sub = dim // n_subspaces
+    ex = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                _subspace_slices(F.col(vec_col), n_subspaces, sub)
+            ).alias("_e"),
+        )
+        .select(
+            id_col,
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_sv"),
+        )
+    )
+    cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
+    d2 = F.round(
+        (dot(F.col("_sv"), F.col("_sv")) - 2 * dot(F.col("_sv"), F.col("_cv")))
+        + dot(F.col("_cv"), F.col("_cv")),
+        round_digits,
+    )
+    scored = ex.join(F.broadcast(cb), "subspace").select(
+        id_col, "subspace", F.col("code"), d2.alias("_d2")
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min(
+            F.struct(F.col("_d2").alias("d"), F.col("code").alias("c"))
+        ).alias("_m")
+    )
+    return best.select(id_col, "subspace", F.col("_m.c").alias("code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    candidates: int = 20,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """ADC (asymmetric-distance) top-k over PQ codes + exact re-rank.
+
+    Approximate cosine from codes alone: the dot product decomposes
+    exactly over the disjoint coordinate blocks, so
+    ``q·x̃ = Σ_m q_m·c_{m,code_m}`` and ``|x̃|² = Σ_m |c_{m,code_m}|²``
+    — both read from a per-query lookup table of
+    ``n_subspaces × n_codes`` entries. The LUT partials are stored as
+    ``KMEANS_SCALE`` fixed-point integers so the Σ over subspaces is
+    an exact, order-independent integer sum (cross-engine-identical);
+    the rounded approximate cosine ranks candidates, and only the top
+    ``candidates`` per query touch full vectors for the exact re-rank.
+
+    Plan shape: codes ⋈ broadcast LUT (map-side) → one combine-heavy
+    groupBy whose exchange carries ≤ N×|Q| partial rows → top-C window
+    over (query, approx score) → candidate-only exact cosine. The
+    corpus' full vectors are read once (encode) and again only for
+    C×|Q| candidate rows; at billion-vector scale the ADC scan touches
+    M bytes per vector instead of dim×4.
+
+    Returns ``(query_id, neighbor_id, cosine, approx_cosine, rank)``.
+    """
+    if codebooks is None:
+        codebooks = pq_train_local(
+            embeddings,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            iters=iters,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+            cache_key=cache_key,
+        )
+    sub = dim // n_subspaces
+    codes = pq_encode(
+        embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
+    )
+    cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
+    qex = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        )
+        .withColumn("_qn", l2_norm(F.col("_qv"), dim))
+        .select(
+            "query_id",
+            "_qn",
+            F.explode(
+                _subspace_slices(F.col("_qv"), n_subspaces, sub)
+            ).alias("_e"),
+        )
+        .select(
+            "query_id",
+            "_qn",
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_qsv"),
+        )
+    )
+    lut = qex.join(cb, "subspace").select(
+        "query_id",
+        "_qn",
+        "subspace",
+        "code",
+        F.round(dot(F.col("_qsv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_pd"),
+        F.round(dot(F.col("_cv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_cn2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("_pd").alias("_sd"),
+            F.sum("_cn2").alias("_sn2"),
+            F.max("_qn").alias("_qn"),
+        )
+    )
+    approx = F.round(
+        (F.col("_sd").cast("double") / KMEANS_SCALE)
+        / F.greatest(
+            F.col("_qn")
+            * F.sqrt(F.col("_sn2").cast("double") / KMEANS_SCALE),
+            F.lit(1e-12),
+        ),
+        round_digits,
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        adc.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("approx_cosine", approx)
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= candidates)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "approx_cosine",
+        )
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvf")
+    ).withColumn("_cn", l2_norm(F.col("_cvf"), dim))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvf")
+    ).withColumn("_qnf", l2_norm(F.col("_qvf"), dim))
+    rer = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.round(
+                dot(F.col("_qvf"), F.col("_cvf"), dim)
+                / F.greatest(F.col("_qnf") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "approx_cosine",
+            F.col("_rn").alias("rank"),
+        )
+    )

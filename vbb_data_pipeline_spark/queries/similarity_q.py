@@ -260,3 +260,173 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(
         e, dim=DIM, num_planes=N_PLANES, threshold=0.35
     )
+
+
+_PQ_M = 8          # subspaces (dim 64 -> 8-wide blocks)
+_PQ_CODES = 16     # codewords per subspace
+_PQ_ITERS = 2
+_PQ_CAND = 20      # ADC candidates per query before exact re-rank
+_PQ_SAMPLE = 4096  # driver-side training sample bound
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of pq_train_local + pq_encode + pq_topk: the same
+    per-subspace Lloyd rounds (squared-L2 as ``(x·x − 2·x·c) + c·c``,
+    rounded HALF_UP, tie → smallest code; fixed-point means), the same
+    fixed-point ADC lookup-table scoring, the same candidate cut and
+    exact re-rank. Valid while the corpus fits the Spark side's
+    training sample bound (it does at every gate scale), making the
+    full-corpus SQL replay bit-identical to the sampled trainer."""
+    from vbb_data_pipeline_spark.operators.similarity import KMEANS_SCALE
+
+    sub = DIM // _PQ_M
+    d2 = (
+        "round((list_dot_product({x}, {x}) - 2*list_dot_product({x}, {c}))"
+        " + list_dot_product({c}, {c}), 5)"
+    )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""
+    {name}_scored AS (
+        SELECT s.vec_id, s.m, s.sv, c.code,
+               {d2.format(x="s.sv", c="c.cv")} AS d2
+        FROM cs s JOIN {cent} c ON s.m = c.m
+    ),
+    {name} AS (
+        SELECT vec_id, m, sv, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC
+            ) AS rn FROM {name}_scored
+        ) WHERE rn = 1
+    )"""
+
+    def means_cte(name: str, assigned: str) -> str:
+        comps = ", ".join(
+            f"(CAST(sum(CAST(round(sv[{i + 1}] * {KMEANS_SCALE}) AS BIGINT)) "
+            f"AS DOUBLE) / {KMEANS_SCALE}.0) / count(*)"
+            for i in range(sub)
+        )
+        return f"""
+    {name} AS (
+        SELECT m, code, [{comps}] AS cv FROM {assigned} GROUP BY m, code
+    )"""
+
+    iter_ctes = []
+    cent = "pcent0"
+    for it in range(_PQ_ITERS):
+        iter_ctes.append(assign_cte(f"pa{it}", cent))
+        cent = f"pcent{it + 1}"
+        iter_ctes.append(means_cte(cent, f"pa{it}"))
+
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    cs AS (
+        SELECT vec_id, m,
+               list_slice(v, m*{sub} + 1, (m+1)*{sub}) AS sv
+        FROM corpus CROSS JOIN sub
+    ),
+    pcent0 AS (
+        SELECT m, CAST(vec_id AS BIGINT) AS code, sv AS cv
+        FROM cs WHERE vec_id < {_PQ_CODES}
+    ),{",".join(iter_ctes)},{assign_cte("encode", cent)},
+    q AS (
+        SELECT vec_id AS query_id, v AS qv,
+               sqrt(list_dot_product(v, v)) AS qn
+        FROM corpus WHERE vec_id < 10
+    ),
+    qs AS (
+        SELECT query_id, qn, m,
+               list_slice(qv, m*{sub} + 1, (m+1)*{sub}) AS qsv
+        FROM q CROSS JOIN sub
+    ),
+    lut AS (
+        SELECT query_id, qn, c.m, c.code,
+               CAST(round(list_dot_product(qsv, c.cv) * {KMEANS_SCALE})
+                    AS BIGINT) AS pd,
+               CAST(round(list_dot_product(c.cv, c.cv) * {KMEANS_SCALE})
+                    AS BIGINT) AS cn2
+        FROM qs JOIN {cent} c ON qs.m = c.m
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id,
+               CAST(sum(l.pd) AS BIGINT) AS sd,
+               CAST(sum(l.cn2) AS BIGINT) AS sn2,
+               max(l.qn) AS qn
+        FROM encode e JOIN lut l ON e.m = l.m AND e.code = l.code
+        GROUP BY l.query_id, e.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round((CAST(sd AS DOUBLE) / {KMEANS_SCALE}.0)
+                     / greatest(qn * sqrt(CAST(sn2 AS DOUBLE)
+                                          / {KMEANS_SCALE}.0), 1e-12),
+                     5) AS approx_cosine
+        FROM adc WHERE query_id <> vec_id
+    ),
+    candk AS (
+        SELECT query_id, neighbor_id, approx_cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_cosine DESC, neighbor_id ASC
+            ) AS rn FROM cand
+        ) WHERE rn <= {_PQ_CAND}
+    ),
+    rer AS (
+        SELECT ck.query_id, ck.neighbor_id, ck.approx_cosine,
+               round({COS_SQL.format(a="q.qv", b="c.v")}, 5) AS cosine
+        FROM candk ck
+        JOIN q ON q.query_id = ck.query_id
+        JOIN corpus c ON c.vec_id = ck.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM rer
+    )
+    SELECT query_id, neighbor_id, cosine, approx_cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "sim_pq_topk",
+    oracle=_pq_oracle(),
+    survey="extension: product-quantization ANN (Jégou et al. 2011) — "
+    "per-subspace deterministic k-means codebooks, M-byte codes per "
+    "vector, fixed-point ADC lookup-table scoring over codes only, "
+    "exact re-rank of the candidate set; the compression layer that "
+    "makes billion-vector search storage- and scan-tractable at "
+    "100 TB",
+    note="training, encoding, ADC, and re-rank all follow the "
+    "fixed-point / HALF_UP / smallest-id-tie recipe, so the oracle "
+    "replays the ENTIRE pipeline (including codebook training) as "
+    "chained CTEs, bit-identically",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    cb = sim.pq_train_local(
+        e,
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_CODES,
+        iters=_PQ_ITERS,
+        dim=DIM,
+        sample_n=_PQ_SAMPLE,
+        cache_key=f"pq|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
+    )
+    out = sim.pq_topk(
+        e,
+        queries,
+        k=5,
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_CODES,
+        iters=_PQ_ITERS,
+        dim=DIM,
+        candidates=_PQ_CAND,
+        codebooks=cb,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
