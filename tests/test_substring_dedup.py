@@ -1,0 +1,116 @@
+"""substring_span_stats (Lee et al. 2021 approximation; winnowing per
+Schleimer et al. 2003).
+
+The cross-engine value check lives in the registry
+(`dedup_substring_spans` vs its DuckDB oracle); here: semantics on a
+hand-built corpus, the alignment guarantees of both modes, hash-mode
+independence, and plan guards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.operators.dedup import substring_span_stats
+
+W = 6
+K = 3
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        # doc 1 and 2 share an 8-token run (>= W) -> stride-1 hit
+        (1, f"{shared} unique tail one two three"),
+        (2, f"prefix words here {shared} and more"),
+        # doc 3: long but unshared
+        (3, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        # doc 4: shorter than the window -> no spans at all
+        (4, "too short for any span"),
+        # doc 5: null text
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_run_detected_and_owned(docs):
+    out = substring_span_stats(docs, "text", "doc_id", window=W)
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 4 (too short) and doc 5 (null) produce no spans -> absent
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].dup_spans > 0 and rows[2].dup_spans > 0
+    assert rows[3].dup_spans == 0 and rows[3].dup_frac == 0.0
+    # min-id owner: every duplicated span's owner is doc 1, never doc 2
+    assert rows[1].owned_dup_spans == rows[1].dup_spans
+    assert rows[2].owned_dup_spans == 0
+    for r in rows.values():
+        assert r.total_spans >= r.dup_spans >= r.owned_dup_spans >= 0
+
+
+def test_stride1_alignment_guarantee(spark):
+    # any shared run of >= W tokens is caught at EVERY shift
+    run = " ".join(f"t{i}" for i in range(W))
+    for shift in range(4):
+        pad = " ".join(f"p{i}" for i in range(shift))
+        d = spark.createDataFrame(
+            [(1, run + " x y z"), (2, (pad + " " + run).strip())],
+            "doc_id long, text string",
+        )
+        out = substring_span_stats(d, "text", "doc_id", window=W)
+        dups = {r.doc_id: r.dup_spans for r in out.collect()}
+        assert dups[1] > 0 and dups[2] > 0, f"missed at shift {shift}"
+
+
+def test_winnowing_alignment_guarantee(spark):
+    # winnowing guarantee: any shared run of >= W + K - 1 tokens
+    # shares a SELECTED fingerprint in both docs, at any alignment
+    run = " ".join(f"t{i}" for i in range(W + K - 1))
+    for shift in range(2 * K + 1):
+        pad = " ".join(f"p{i}" for i in range(shift))
+        d = spark.createDataFrame(
+            [
+                (1, run + " xa xb xc xd xe"),
+                (2, (pad + " " + run + " ya yb").strip()),
+            ],
+            "doc_id long, text string",
+        )
+        out = substring_span_stats(
+            d, "text", "doc_id", window=W, winnow=K
+        )
+        dups = {r.doc_id: r.dup_spans for r in out.collect()}
+        assert dups[1] > 0 and dups[2] > 0, f"missed at shift {shift}"
+
+
+def test_winnowing_reduces_emitted_spans(docs):
+    full = substring_span_stats(docs, "text", "doc_id", window=W)
+    winnowed = substring_span_stats(docs, "text", "doc_id", window=W, winnow=K)
+    tf = {r.doc_id: r.total_spans for r in full.collect()}
+    tw = {r.doc_id: r.total_spans for r in winnowed.collect()}
+    assert set(tf) == set(tw)
+    assert all(tw[d] <= tf[d] for d in tf)
+    assert sum(tw.values()) < sum(tf.values())
+
+
+def test_hash_mode_independence(docs):
+    for kw in ({}, {"winnow": K}):
+        fast = substring_span_stats(
+            docs, "text", "doc_id", window=W, hash_mode="fast", **kw
+        )
+        oracle = substring_span_stats(
+            docs, "text", "doc_id", window=W, hash_mode="oracle", **kw
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, oracle.collect())
+        )
+
+
+def test_plan_guards(docs):
+    for kw in ({}, {"winnow": K}):
+        out = substring_span_stats(docs, "text", "doc_id", window=W, **kw)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan  # elections are aggs, not windows
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in plan

@@ -405,3 +405,124 @@ def connected_components(
             break
         prev_sum = s
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def substring_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 15,
+    winnow: int | None = None,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """Cross-document duplicated-substring accounting — the distributed
+    approximation of suffix-array exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better":
+    remove any long token span shared between documents; their suffix
+    array is a single-machine construction).
+
+    Every ``window``-token span is hashed AT EVERY OFFSET (the
+    stride-1 grid is the only alignment-safe one: a strided grid in
+    two documents only coincides when the shared run's offsets agree
+    mod the stride, so strided variants silently miss shifted copies).
+    A span is DUPLICATED when it occurs in ≥2 distinct documents; a
+    shared run of ≥ ``window`` tokens is guaranteed caught.
+
+    ``winnow=K`` switches span SELECTION to winnowing (Schleimer,
+    Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003): all positions are still hashed
+    map-side, but only each K-window's minimum hash (tie → rightmost)
+    is emitted, cutting shuffle volume ~K× while staying
+    alignment-invariant — the winnowing guarantee is that any shared
+    run of ≥ ``window + K - 1`` tokens shares a selected fingerprint
+    in both documents. This is the 100 TB mode; counts then refer to
+    selected fingerprints rather than all spans.
+
+    Returns one row per document that produced ≥1 span/fingerprint:
+    ``(id_col, total_spans, dup_spans, owned_dup_spans, dup_frac)``
+    where ``owned_dup_spans`` counts duplicated spans whose earliest
+    holder (min id) is this document — the survivor-election signal a
+    span-removal pass keys on (later holders excise the span, the
+    owner keeps it).
+
+    Scale shape: span STRINGS never shuffle — each position's span is
+    hashed map-side inside the same projection that builds it, so the
+    exchange carries ``(hash, id)`` pairs (≤ tokens-per-doc rows in
+    stride-1 mode, ~1/K of that winnowed). Then two hash aggregations
+    (per-(span,doc) occurrence, per-span owner/count — both map-side
+    combinable; a boilerplate span occurring a billion times combines
+    per task exactly like ``line_dedup_corpus``'s election) and one
+    per-doc rollup. No windows, no pairwise joins.
+    """
+    from vbb_data_pipeline_spark.functions.hashing import hash_long
+
+    w = window
+    tk = F.col("_tk")
+    positions = F.when(
+        F.size(tk) >= w,
+        F.sequence(F.lit(1), F.size(tk) - w + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    # per-position span hashes, computed inside one projection
+    h_arr = F.transform(
+        positions,
+        lambda i: hash_long(F.concat_ws("_", F.slice(tk, i, w)), hash_mode),
+    )
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tk")).select(
+        F.col(id_col), h_arr.alias("_h")
+    )
+    if winnow is None:
+        spans = base.select(
+            F.col(id_col), F.explode(F.col("_h")).alias("_sh")
+        )
+    else:
+        k = winnow
+        h = F.col("_h")
+        # window starts: 1 .. len-K+1 (a doc with 1..K-1 hashes gets
+        # one window covering them all)
+        starts = F.when(
+            F.size(h) >= 1,
+            F.sequence(F.lit(1), F.greatest(F.size(h) - k + 1, F.lit(1))),
+        ).otherwise(F.array().cast("array<int>"))
+
+        def select_fp(i):
+            sl = F.slice(h, i, k)
+            m = F.array_min(sl)
+            # rightmost minimum (the winnowing tie rule): position of
+            # the first match in the reversed slice, mapped back
+            pos = i + F.size(sl) - F.array_position(F.reverse(sl), m)
+            return F.struct(pos.cast("int").alias("p"), m.alias("h"))
+
+        spans = base.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.transform(starts, select_fp))
+            ).alias("_s"),
+        ).select(F.col(id_col), F.col("_s.h").alias("_sh"))
+    occ = spans.groupBy("_sh", id_col).agg(F.count(F.lit(1)).alias("_c"))
+    stats = occ.groupBy("_sh").agg(
+        F.count(F.lit(1)).alias("_ndocs"), F.min(id_col).alias("_owner")
+    )
+    dup = F.col("_ndocs") >= 2
+    return (
+        occ.join(stats, "_sh")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("total_spans"),
+            F.sum(F.when(dup, F.col("_c")).otherwise(F.lit(0))).alias(
+                "dup_spans"
+            ),
+            F.sum(
+                F.when(dup & (F.col("_owner") == F.col(id_col)), F.col("_c"))
+                .otherwise(F.lit(0))
+            ).alias("owned_dup_spans"),
+        )
+        .select(
+            id_col,
+            "total_spans",
+            "dup_spans",
+            "owned_dup_spans",
+            F.round(
+                F.col("dup_spans").cast("double") / F.col("total_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )

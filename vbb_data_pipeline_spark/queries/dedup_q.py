@@ -387,3 +387,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-substring accounting (Lee et al. 2021),
+# winnowed fingerprint selection (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+_SPAN_W = 15
+_SPAN_K = 4  # winnowing window (shuffle ~1/K; guarantee W+K-1)
+
+
+def _span_oracle() -> str:
+    w, k = _SPAN_W, _SPAN_K
+    span_h = md5_long_sql(
+        f"array_to_string(list_slice(tk, i, i+{w}-1), '_')"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(tk) - {w}, -1) + 2),
+                              i -> {span_h}) AS h
+        FROM toks
+    ),
+    u AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(h) - {k} + 1, 1) + 1),
+            i -> {{'p': i + len(list_slice(h, i, i+{k}-1))
+                        - list_position(list_reverse(list_slice(h, i, i+{k}-1)),
+                                        list_min(list_slice(h, i, i+{k}-1))),
+                   'h': list_min(list_slice(h, i, i+{k}-1))}})) AS s
+        FROM hs WHERE len(h) >= 1
+    ),
+    sel AS (SELECT DISTINCT doc_id, s.p AS p, s.h AS fh FROM u),
+    occ AS (
+        SELECT fh, doc_id, count(*) AS c FROM sel GROUP BY fh, doc_id
+    ),
+    stats AS (
+        SELECT fh, count(*) AS ndocs, min(doc_id) AS owner
+        FROM occ GROUP BY fh
+    )
+    SELECT o.doc_id,
+           CAST(sum(o.c) AS BIGINT) AS total_spans,
+           CAST(sum(CASE WHEN s.ndocs >= 2 THEN o.c ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           CAST(sum(CASE WHEN s.ndocs >= 2 AND s.owner = o.doc_id
+                         THEN o.c ELSE 0 END) AS BIGINT)
+               AS owned_dup_spans,
+           round(CAST(sum(CASE WHEN s.ndocs >= 2 THEN o.c ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(o.c) AS DOUBLE), 6) AS dup_frac
+    FROM occ o JOIN stats s USING (fh)
+    GROUP BY o.doc_id
+    """
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_span_oracle(),
+    survey="extension: exact-substring span dedup (Lee et al. 2021 "
+    "approximation) with winnowed fingerprint selection (Schleimer et "
+    "al. 2003) — every {w}-token span hashed map-side, each {k}-window "
+    "minimum (tie: rightmost) selected, so shuffle volume drops ~{k}x "
+    "while any shared run of >= {wk} tokens is guaranteed caught in "
+    "both documents regardless of alignment; per-doc accounting "
+    "elects the min-id owner for span removal".format(
+        w=_SPAN_W, k=_SPAN_K, wk=_SPAN_W + _SPAN_K - 1
+    ),
+    note="span strings never shuffle; both span-level aggs are "
+    "map-side combinable (no windows, no pairwise join)",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.substring_span_stats(
+        d,
+        "text",
+        "doc_id",
+        window=_SPAN_W,
+        winnow=_SPAN_K,
+        hash_mode=default_hash_mode(),
+    )
