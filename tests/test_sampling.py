@@ -571,3 +571,46 @@ def test_weighted_sample_excludes_bad_weights(spark):
     )
     picked = {r.k for r in weighted_sample_n(df, 10, "w", "k").collect()}
     assert picked == {1, 5}
+
+
+def test_export_shuffle_deterministic_and_partition_invariant(docs):
+    from vbb_data_pipeline_spark.operators.sampling import export_shuffle
+
+    out = export_shuffle(docs, "doc_id", n_shards=4, seed=1)
+    rows = sorted(map(tuple, out.select("doc_id", "shard", "pos").collect()))
+    # same input under a different physical partitioning -> identical
+    again = export_shuffle(docs.repartition(7), "doc_id", n_shards=4, seed=1)
+    assert rows == sorted(
+        map(tuple, again.select("doc_id", "shard", "pos").collect())
+    )
+    # every shard in range; positions are 1..count(shard) dense
+    by_shard: dict[int, list[int]] = {}
+    for _d, s, p in rows:
+        assert 0 <= s < 4
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # different seed -> different order (overwhelmingly)
+    other = export_shuffle(docs, "doc_id", n_shards=4, seed=2)
+    assert rows != sorted(
+        map(tuple, other.select("doc_id", "shard", "pos").collect())
+    )
+
+
+def test_export_shuffle_null_keys_kept(spark):
+    from vbb_data_pipeline_spark.operators.sampling import export_shuffle
+
+    d = spark.createDataFrame(
+        [(1,), (None,), (3,)], "doc_id int"
+    )
+    out = export_shuffle(d, "doc_id", n_shards=2)
+    assert out.count() == 3  # NULL key hashed via sentinel, not dropped
+
+
+def test_export_shuffle_single_exchange(docs):
+    from vbb_data_pipeline_spark.operators.sampling import export_shuffle
+
+    out = export_shuffle(docs, "doc_id", n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the shard-keyed window only
+    assert "rangepartitioning" not in plan.lower()  # never a global sort

@@ -504,3 +504,45 @@ def stratified_sample_n(
         .filter(F.col("_rank") <= target)
         .drop("_bucket", "_rank")
     )
+
+
+def export_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export.
+
+    Training prep ends with "shuffle the corpus and write N shards" —
+    an order that must be pseudo-random (no source/domain runs: a
+    model fed a million consecutive same-domain docs drifts), yet
+    exactly reproducible across reruns, engines and cluster sizes.
+    ``ORDER BY rand()`` is neither; a global ``ORDER BY hash`` is
+    reproducible but serializes the corpus through one sort.
+
+    This takes the 100 TB shape instead: ``shard = hash(seed|key) %
+    n_shards`` (uniform by construction — no skew salt needed), and
+    within each shard ``pos = row_number() ordered by (hash, key)``.
+    One exchange keyed on the shard id, each task sorting only its
+    shard (n·log(n/S) total, embarrassingly parallel); writers emit
+    shard files with ``partitionBy(shard) + sortWithinPartitions`` and
+    readers interleave shards round-robin for the global pseudo-random
+    order. Hash-determinism rules follow the module header (salted
+    content hash, NULL-safe sentinel, mode-switched md5/xxhash64).
+    """
+    mode = hash_mode or default_hash_mode()
+    key_str = F.coalesce(
+        F.col(key_col).cast("string"), F.lit(_NULL_KEY)
+    )
+    h = hash_long(F.concat(F.lit(f"{seed}|"), key_str), mode)
+    out = df.withColumn("_h", h).withColumn(
+        shard_col, (F.col("_h") % F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_h"), key_str)
+    return out.withColumn(
+        pos_col, F.row_number().over(w).cast("long")
+    ).drop("_h")

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vbb_data_pipeline_spark.functions.hashing import md5_long_sql
+from vbb_data_pipeline_spark.functions.hashing import (
+    default_hash_mode,
+    md5_long_sql,
+)
 from vbb_data_pipeline_spark.functions.temporal import date_int, event_timestamp
 from vbb_data_pipeline_spark.queries import (
     exact_sum,
@@ -447,3 +450,41 @@ def dq_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ri_orphan").alias("rule"), "n_violations")
     )
     return stacked.unionByName(orphans)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-export shuffle (operators/sampling.export_shuffle)
+# ---------------------------------------------------------------------------
+_SHUF_SHARDS = 8
+
+
+@register(
+    "export_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {md5_long_sql("CAST(doc_id AS VARCHAR)", seed=0)} AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY hh % {_SHUF_SHARDS}
+               ORDER BY hh, CAST(doc_id AS VARCHAR)
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+    survey="extension: deterministic global shuffle + sharding for "
+    "training export — shard = hash(seed|key) % N, within-shard order "
+    "by (hash, key); reproducible pseudo-random corpus order with ONE "
+    "shard-keyed exchange and per-shard sorts, never a global sort",
+)
+def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.operators.sampling import export_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = export_shuffle(
+        d, "doc_id", n_shards=_SHUF_SHARDS, seed=0,
+        hash_mode=default_hash_mode(),
+    )
+    return out.select("doc_id", "shard", "pos")
