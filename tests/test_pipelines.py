@@ -486,3 +486,37 @@ def test_e4_all_stages_compose(spark):
     # test_e4_corpus_prep_end_to_end; re-running the full kitchen sink
     # here would double a fixed-cost-dominated test)
     spark.catalog.clearCache()
+
+
+def test_e4_cross_dup_span_gate(spark):
+    """max_cross_dup_span_frac drops span-heavy quoters but keeps the
+    min-id owner of the duplicated content."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    run = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        # doc 1 owns the run (min id) plus original tail
+        (1, run + " original tail about trains and schedules", "en", "wiki"),
+        # doc 2 is almost entirely the quoted run -> high dup_frac,
+        # not the owner -> dropped
+        (2, "intro " + run, "en", "web"),
+        # doc 3: ordinary unshared text -> kept
+        (3, "a perfectly ordinary document about signals and stations "
+            "with enough words to clear the span window easily", "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        max_cross_dup_span_frac=0.5,
+        span_window=6,
+        span_winnow=2,
+        jaccard_threshold=1.01,  # isolate the span gate from minhash
+        shard_budget=10**6,
+        hash_mode="oracle",
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept == {1, 3}
+    spark.catalog.clearCache()

@@ -144,6 +144,9 @@ def e4_corpus_prep(
     lm_band: tuple[float, float] | None = None,
     lm_vocab_size: int = 50_000,
     max_dup_line_frac: float | None = None,
+    max_cross_dup_span_frac: float | None = None,
+    span_window: int = 15,
+    span_winnow: int | None = 4,
     compression_bounds: tuple[float, float] | None = None,
     eval_df: DataFrame | None = None,
     eval_text_col: str = "text",
@@ -181,6 +184,13 @@ def e4_corpus_prep(
        boilerplate-stripped text; ``max_dup_line_frac`` drops
        documents whose duplicate-line fraction exceeds the cap (the
        Gopher repetition filter, ``functions/text.py``);
+       ``max_cross_dup_span_frac`` drops documents whose
+       CROSS-document duplicated-span fraction exceeds the cap unless
+       they own (min-id) every duplicated span they hold
+       (``operators/dedup.substring_span_stats``, Lee et al. 2021
+       with winnowed fingerprint selection — catches long quoted runs
+       that line dedup misses when line boundaries differ; the
+       canonical first holder always survives);
        ``compression_bounds=(lo, hi)`` keeps only documents whose zlib
        compression ratio falls inside the band — below ``lo`` is
        repetitive/templated garbage, above ``hi`` is random/binary
@@ -288,6 +298,27 @@ def e4_corpus_prep(
         kept = kept.filter(
             dup_line_fraction(text_col) <= F.lit(float(max_dup_line_frac))
         )
+    if max_cross_dup_span_frac is not None:
+        from vbb_data_pipeline_spark.operators.dedup import (
+            substring_span_stats,
+        )
+
+        span_stats = substring_span_stats(
+            kept.select(id_col, text_col),
+            text_col,
+            id_col,
+            window=span_window,
+            winnow=span_winnow,
+            hash_mode=mode,
+        )
+        # drop span-heavy documents UNLESS they are the min-id owner
+        # of every duplicated span they hold (the canonical first
+        # holder survives; later quoters of its content do not)
+        heavy_nonowner = span_stats.filter(
+            (F.col("dup_frac") > F.lit(float(max_cross_dup_span_frac)))
+            & (F.col("owned_dup_spans") < F.col("dup_spans"))
+        ).select(id_col)
+        kept = kept.join(heavy_nonowner, id_col, "left_anti")
     if compression_bounds is not None:
         from vbb_data_pipeline_spark.functions.udfs import compression_signals
 
