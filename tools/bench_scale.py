@@ -34,7 +34,14 @@ from vbb_data_pipeline_spark.session import get_spark  # noqa: E402
 
 #: registry entries beyond bench.py's list whose scale behavior the
 #: round-3 verdict asked to prove empirically
-EXTRA_REGISTRY = ["dedup_clusters", "line_dedup_corpus", "cdc_scd2"]
+EXTRA_REGISTRY = [
+    "dedup_clusters",
+    "line_dedup_corpus",
+    "cdc_scd2",
+    "dedup_substring_spans",
+    "sim_pq_topk",
+    "export_shuffle_shards",
+]
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1040,6 +1040,11 @@ def pq_encode(
     codes (M bytes/vector) are what the ADC scan reads ever after.
     """
     sub = dim // n_subspaces
+    # x·x is codeword-independent and c·c is vector-independent, so
+    # both are projected BEFORE the broadcast join — the per-pair
+    # expression evaluates one dot instead of three, while the final
+    # arithmetic keeps the exact cross-engine IEEE order
+    # ``(x·x − 2·x·c) + c·c``.
     ex = (
         embeddings.filter(F.col(vec_col).isNotNull())
         .select(
@@ -1053,11 +1058,13 @@ def pq_encode(
             F.col("_e.subspace").alias("subspace"),
             F.col("_e._sv").alias("_sv"),
         )
+        .withColumn("_xx", dot(F.col("_sv"), F.col("_sv")))
     )
-    cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
+    cb = codebooks.select(
+        "subspace", "code", F.col("subvec").alias("_cv")
+    ).withColumn("_cc", dot(F.col("_cv"), F.col("_cv")))
     d2 = F.round(
-        (dot(F.col("_sv"), F.col("_sv")) - 2 * dot(F.col("_sv"), F.col("_cv")))
-        + dot(F.col("_cv"), F.col("_cv")),
+        (F.col("_xx") - 2 * dot(F.col("_sv"), F.col("_cv"))) + F.col("_cc"),
         round_digits,
     )
     scored = ex.join(F.broadcast(cb), "subspace").select(
