@@ -15,6 +15,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Fixed-point scale for rank aggregation: every summed quantity is
+#: ≤ the total rank mass (1.0), so scaled sums stay ≤ ~10^12 + N/2 —
+#: no int64 overflow at any graph size, 12 decimal digits of rank
+#: precision (final output rounds at 6).
+PR_SCALE = 10**12
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
@@ -22,6 +29,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     round_digits: int = 6,
+    scale: int | None = PR_SCALE,
 ) -> DataFrame:
     """Fixed-iteration PageRank → ``(node, rank)``.
 
@@ -43,9 +51,18 @@ def pagerank(
     without lineage truncation. Out-degrees compute once, before the
     loop.
 
-    Deterministic: fixed ``iters`` (no convergence race), exact
-    double arithmetic in a fixed operation order, ranks rounded at
-    the end only.
+    Deterministic: fixed ``iters`` (no convergence race), and — with
+    the default ``scale`` — CROSS-ENGINE deterministic: both shuffled
+    sums (in-contributions per node, global dangling mass) accumulate
+    ``round(x · scale)`` int64 fixed-point values, so the aggregation
+    is an exact, order-independent integer sum (the k-means recipe);
+    every other step is scalar IEEE arithmetic in a fixed operation
+    order. The quantization error is ≤ 0.5/scale per summand — eleven
+    orders below the final rounding — and the DuckDB oracle replays
+    all ``iters`` rounds as chained CTEs bit-identically
+    (``queries/graph_q.py``). ``scale=None`` restores plain double
+    sums (fractionally faster, engine-order-dependent in the last
+    ulps).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -72,30 +89,42 @@ def pagerank(
         # (BroadcastNestedLoopJoin of 1 row — constant cost), folding
         # what used to be a second full scan + driver round-trip into
         # the same job as the rank update.
-        dangling = (
-            with_deg.filter(F.col("_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+        if scale is None:
+            dang_val = F.coalesce(F.sum("rank"), F.lit(0.0))
+            contrib_val = F.sum(F.col("rank") / F.col("_deg"))
+            in_val = F.coalesce(F.col("_in"), F.lit(0.0))
+            dang_term = F.col("_dangling") / F.lit(float(n_total))
+        else:
+            dang_val = F.coalesce(
+                F.sum(F.round(F.col("rank") * scale).cast("long")), F.lit(0)
+            ).cast("long")
+            contrib_val = F.sum(
+                F.round((F.col("rank") / F.col("_deg")) * scale).cast("long")
+            )
+            in_val = F.coalesce(F.col("_in"), F.lit(0)).cast("double") / F.lit(
+                float(scale)
+            )
+            dang_term = (
+                F.col("_dangling").cast("double") / F.lit(float(scale))
+            ) / F.lit(float(n_total))
+        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+            dang_val.alias("_dangling")
         )
         contrib = (
             with_deg.filter(F.col("_deg").isNotNull())
             .join(e, with_deg.node == e.src)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .select(F.col("dst").alias("node"), "rank", "_deg")
             .groupBy("node")
-            .agg(F.sum("_c").alias("_in"))
+            .agg(contrib_val.alias("_in"))
         )
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dangling") / F.lit(float(n_total))
-                    )
-                ).alias("rank"),
+                (F.lit(base) + F.lit(damping) * (in_val + dang_term)).alias(
+                    "rank"
+                ),
             )
             .localCheckpoint()
         )

@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "streaming_q",
     "misc_q",
     "cdc_q",
+    "graph_q",
 ]
 
 
