@@ -468,3 +468,60 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow=_SPAN_K,
         hash_mode=default_hash_mode(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination report (operators/contamination.py)
+# ---------------------------------------------------------------------------
+_DECON_EVAL_N = 50   # eval set = first N docs by id (deterministic)
+_DECON_MIN = 5       # min shared distinct 3-grams to flag
+
+
+@register(
+    "decontam_report",
+    oracle=f"""
+    WITH ev AS (
+        SELECT text FROM documents ORDER BY doc_id LIMIT {_DECON_EVAL_N}
+    ),
+    evt AS (SELECT {TOK_SQL.format(c="text")} AS tk FROM ev),
+    eg AS (
+        SELECT DISTINCT {md5_long_sql("g")} AS gh FROM (
+            SELECT unnest(list_distinct({SHINGLE_SQL})) AS g FROM evt
+        )
+    ),
+    dt AS (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
+    ),
+    dg AS (
+        SELECT doc_id, {md5_long_sql("g")} AS gh FROM (
+            SELECT doc_id, unnest(list_distinct({SHINGLE_SQL})) AS g FROM dt
+        )
+    )
+    SELECT doc_id,
+           count(DISTINCT dg.gh) AS n_contaminated_grams
+    FROM dg JOIN eg USING (gh)
+    GROUP BY doc_id
+    HAVING count(DISTINCT dg.gh) >= {_DECON_MIN}
+    """,
+    survey="extension: benchmark decontamination (GPT-3 appendix C "
+    "recipe) — eval 3-gram set dedup + BROADCAST; the corpus explodes "
+    "grams map-side and only matching (doc_id, gram_hash) pairs reach "
+    "the one count shuffle; corpus text never moves. Flags documents "
+    "sharing >= {m} distinct grams with the eval set".format(
+        m=_DECON_MIN
+    ),
+)
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.orderBy("doc_id").limit(_DECON_EVAL_N).select("text")
+    return contamination_report(
+        d,
+        eval_df,
+        n=3,
+        min_matches=_DECON_MIN,
+        hash_mode=default_hash_mode(),
+    )
