@@ -108,3 +108,55 @@ def test_pq_plan_guards(emb, codebooks):
     assert "BroadcastHashJoin" in plan  # LUT + query-vector joins
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan  # fully JVM-side
+
+
+def test_ivfpq_recall_and_consistency(emb, codebooks):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    out = sim.ivf_pq_topk(
+        emb,
+        queries,
+        k=5,
+        n_cells=16,
+        nprobe=4,
+        n_subspaces=M,
+        n_codes=K,
+        dim=DIM,
+        candidates=20,
+        codebooks=codebooks,
+    )
+    rows = out.collect()
+    # k results per query unless the probed cells held fewer
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rank)
+        assert r.cosine <= 1.0 + 1e-9
+    assert set(per_q) <= {r.vec_id for r in queries.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(e & a) / len(e)
+    # pruning (nprobe=4/16) + PQ: deterministic tripwire, not a claim
+    assert recall >= 0.3, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
+    # reported cosines are the true ones (exact re-rank)
+    joined = (
+        out.alias("a")
+        .join(
+            exact.alias("e"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+        )
+        .filter(F.col("a.cosine") != F.col("e.cosine"))
+    )
+    assert joined.count() == 0
+
+
+def test_ivfpq_plan_guards(emb, codebooks):
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.ivf_pq_topk(
+        emb, queries, k=5, n_subspaces=M, n_codes=K, dim=DIM,
+        codebooks=codebooks,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan

@@ -1230,3 +1230,195 @@ def pq_topk(
             F.col("_rn").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    candidates: int = 20,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-vector ANN layout (FAISS
+    ``IVFx,PQy``; Jégou et al. 2011) — IVF cell pruning bounds WHICH
+    vectors are scored, PQ codes bound WHAT is read per vector, and an
+    exact re-rank of ``candidates`` rows restores true cosines at the
+    top.
+
+    Pipeline: nearest-centroid cell assignment (broadcast centroids,
+    ``max(struct)`` argmax), PQ encoding (global codebooks — the
+    residual-encoding refinement would subtract the cell centroid
+    before quantizing; omitted to keep the construction exactly
+    replayable in SQL, and documented here as the upgrade path), per-
+    query ``nprobe`` cell probes, then fixed-point ADC scoring of ONLY
+    the probed cells' codes, top-``candidates`` cut, exact re-rank.
+
+    Scale shape: at rest the corpus is stored bucketed by ``cell_id``
+    with its M-byte codes; a query touches ``nprobe/n_cells`` of the
+    rows and ``M`` bytes per touched row — the two multiplicative
+    reductions compose. Every join here is broadcast (probes, LUT,
+    query vectors); the only wide exchanges are the encode argmin and
+    the per-(query, vector) ADC sum, both map-side combinable.
+
+    Returns ``(query_id, neighbor_id, cosine, approx_cosine, rank)``.
+    """
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col)
+        )
+    if codebooks is None:
+        codebooks = pq_train_local(
+            embeddings,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            iters=iters,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    assigned = ivf_assign(
+        embeddings, centroids, dim, id_col, vec_col, round_digits,
+        cell_col="cell_id",
+    )
+    codes = pq_encode(
+        embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
+    )
+
+    # per-query nprobe cell probes (identical construction to ivf_topk)
+    cent = centroids.select(
+        F.col("cell_id"), F.col(vec_col).alias("_mv")
+    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+    probe_scored = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "cell_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_mv"), dim)
+            / F.greatest(F.col("_qn") * F.col("_mn"), F.lit(1e-12)),
+            round_digits,
+        ).alias("_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+
+    # per-query ADC lookup table over the codebooks (fixed-point)
+    sub = dim // n_subspaces
+    cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
+    qex = (
+        q.select(
+            "query_id",
+            "_qn",
+            F.explode(
+                _subspace_slices(F.col("_qv"), n_subspaces, sub)
+            ).alias("_e"),
+        )
+        .select(
+            "query_id",
+            "_qn",
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_qsv"),
+        )
+    )
+    lut = qex.join(cb, "subspace").select(
+        "query_id",
+        "_qn",
+        "subspace",
+        "code",
+        F.round(dot(F.col("_qsv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_pd"),
+        F.round(dot(F.col("_cv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_cn2"),
+    )
+
+    # ADC over probed cells only
+    probed = (
+        assigned.select("cell_id", F.col(id_col))
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+    )
+    adc = (
+        probed.join(codes, id_col)
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("_pd").alias("_sd"),
+            F.sum("_cn2").alias("_sn2"),
+            F.max("_qn").alias("_qn"),
+        )
+    )
+    approx = F.round(
+        (F.col("_sd").cast("double") / KMEANS_SCALE)
+        / F.greatest(
+            F.col("_qn")
+            * F.sqrt(F.col("_sn2").cast("double") / KMEANS_SCALE),
+            F.lit(1e-12),
+        ),
+        round_digits,
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        adc.withColumn("approx_cosine", approx)
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= candidates)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "approx_cosine"
+        )
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvf")
+    ).withColumn("_cn", l2_norm(F.col("_cvf"), dim))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvf")
+    ).withColumn("_qnf", l2_norm(F.col("_qvf"), dim))
+    rer = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.round(
+                dot(F.col("_qvf"), F.col("_cvf"), dim)
+                / F.greatest(F.col("_qnf") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "approx_cosine",
+            F.col("_rn").alias("rank"),
+        )
+    )

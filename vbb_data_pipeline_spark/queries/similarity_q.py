@@ -430,3 +430,234 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=cb,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of ivf_pq_topk: replays BOTH trainings (the IVF
+    coarse k-means and the per-subspace PQ codebooks), the cell
+    assignment, the nprobe probe cut, the fixed-point ADC over probed
+    cells only, and the exact re-rank — all as one chained-CTE query,
+    bit-identical to the Spark pipeline."""
+    from vbb_data_pipeline_spark.operators.similarity import KMEANS_SCALE
+
+    # --- IVF coarse k-means (same construction as _kmeans_oracle) ---
+    def km_assign(name: str, cent: str, keep_v: bool) -> str:
+        cols = "vec_id, cell_id" + (", v" if keep_v else "")
+        return f"""
+    {name}_scored AS (
+        SELECT e.vec_id, c.cell_id, e.v,
+               round({COS_SQL.format(a="e.v", b="c.mv")}, 5) AS cos
+        FROM corpus e CROSS JOIN {cent} c
+    ),
+    {name} AS (
+        SELECT {cols} FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell_id ASC
+            ) AS rn FROM {name}_scored
+        ) WHERE rn = 1
+    )"""
+
+    def km_means(name: str, assigned: str) -> str:
+        comps = ", ".join(
+            f"(CAST(sum(CAST(round(v[{i + 1}] * {KMEANS_SCALE}) AS BIGINT)) "
+            f"AS DOUBLE) / {KMEANS_SCALE}.0) / count(*)"
+            for i in range(DIM)
+        )
+        return f"""
+    {name} AS (
+        SELECT cell_id, [{comps}] AS mv FROM {assigned} GROUP BY cell_id
+    )"""
+
+    km_ctes = []
+    cent = "cent0"
+    for it in range(_KMEANS_ITERS):
+        km_ctes.append(km_assign(f"a{it}", cent, keep_v=True))
+        cent = f"cent{it + 1}"
+        km_ctes.append(km_means(cent, f"a{it}"))
+    km_ctes.append(km_assign("assigned", cent, keep_v=False))
+
+    # --- PQ codebooks (same construction as _pq_oracle) ---
+    subd = DIM // _PQ_M
+    d2 = (
+        "round((list_dot_product({x}, {x}) - 2*list_dot_product({x}, {c}))"
+        " + list_dot_product({c}, {c}), 5)"
+    )
+
+    def pq_assign(name: str, pcent: str) -> str:
+        return f"""
+    {name}_scored AS (
+        SELECT s.vec_id, s.m, s.sv, c.code,
+               {d2.format(x="s.sv", c="c.cv")} AS d2
+        FROM cs s JOIN {pcent} c ON s.m = c.m
+    ),
+    {name} AS (
+        SELECT vec_id, m, sv, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC
+            ) AS rn FROM {name}_scored
+        ) WHERE rn = 1
+    )"""
+
+    def pq_means(name: str, assigned: str) -> str:
+        comps = ", ".join(
+            f"(CAST(sum(CAST(round(sv[{i + 1}] * {KMEANS_SCALE}) AS BIGINT)) "
+            f"AS DOUBLE) / {KMEANS_SCALE}.0) / count(*)"
+            for i in range(subd)
+        )
+        return f"""
+    {name} AS (
+        SELECT m, code, [{comps}] AS cv FROM {assigned} GROUP BY m, code
+    )"""
+
+    pq_ctes = []
+    pcent = "pcent0"
+    for it in range(_PQ_ITERS):
+        pq_ctes.append(pq_assign(f"pa{it}", pcent))
+        pcent = f"pcent{it + 1}"
+        pq_ctes.append(pq_means(pcent, f"pa{it}"))
+    pq_ctes.append(pq_assign("encode", pcent))
+
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell_id, v AS mv
+        FROM corpus WHERE vec_id < {_IVF_CELLS}
+    ),{",".join(km_ctes)},
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    cs AS (
+        SELECT vec_id, m,
+               list_slice(v, m*{subd} + 1, (m+1)*{subd}) AS sv
+        FROM corpus CROSS JOIN sub
+    ),
+    pcent0 AS (
+        SELECT m, CAST(vec_id AS BIGINT) AS code, sv AS cv
+        FROM cs WHERE vec_id < {_PQ_CODES}
+    ),{",".join(pq_ctes)},
+    q AS (
+        SELECT vec_id AS query_id, v AS qv,
+               sqrt(list_dot_product(v, v)) AS qn
+        FROM corpus WHERE vec_id < 10
+    ),
+    pscore AS (
+        SELECT q.query_id, c.cell_id,
+               round({COS_SQL.format(a="q.qv", b="c.mv")}, 5) AS cos
+        FROM q CROSS JOIN {cent} c
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, cell_id ASC
+            ) AS rn FROM pscore
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    probed AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+        WHERE p.query_id <> a.vec_id
+    ),
+    qs AS (
+        SELECT query_id, qn, m,
+               list_slice(qv, m*{subd} + 1, (m+1)*{subd}) AS qsv
+        FROM q CROSS JOIN sub
+    ),
+    lut AS (
+        SELECT query_id, qn, c.m, c.code,
+               CAST(round(list_dot_product(qsv, c.cv) * {KMEANS_SCALE})
+                    AS BIGINT) AS pd,
+               CAST(round(list_dot_product(c.cv, c.cv) * {KMEANS_SCALE})
+                    AS BIGINT) AS cn2
+        FROM qs JOIN {pcent} c ON qs.m = c.m
+    ),
+    adc AS (
+        SELECT pr.query_id, pr.vec_id,
+               CAST(sum(l.pd) AS BIGINT) AS sd,
+               CAST(sum(l.cn2) AS BIGINT) AS sn2,
+               max(l.qn) AS qn
+        FROM probed pr
+        JOIN encode e ON e.vec_id = pr.vec_id
+        JOIN lut l ON l.query_id = pr.query_id
+                   AND l.m = e.m AND l.code = e.code
+        GROUP BY pr.query_id, pr.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round((CAST(sd AS DOUBLE) / {KMEANS_SCALE}.0)
+                     / greatest(qn * sqrt(CAST(sn2 AS DOUBLE)
+                                          / {KMEANS_SCALE}.0), 1e-12),
+                     5) AS approx_cosine
+        FROM adc
+    ),
+    candk AS (
+        SELECT query_id, neighbor_id, approx_cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_cosine DESC, neighbor_id ASC
+            ) AS rn FROM cand
+        ) WHERE rn <= {_PQ_CAND}
+    ),
+    rer AS (
+        SELECT ck.query_id, ck.neighbor_id, ck.approx_cosine,
+               round({COS_SQL.format(a="q.qv", b="c.v")}, 5) AS cosine
+        FROM candk ck
+        JOIN q ON q.query_id = ck.query_id
+        JOIN corpus c ON c.vec_id = ck.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM rer
+    )
+    SELECT query_id, neighbor_id, cosine, approx_cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    survey="extension: IVF-PQ ANN (the FAISS IVFx,PQy layout) — IVF "
+    "cell pruning bounds WHICH vectors are scored (nprobe/n_cells of "
+    "the corpus), PQ codes bound WHAT is read per vector (M bytes), "
+    "fixed-point ADC over probed cells only, exact re-rank on top; "
+    "the two multiplicative reductions compose into the standard "
+    "billion-vector search layout",
+    note="the oracle replays BOTH trainings (coarse k-means + "
+    "per-subspace codebooks), assignment, probes, ADC and re-rank as "
+    "one chained-CTE query",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    centroids = sim.kmeans_centroids_local(
+        e,
+        n_cells=_IVF_CELLS,
+        iters=_KMEANS_ITERS,
+        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
+    )
+    cb = sim.pq_train_local(
+        e,
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_CODES,
+        iters=_PQ_ITERS,
+        dim=DIM,
+        sample_n=_PQ_SAMPLE,
+        cache_key=f"pq|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
+    )
+    out = sim.ivf_pq_topk(
+        e,
+        queries,
+        k=5,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_PROBE,
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_CODES,
+        iters=_PQ_ITERS,
+        dim=DIM,
+        candidates=_PQ_CAND,
+        centroids=centroids,
+        codebooks=cb,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
