@@ -114,3 +114,25 @@ def test_plan_guards(docs):
         assert "Window" not in plan  # elections are aggs, not windows
         for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
             assert marker not in plan
+
+
+def test_degenerate_inputs(spark):
+    # identical-token doc (every span identical -> one hash, huge
+    # count, still combines map-side), empty text, whitespace-only
+    rows = [
+        (1, " ".join(["spam"] * 50)),
+        (2, " ".join(["spam"] * 30)),
+        (3, ""),
+        (4, "   "),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in ({}, {"winnow": K}):
+        out = substring_span_stats(d, "text", "doc_id", window=W, **kw)
+        rows_out = {r.doc_id: r for r in out.collect()}
+        assert set(rows_out) == {1, 2}
+        # docs 1 and 2 share the all-spam span: both fully duplicated
+        assert rows_out[1].dup_frac == 1.0
+        assert rows_out[2].dup_frac == 1.0
+        # doc 1 (min id) owns everything, doc 2 owns nothing
+        assert rows_out[1].owned_dup_spans == rows_out[1].total_spans
+        assert rows_out[2].owned_dup_spans == 0
