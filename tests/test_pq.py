@@ -160,3 +160,74 @@ def test_ivfpq_plan_guards(emb, codebooks):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_residual_pq_beats_raw_pq_on_clustered_data(spark):
+    """The point of residual coding: same code budget, less error —
+    ON CLUSTERED DATA, where residuals are much smaller than the
+    vectors. (On the unclustered synthetic fixture the effect
+    measurably INVERTS: k-means centroids of near-random vectors sit
+    close to the origin, residuals are vector-sized, and the extra
+    cross-term quantization just adds noise — raw-PQ error 0.071 vs
+    residual 0.085 at sf0.01. That measurement is why this test
+    builds its own clustered corpus instead of asserting a theory on
+    the wrong data.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0.0, 1.0, size=(16, DIM))
+    rows = []
+    for i in range(240):
+        c = centers[i % 16]  # first 16 ids cover all clusters (seeds)
+        v = c + rng.normal(0.0, 0.05, size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = sim.kmeans_centroids_local(d, n_cells=16, iters=2)
+    raw_cb = sim.pq_train_local(d, n_subspaces=M, n_codes=K, iters=2, dim=DIM)
+    res_cb = sim.pq_train_residual_local(
+        d, centroids, n_subspaces=M, n_codes=K, iters=2, dim=DIM
+    )
+    queries = d.filter(F.col("vec_id") < 20)
+    kw = dict(
+        k=10, n_cells=16, nprobe=4, n_subspaces=M, n_codes=K, dim=DIM,
+        candidates=30, centroids=centroids,
+    )
+    raw = sim.ivf_pq_topk(d, queries, codebooks=raw_cb, **kw)
+    res = sim.ivf_pq_residual_topk(d, queries, codebooks=res_cb, **kw)
+
+    def mean_abs_err(df):
+        row = df.select(
+            F.avg(F.abs(F.col("cosine") - F.col("approx_cosine"))).alias("e")
+        ).first()
+        return row.e
+
+    raw_err = mean_abs_err(raw)
+    res_err = mean_abs_err(res)
+    assert res_err < raw_err, (
+        f"residual coding did not reduce ADC error on clustered data: "
+        f"{res_err} vs {raw_err}"
+    )
+
+
+def test_residual_ivfpq_exact_rerank_and_plan(emb, spark):
+    centroids = sim.kmeans_centroids_local(emb, n_cells=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.ivf_pq_residual_topk(
+        emb, queries, k=5, n_subspaces=M, n_codes=K, dim=DIM,
+        centroids=centroids,
+    )
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    joined = (
+        out.alias("a")
+        .join(
+            exact.alias("e"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+        )
+        .filter(F.col("a.cosine") != F.col("e.cosine"))
+    )
+    assert joined.count() == 0  # reported cosines are true cosines
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan

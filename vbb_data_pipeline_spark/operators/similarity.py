@@ -950,6 +950,19 @@ def pq_train_local(
         return cached
     spark = embeddings.sparkSession
     sub = dim // n_subspaces
+    vecs = _collect_sample(embeddings, id_col, vec_col, sample_n)
+    cb = _pq_lloyd_from_vecs(
+        spark, vecs, n_subspaces, n_codes, iters, sub, round_digits
+    )
+    _cache_put(spark, cache_key, cb)
+    return cb
+
+
+def _collect_sample(
+    embeddings: DataFrame, id_col: str, vec_col: str, sample_n: int
+) -> list[tuple[int, list[float]]]:
+    """The ``sample_n`` lowest-id vectors as Python lists (one bounded
+    TakeOrderedAndProject job — the shared trainer-sample primitive)."""
     rows = (
         embeddings.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col))
@@ -957,14 +970,33 @@ def pq_train_local(
         .limit(sample_n)
         .collect()
     )
-    vecs = [(r[0], [float(x) for x in r[1]]) for r in rows]
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
-    def dot_seq(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
 
+def _dot_seq(a: list[float], b: list[float]) -> float:
+    """Left-to-right sequential dot — the arithmetic order DuckDB's
+    ``list_dot_product`` and the engine's ``zip_with``+``aggregate``
+    expression both use."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _pq_lloyd_from_vecs(
+    spark,
+    vecs: list[tuple[int, list[float]]],
+    n_subspaces: int,
+    n_codes: int,
+    iters: int,
+    sub: int,
+    round_digits: int,
+) -> DataFrame:
+    """The shared per-subspace Lloyd loop over already-collected
+    vectors (raw embeddings or residuals): squared-L2 assignment as
+    ``(x·x − 2·x·c) + c·c`` rounded HALF_UP (tie → smallest code),
+    fixed-point integer means. Seeds are the vectors whose sample id
+    is < ``n_codes``."""
     out: list[tuple[int, int, list[float]]] = []
     for j in range(n_subspaces):
         svecs = [(i, v[j * sub : (j + 1) * sub]) for i, v in vecs]
@@ -972,15 +1004,15 @@ def pq_train_local(
             (int(i), sv) for i, sv in svecs if i < n_codes
         ]
         for _ in range(iters):
-            withn = [(c, cv, dot_seq(cv, cv)) for c, cv in cents]
+            withn = [(c, cv, _dot_seq(cv, cv)) for c, cv in cents]
             sums: dict[int, list[int]] = {}
             counts: dict[int, int] = {}
             for _vid, sv in svecs:
-                xx = dot_seq(sv, sv)
+                xx = _dot_seq(sv, sv)
                 best_code, best_d = None, None
                 for code, cv, cc in withn:
                     d = _round_half_up(
-                        (xx - 2 * dot_seq(sv, cv)) + cc, round_digits
+                        (xx - 2 * _dot_seq(sv, cv)) + cc, round_digits
                     )
                     if best_d is None or d < best_d:
                         best_code, best_d = code, d
@@ -996,8 +1028,62 @@ def pq_train_local(
                 for c in sorted(sums)
             ]
         out.extend((j, c, cv) for c, cv in cents)
-    cb = spark.createDataFrame(
+    return spark.createDataFrame(
         out, schema="subspace int, code long, subvec array<double>"
+    )
+
+
+def pq_train_residual_local(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_subspaces: int,
+    n_codes: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    sample_n: int = 1 << 18,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Train PQ codebooks on IVF RESIDUALS (x − its cell centroid) —
+    the FAISS IVFx,PQy refinement: residuals concentrate around the
+    origin, so the same code budget quantizes them with far less
+    error than raw vectors. One shared codebook across cells (the
+    standard construction; per-cell books multiply model size by
+    n_cells for marginal gain).
+
+    Deterministic and engine-replayable like every trainer here: the
+    sample's cell assignment replicates ``ivf_assign`` exactly
+    (rounded-HALF_UP cosine argmax, tie → smallest cell), residuals
+    are elementwise IEEE subtraction, and the per-subspace Lloyd loop
+    is :func:`_pq_lloyd_from_vecs` verbatim.
+    """
+    cached = _cache_get(embeddings.sparkSession, cache_key)
+    if cached is not None:
+        return cached
+    spark = embeddings.sparkSession
+    sub = dim // n_subspaces
+    vecs = _collect_sample(embeddings, id_col, vec_col, sample_n)
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select("cell_id", vec_col).collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    withn = [(cid, cv, math_sqrt(_dot_seq(cv, cv))) for cid, cv in cents]
+    residuals: list[tuple[int, list[float]]] = []
+    for vid, v in vecs:
+        nv = math_sqrt(_dot_seq(v, v))
+        best_cell, best_cos, best_cv = None, None, None
+        for cid, cv, nc in withn:
+            c = _round_half_up(
+                _dot_seq(v, cv) / max(nv * nc, 1e-12), round_digits
+            )
+            if best_cos is None or c > best_cos:
+                best_cell, best_cos, best_cv = cid, c, cv
+        residuals.append((vid, [x - y for x, y in zip(v, best_cv)]))
+    cb = _pq_lloyd_from_vecs(
+        spark, residuals, n_subspaces, n_codes, iters, sub, round_digits
     )
     _cache_put(spark, cache_key, cb)
     return cb
@@ -1373,6 +1459,260 @@ def ivf_pq_topk(
         / F.greatest(
             F.col("_qn")
             * F.sqrt(F.col("_sn2").cast("double") / KMEANS_SCALE),
+            F.lit(1e-12),
+        ),
+        round_digits,
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        adc.withColumn("approx_cosine", approx)
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= candidates)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "approx_cosine"
+        )
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvf")
+    ).withColumn("_cn", l2_norm(F.col("_cvf"), dim))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvf")
+    ).withColumn("_qnf", l2_norm(F.col("_qvf"), dim))
+    rer = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.round(
+                dot(F.col("_qvf"), F.col("_cvf"), dim)
+                / F.greatest(F.col("_qnf") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "approx_cosine",
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    candidates: int = 20,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the full FAISS ``IVFx,PQy``
+    construction: each vector is quantized as ``x ≈ c_cell + r̃`` where
+    ``r̃`` is the PQ reconstruction of ``x − c_cell``. Residuals
+    concentrate around the origin, so the same code budget carries far
+    less quantization error than coding raw vectors
+    (:func:`ivf_pq_topk`, the non-residual baseline).
+
+    ADC decomposition (all terms from broadcast lookup tables, summed
+    as exact int64 fixed-point):
+    ``q·x̃ = q·c_cell + Σ_m q_m·r̃_m`` and
+    ``|x̃|² = |c|² + 2·Σ_m c_m·r̃_m + Σ_m |r̃_m|²`` — the cross term
+    does NOT vanish (residuals are not orthogonal to centroids), so a
+    per-(cell, subspace, code) table carries it: n_cells×M×K entries,
+    trivially broadcast. The quantized |x̃|² can round a few fixed-
+    point units below zero when a residual is ~0; both engines clamp
+    with ``greatest(·, 0)`` before the sqrt.
+
+    Scale shape identical to :func:`ivf_pq_topk`: probes bound WHICH
+    rows, codes bound WHAT is read, every lookup broadcasts, the two
+    wide exchanges (encode argmin, per-(query, vector) ADC sum)
+    combine map-side.
+
+    Returns ``(query_id, neighbor_id, cosine, approx_cosine, rank)``.
+    """
+    if centroids is None:
+        centroids = embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col)
+        )
+    if codebooks is None:
+        codebooks = pq_train_residual_local(
+            embeddings,
+            centroids,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            iters=iters,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+    assigned = ivf_assign(
+        embeddings, centroids, dim, id_col, vec_col, round_digits,
+        cell_col="cell_id",
+    )
+    cent = centroids.select(
+        F.col("cell_id"), F.col(vec_col).alias("_mv")
+    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+
+    # residual vectors (elementwise IEEE subtraction) -> PQ codes
+    res = assigned.join(
+        F.broadcast(cent.select("cell_id", "_mv")), "cell_id"
+    ).select(
+        id_col,
+        "cell_id",
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_mv"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias("_res"),
+    )
+    codes = pq_encode(
+        res, codebooks, n_subspaces, dim, id_col, "_res", round_digits
+    )
+
+    # per-query nprobe cell probes
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+    probe_scored = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "cell_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_mv"), dim)
+            / F.greatest(F.col("_qn") * F.col("_mn"), F.lit(1e-12)),
+            round_digits,
+        ).alias("_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+
+    # broadcast lookup tables (all fixed-point int64)
+    sub = dim // n_subspaces
+    cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
+    qc = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "_qn",
+        "cell_id",
+        F.round(dot(F.col("_qv"), F.col("_mv"), dim) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_qc"),
+    )
+    cc = cent.select(
+        "cell_id",
+        F.round(dot(F.col("_mv"), F.col("_mv"), dim) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_cc"),
+    )
+    qex = (
+        q.select(
+            "query_id",
+            F.explode(
+                _subspace_slices(F.col("_qv"), n_subspaces, sub)
+            ).alias("_e"),
+        )
+        .select(
+            "query_id",
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_qsv"),
+        )
+    )
+    qr = qex.join(cb, "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(dot(F.col("_qsv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_qr"),
+    )
+    cslice = (
+        cent.select(
+            "cell_id",
+            F.explode(
+                _subspace_slices(F.col("_mv"), n_subspaces, sub)
+            ).alias("_e"),
+        )
+        .select(
+            "cell_id",
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_cmv"),
+        )
+    )
+    cr = cslice.join(cb, "subspace").select(
+        "cell_id",
+        "subspace",
+        "code",
+        F.round(dot(F.col("_cmv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_cr"),
+    )
+    rr = cb.select(
+        "subspace",
+        "code",
+        F.round(dot(F.col("_cv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_rr"),
+    )
+
+    # ADC over probed cells only
+    probed = (
+        assigned.select("cell_id", F.col(id_col))
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, "cell_id")
+    )
+    sums = (
+        probed.join(codes.select(id_col, "subspace", "code"), id_col)
+        .join(F.broadcast(qr), ["query_id", "subspace", "code"])
+        .join(F.broadcast(cr), ["cell_id", "subspace", "code"])
+        .join(F.broadcast(rr), ["subspace", "code"])
+        .groupBy("query_id", id_col, "cell_id")
+        .agg(
+            F.sum("_qr").alias("_sqr"),
+            F.sum("_cr").alias("_scr"),
+            F.sum("_rr").alias("_srr"),
+        )
+    )
+    adc = sums.join(F.broadcast(qc), ["query_id", "cell_id"]).join(
+        F.broadcast(cc), "cell_id"
+    )
+    sd = (F.col("_qc") + F.col("_sqr")).cast("long")
+    n2 = (
+        F.col("_cc") + F.lit(2) * F.col("_scr") + F.col("_srr")
+    ).cast("long")
+    approx = F.round(
+        (sd.cast("double") / KMEANS_SCALE)
+        / F.greatest(
+            F.col("_qn")
+            * F.sqrt(
+                F.greatest(n2, F.lit(0)).cast("double") / KMEANS_SCALE
+            ),
             F.lit(1e-12),
         ),
         round_digits,

@@ -661,3 +661,271 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=cb,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _ivfpq_res_oracle() -> str:
+    """DuckDB twin of ivf_pq_residual_topk: IVF training, assignment,
+    residual computation (elementwise subtraction), residual-PQ
+    training, probes, the four-LUT fixed-point ADC (q·c, q·r̃, the
+    c·r̃ cross term, |r̃|²) and exact re-rank — one chained-CTE query,
+    bit-identical including the negative-norm clamp."""
+    from vbb_data_pipeline_spark.operators.similarity import KMEANS_SCALE
+
+    def km_assign(name: str, cent: str, keep_v: bool) -> str:
+        cols = "vec_id, cell_id" + (", v" if keep_v else "")
+        return f"""
+    {name}_scored AS (
+        SELECT e.vec_id, c.cell_id, e.v,
+               round({COS_SQL.format(a="e.v", b="c.mv")}, 5) AS cos
+        FROM corpus e CROSS JOIN {cent} c
+    ),
+    {name} AS (
+        SELECT {cols} FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell_id ASC
+            ) AS rn FROM {name}_scored
+        ) WHERE rn = 1
+    )"""
+
+    def km_means(name: str, assigned: str) -> str:
+        comps = ", ".join(
+            f"(CAST(sum(CAST(round(v[{i + 1}] * {KMEANS_SCALE}) AS BIGINT)) "
+            f"AS DOUBLE) / {KMEANS_SCALE}.0) / count(*)"
+            for i in range(DIM)
+        )
+        return f"""
+    {name} AS (
+        SELECT cell_id, [{comps}] AS mv FROM {assigned} GROUP BY cell_id
+    )"""
+
+    km_ctes = []
+    cent = "cent0"
+    for it in range(_KMEANS_ITERS):
+        km_ctes.append(km_assign(f"a{it}", cent, keep_v=True))
+        cent = f"cent{it + 1}"
+        km_ctes.append(km_means(cent, f"a{it}"))
+    km_ctes.append(km_assign("assigned", cent, keep_v=True))
+
+    subd = DIM // _PQ_M
+    d2 = (
+        "round((list_dot_product({x}, {x}) - 2*list_dot_product({x}, {c}))"
+        " + list_dot_product({c}, {c}), 5)"
+    )
+
+    def pq_assign(name: str, pcent: str) -> str:
+        return f"""
+    {name}_scored AS (
+        SELECT s.vec_id, s.m, s.sv, c.code,
+               {d2.format(x="s.sv", c="c.cv")} AS d2
+        FROM cs s JOIN {pcent} c ON s.m = c.m
+    ),
+    {name} AS (
+        SELECT vec_id, m, sv, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC
+            ) AS rn FROM {name}_scored
+        ) WHERE rn = 1
+    )"""
+
+    def pq_means(name: str, assigned: str) -> str:
+        comps = ", ".join(
+            f"(CAST(sum(CAST(round(sv[{i + 1}] * {KMEANS_SCALE}) AS BIGINT)) "
+            f"AS DOUBLE) / {KMEANS_SCALE}.0) / count(*)"
+            for i in range(subd)
+        )
+        return f"""
+    {name} AS (
+        SELECT m, code, [{comps}] AS cv FROM {assigned} GROUP BY m, code
+    )"""
+
+    pq_ctes = []
+    pcent = "pcent0"
+    for it in range(_PQ_ITERS):
+        pq_ctes.append(pq_assign(f"pa{it}", pcent))
+        pcent = f"pcent{it + 1}"
+        pq_ctes.append(pq_means(pcent, f"pa{it}"))
+    pq_ctes.append(pq_assign("encode", pcent))
+
+    sc = f"{KMEANS_SCALE}"
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell_id, v AS mv
+        FROM corpus WHERE vec_id < {_IVF_CELLS}
+    ),{",".join(km_ctes)},
+    res AS (
+        SELECT a.vec_id, a.cell_id,
+               list_transform(range(1, {DIM} + 1),
+                              i -> a.v[i] - c.mv[i]) AS rv
+        FROM assigned a JOIN {cent} c ON a.cell_id = c.cell_id
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    cs AS (
+        SELECT vec_id, m,
+               list_slice(rv, m*{subd} + 1, (m+1)*{subd}) AS sv
+        FROM res CROSS JOIN sub
+    ),
+    pcent0 AS (
+        SELECT m, CAST(vec_id AS BIGINT) AS code, sv AS cv
+        FROM cs WHERE vec_id < {_PQ_CODES}
+    ),{",".join(pq_ctes)},
+    q AS (
+        SELECT vec_id AS query_id, v AS qv,
+               sqrt(list_dot_product(v, v)) AS qn
+        FROM corpus WHERE vec_id < 10
+    ),
+    pscore AS (
+        SELECT q.query_id, c.cell_id,
+               round({COS_SQL.format(a="q.qv", b="c.mv")}, 5) AS cos
+        FROM q CROSS JOIN {cent} c
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, cell_id ASC
+            ) AS rn FROM pscore
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    qc AS (
+        SELECT q.query_id, q.qn, c.cell_id,
+               CAST(round(list_dot_product(q.qv, c.mv) * {sc}) AS BIGINT)
+                   AS qcf
+        FROM q CROSS JOIN {cent} c
+    ),
+    cc AS (
+        SELECT cell_id,
+               CAST(round(list_dot_product(mv, mv) * {sc}) AS BIGINT) AS ccf
+        FROM {cent}
+    ),
+    qs AS (
+        SELECT query_id, m,
+               list_slice(qv, m*{subd} + 1, (m+1)*{subd}) AS qsv
+        FROM q CROSS JOIN sub
+    ),
+    qr AS (
+        SELECT query_id, c.m, c.code,
+               CAST(round(list_dot_product(qsv, c.cv) * {sc}) AS BIGINT)
+                   AS qrf
+        FROM qs JOIN {pcent} c ON qs.m = c.m
+    ),
+    cslice AS (
+        SELECT cell_id, m,
+               list_slice(mv, m*{subd} + 1, (m+1)*{subd}) AS cmv
+        FROM {cent} CROSS JOIN sub
+    ),
+    cr AS (
+        SELECT cs2.cell_id, p.m, p.code,
+               CAST(round(list_dot_product(cs2.cmv, p.cv) * {sc}) AS BIGINT)
+                   AS crf
+        FROM cslice cs2 JOIN {pcent} p ON cs2.m = p.m
+    ),
+    rr AS (
+        SELECT m, code,
+               CAST(round(list_dot_product(cv, cv) * {sc}) AS BIGINT) AS rrf
+        FROM {pcent}
+    ),
+    probed AS (
+        SELECT p.query_id, a.vec_id, a.cell_id
+        FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+        WHERE p.query_id <> a.vec_id
+    ),
+    sums AS (
+        SELECT pr.query_id, pr.vec_id, pr.cell_id,
+               CAST(sum(qr.qrf) AS BIGINT) AS sqr,
+               CAST(sum(cr.crf) AS BIGINT) AS scr,
+               CAST(sum(rr.rrf) AS BIGINT) AS srr
+        FROM probed pr
+        JOIN encode e ON e.vec_id = pr.vec_id
+        JOIN qr ON qr.query_id = pr.query_id
+               AND qr.m = e.m AND qr.code = e.code
+        JOIN cr ON cr.cell_id = pr.cell_id
+               AND cr.m = e.m AND cr.code = e.code
+        JOIN rr ON rr.m = e.m AND rr.code = e.code
+        GROUP BY pr.query_id, pr.vec_id, pr.cell_id
+    ),
+    cand AS (
+        SELECT s.query_id, s.vec_id AS neighbor_id,
+               round((CAST(qc.qcf + s.sqr AS DOUBLE) / {sc}.0)
+                     / greatest(qc.qn * sqrt(
+                           CAST(greatest(cc.ccf + 2*s.scr + s.srr, 0)
+                                AS DOUBLE) / {sc}.0), 1e-12),
+                     5) AS approx_cosine
+        FROM sums s
+        JOIN qc ON qc.query_id = s.query_id AND qc.cell_id = s.cell_id
+        JOIN cc ON cc.cell_id = s.cell_id
+    ),
+    candk AS (
+        SELECT query_id, neighbor_id, approx_cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_cosine DESC, neighbor_id ASC
+            ) AS rn FROM cand
+        ) WHERE rn <= {_PQ_CAND}
+    ),
+    rer AS (
+        SELECT ck.query_id, ck.neighbor_id, ck.approx_cosine,
+               round({COS_SQL.format(a="q.qv", b="c.v")}, 5) AS cosine
+        FROM candk ck
+        JOIN q ON q.query_id = ck.query_id
+        JOIN corpus c ON c.vec_id = ck.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM rer
+    )
+    SELECT query_id, neighbor_id, cosine, approx_cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    oracle=_ivfpq_res_oracle(),
+    survey="extension: residual IVF-PQ (the full FAISS IVFx,PQy "
+    "construction) — PQ codebooks trained on x − c_cell residuals, "
+    "ADC decomposes q·x̃ and |x̃|² into four broadcast fixed-point "
+    "LUTs including the c·r̃ cross term; same two multiplicative "
+    "scan reductions as sim_ivfpq_topk with materially lower "
+    "quantization error",
+    note="the oracle replays IVF training, assignment, residual "
+    "subtraction, residual-PQ training, probes, four-LUT ADC (with "
+    "the negative-norm clamp) and re-rank as one chained-CTE query",
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    centroids = sim.kmeans_centroids_local(
+        e,
+        n_cells=_IVF_CELLS,
+        iters=_KMEANS_ITERS,
+        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
+    )
+    cb = sim.pq_train_residual_local(
+        e,
+        centroids,
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_CODES,
+        iters=_PQ_ITERS,
+        dim=DIM,
+        sample_n=_PQ_SAMPLE,
+        cache_key=f"pqres|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
+    )
+    out = sim.ivf_pq_residual_topk(
+        e,
+        queries,
+        k=5,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_PROBE,
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_CODES,
+        iters=_PQ_ITERS,
+        dim=DIM,
+        candidates=_PQ_CAND,
+        centroids=centroids,
+        codebooks=cb,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
