@@ -231,3 +231,40 @@ def test_residual_ivfpq_exact_rerank_and_plan(emb, spark):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_ivfpq_index_matches_inline_and_prunes(spark, emb, tmp_path):
+    """Persisted IVF-PQ index: identical results to the inline
+    pipeline; the ADC scan partition-prunes on cell_id and its
+    projection excludes the vector column."""
+    centroids = sim.kmeans_centroids_local(emb, n_cells=8, iters=1)
+    cb = sim.pq_train_local(emb, n_subspaces=M, n_codes=K, iters=2, dim=DIM)
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivfpq_index")
+    sim.ivf_pq_write_index(
+        emb, centroids, cb, idx, dim=DIM, n_subspaces=M
+    )
+    got = sim.ivf_pq_topk_from_index(
+        spark, idx, q, centroids, cb, k=5, nprobe=2, n_subspaces=M,
+        dim=DIM, candidates=20,
+    )
+    exp = sim.ivf_pq_topk(
+        emb, q, k=5, n_cells=8, nprobe=2, n_subspaces=M, n_codes=K,
+        dim=DIM, candidates=20, centroids=centroids, codebooks=cb,
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.cosine, r.approx_cosine, r.rank)
+        for r in rows
+    )
+    assert key(got.collect()) == key(exp.collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "cell_id" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    ), plan
+    # the ADC-side scan must NOT read the vector column: at least one
+    # index scan projects only id + codes
+    scans = [
+        seg[:400] for seg in plan.split("ReadSchema: ")[1:]
+        if "pq_codes" in seg[:400]
+    ]
+    assert any("embedding" not in s for s in scans), scans

@@ -40,7 +40,11 @@ EXTRA_REGISTRY = [
     "cdc_scd2",
     "dedup_substring_spans",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_residual_topk",
     "export_shuffle_shards",
+    "graph_pagerank",
+    "decontam_report",
 ]
 
 

@@ -1762,3 +1762,202 @@ def ivf_pq_residual_topk(
             F.col("_rn").alias("rank"),
         )
     )
+
+
+def ivf_pq_write_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    dim: int,
+    n_subspaces: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF-PQ index as storage layout: the corpus
+    written hive-partitioned by ``cell_id``, each row carrying its
+    ``pq_codes`` array (subspace-ordered) next to the raw vector.
+
+    At rest this is the full billion-vector layout: a probe
+    partition-prunes to nprobe/n_cells of the files, the ADC scan
+    projects ONLY ``(id, pq_codes)`` — parquet column pruning skips
+    the vector bytes entirely — and the exact re-rank re-reads the
+    vector column for candidate rows alone. Encode runs once at write
+    time, never per query.
+    """
+    assigned = ivf_assign(
+        embeddings, centroids, dim, id_col, vec_col, round_digits,
+        cell_col="cell_id",
+    )
+    codes = pq_encode(
+        embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
+    )
+    packed = codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("subspace"), F.col("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("pq_codes")
+    )
+    assigned.join(packed, id_col).write.partitionBy("cell_id").mode(
+        mode
+    ).parquet(path)
+
+
+def ivf_pq_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int,
+    nprobe: int,
+    n_subspaces: int,
+    dim: int,
+    candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF-PQ index
+    (:func:`ivf_pq_write_index`) — identical semantics to
+    :func:`ivf_pq_topk`, minus the per-query assignment and encode
+    scans.
+
+    The probed cells become a static ``cell_id IN (...)`` predicate
+    (partition-pruned file listing); the ADC pass reads only
+    ``(id, pq_codes)`` columns of those partitions; candidate rows
+    alone come back for the exact re-rank.
+    """
+    cent = centroids.select(
+        F.col("cell_id"), F.col(vec_col).alias("_mv")
+    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+    probe_scored = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "cell_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_mv"), dim)
+            / F.greatest(F.col("_qn") * F.col("_mn"), F.lit(1e-12)),
+            round_digits,
+        ).alias("_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    probed_cells = sorted(
+        {r.cell_id for r in probes.select("cell_id").distinct().collect()}
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("cell_id").isin(probed_cells)
+    )
+
+    sub = dim // n_subspaces
+    cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
+    qex = (
+        q.select(
+            "query_id",
+            "_qn",
+            F.explode(
+                _subspace_slices(F.col("_qv"), n_subspaces, sub)
+            ).alias("_e"),
+        )
+        .select(
+            "query_id",
+            "_qn",
+            F.col("_e.subspace").alias("subspace"),
+            F.col("_e._sv").alias("_qsv"),
+        )
+    )
+    lut = qex.join(cb, "subspace").select(
+        "query_id",
+        "_qn",
+        "subspace",
+        "code",
+        F.round(dot(F.col("_qsv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_pd"),
+        F.round(dot(F.col("_cv"), F.col("_cv")) * KMEANS_SCALE)
+        .cast("long")
+        .alias("_cn2"),
+    )
+    code_rows = index.select(
+        "cell_id",
+        F.col(id_col),
+        F.posexplode(F.col("pq_codes")).alias("subspace", "code"),
+    )
+    adc = (
+        code_rows.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("_pd").alias("_sd"),
+            F.sum("_cn2").alias("_sn2"),
+            F.max("_qn").alias("_qn"),
+        )
+    )
+    approx = F.round(
+        (F.col("_sd").cast("double") / KMEANS_SCALE)
+        / F.greatest(
+            F.col("_qn")
+            * F.sqrt(F.col("_sn2").cast("double") / KMEANS_SCALE),
+            F.lit(1e-12),
+        ),
+        round_digits,
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        adc.withColumn("approx_cosine", approx)
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= candidates)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "approx_cosine"
+        )
+    )
+    corpus = index.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvf")
+    ).withColumn("_cn", l2_norm(F.col("_cvf"), dim))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvf")
+    ).withColumn("_qnf", l2_norm(F.col("_qvf"), dim))
+    rer = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_cosine",
+            F.round(
+                dot(F.col("_qvf"), F.col("_cvf"), dim)
+                / F.greatest(F.col("_qnf") * F.col("_cn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "approx_cosine",
+            F.col("_rn").alias("rank"),
+        )
+    )
