@@ -615,3 +615,104 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume customers (HAVING subquery -> semi-join)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {exact_sum_sql("l_quantity")} > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           {exact_sum_sql("l.l_quantity")} AS sum_qty
+    FROM lineitem l
+    JOIN big USING (l_orderkey)
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    survey="§2.4/§2.5: TPC-H Q18 — HAVING-subquery membership becomes "
+    "a semi-join against a pre-aggregated key set; customer dim "
+    "broadcasts; the fact table shuffles once on the join key; "
+    "TakeOrderedAndProject for the top-100 (no global sort)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum(F.col("l_quantity")).alias("_s"))
+        .filter(F.col("_s") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue (correlated scalar subquery
+# -> per-key aggregate + broadcast join)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH avgs AS (
+        SELECT l_partkey,
+               ({exact_sum_sql("l_quantity")} / count(*)) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round({exact_sum_sql("l.l_extendedprice")} / 7.0, 4)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgs a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND p.p_size < 15
+      AND l.l_quantity < CAST('0.2' AS DOUBLE) * a.avg_qty
+    """,
+    survey="§2.4/§2.7: TPC-H Q17 — the correlated scalar subquery "
+    "(per-part average) is decorrelated into one map-side-combinable "
+    "aggregate joined back on the part key; the part filter "
+    "broadcasts; single-row exact fixed-point answer",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 15)
+    )
+    avgs = li.groupBy("l_partkey").agg(
+        (exact_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(exact_sum(F.col("l_extendedprice")) / 7.0, 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
