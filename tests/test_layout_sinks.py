@@ -140,3 +140,63 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     compact(spark, path, target_files=2, sort_cols=["o_orderkey"])
     assert len(list(Path(path).glob("*.parquet"))) <= 3
     assert spark.read.parquet(path).count() == n
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """write_zordered vs a single-column sort: per-file min/max spread
+    on the SECOND dimension must shrink (that spread is exactly what
+    parquet stats skipping prunes on)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    n = 1 << 12
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") * 2654435761 % n).alias("x"),  # decorrelated
+            (F.col("id") * 40503 % n).alias("y"),
+        )
+        .localCheckpoint()
+    )
+
+    def total_spread(path: str, col: str) -> int:
+        spread = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq_.read_metadata(f)
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spread += hi - lo
+        return spread
+
+    p_sorted = str(tmp_path / "xsorted")
+    p_z = str(tmp_path / "zordered")
+    write_range_sorted(df, p_sorted, ["x"], num_files=16)
+    write_zordered(df, p_z, ["x", "y"], num_files=16)
+
+    # x stays well-clustered under z-order (not as tight as a pure
+    # x-sort, but far below the unclustered worst case of 16 * n)
+    assert total_spread(p_z, "x") < 8 * n
+    # y: the x-sort leaves every file spanning ~the full y range;
+    # z-order must cut the total y spread at least in half
+    y_sorted = total_spread(p_sorted, "y")
+    y_z = total_spread(p_z, "y")
+    assert y_sorted > 12 * n * 0.9  # sanity: x-sort does NOT cluster y
+    assert y_z < y_sorted * 0.5, (y_z, y_sorted)

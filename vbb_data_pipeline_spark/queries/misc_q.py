@@ -488,3 +488,85 @@ def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode=default_hash_mode(),
     )
     return out.select("doc_id", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (sources/layout.zorder_key) — bit-exact twin
+# ---------------------------------------------------------------------------
+_Z_BITS = 12
+
+
+def _zorder_oracle() -> str:
+    m = (1 << _Z_BITS) - 1
+
+    def bucket_sql(v: str, lo: str, hi: str) -> str:
+        clamped = f"greatest(least({v}, {hi}), {lo})"
+        num = f"(({clamped} - {lo}) * {m})"
+        span = f"greatest({hi} - {lo}, 1)"
+        return (
+            f"CAST((({num} - {num} % {span}) / {span}) AS BIGINT)"
+        )
+
+    interleave = " | ".join(
+        f"((({c} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(_Z_BITS)
+        for i, c in enumerate(("zx", "zy"))
+    )
+    return f"""
+    WITH src AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS u,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    mm AS (
+        SELECT min(u) AS lo1, max(u) AS hi1,
+               min(es) AS lo2, max(es) AS hi2
+        FROM src
+    ),
+    b AS (
+        SELECT event_id,
+               {bucket_sql("u", "mm.lo1", "mm.hi1")} AS zx,
+               {bucket_sql("es", "mm.lo2", "mm.hi2")} AS zy
+        FROM src CROSS JOIN mm
+    )
+    SELECT event_id, zx, zy, CAST({interleave} AS BIGINT) AS zkey
+    FROM b
+    """
+
+
+@register(
+    "layout_zorder_key",
+    oracle=_zorder_oracle(),
+    survey="extension: Z-order/Morton clustering key over (user_id, "
+    "event-time) — integer-exact bucketization (pure int64 div, no "
+    "float boundaries) + bit interleave; sorting by the key keeps "
+    "parquet min/max stats tight on EVERY participating dimension so "
+    "filters on any of them skip files (the Delta/Iceberg OPTIMIZE "
+    "ZORDER construction; sources/layout.write_zordered is the "
+    "writer)",
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.sources.layout import int_bucket, zorder_key
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("u"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    mm = e.agg(
+        F.min("u").alias("lo1"),
+        F.max("u").alias("hi1"),
+        F.min("es").alias("lo2"),
+        F.max("es").alias("hi2"),
+    ).collect()[0]
+    zx = int_bucket(F.col("u"), mm.lo1, mm.hi1, _Z_BITS)
+    zy = int_bucket(F.col("es"), mm.lo2, mm.hi2, _Z_BITS)
+    out = e.select(
+        "event_id", zx.alias("zx"), zy.alias("zy")
+    )
+    return out.select(
+        "event_id",
+        "zx",
+        "zy",
+        zorder_key([F.col("zx"), F.col("zy")], _Z_BITS).alias("zkey"),
+    )
