@@ -136,3 +136,73 @@ def test_degenerate_inputs(spark):
         # doc 1 (min id) owns everything, doc 2 owns nothing
         assert rows_out[1].owned_dup_spans == rows_out[1].total_spans
         assert rows_out[2].owned_dup_spans == 0
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_random_corpus_matches_duckdb_replay(spark, seed):
+    """Seeded random corpora (tiny alphabet -> forced span collisions,
+    lengths straddling the window) through the OPERATOR vs a pure
+    DuckDB replay of the registry oracle's winnowing construction."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from vbb_data_pipeline_spark.functions.hashing import md5_long_sql
+
+    rng = np.random.default_rng(seed)
+    alphabet = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(30):
+        n = int(rng.integers(0, 40))
+        rows.append((i, " ".join(rng.choice(alphabet, size=n))))
+    w, k = 5, 2
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            substring_span_stats(
+                d, "text", "doc_id", window=w, winnow=k, hash_mode="oracle"
+            ).collect(),
+        )
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "x -> x <> '')")
+    span_h = md5_long_sql(f"array_to_string(list_slice(tk, i, i+{w}-1), '_')")
+    exp = con.execute(f"""
+    WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(tk) - {w}, -1) + 2),
+                              i -> {span_h}) AS h
+        FROM toks
+    ),
+    u AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(h) - {k} + 1, 1) + 1),
+            i -> {{'p': i + len(list_slice(h, i, i+{k}-1))
+                        - list_position(list_reverse(list_slice(h, i, i+{k}-1)),
+                                        list_min(list_slice(h, i, i+{k}-1))),
+                   'h': list_min(list_slice(h, i, i+{k}-1))}})) AS s
+        FROM hs WHERE len(h) >= 1
+    ),
+    sel AS (SELECT DISTINCT doc_id, s.p AS p, s.h AS fh FROM u),
+    occ AS (SELECT fh, doc_id, count(*) AS c FROM sel GROUP BY fh, doc_id),
+    stats AS (
+        SELECT fh, count(*) AS ndocs, min(doc_id) AS owner
+        FROM occ GROUP BY fh
+    )
+    SELECT o.doc_id,
+           CAST(sum(o.c) AS BIGINT),
+           CAST(sum(CASE WHEN s.ndocs >= 2 THEN o.c ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN s.ndocs >= 2 AND s.owner = o.doc_id
+                         THEN o.c ELSE 0 END) AS BIGINT),
+           round(CAST(sum(CASE WHEN s.ndocs >= 2 THEN o.c ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(o.c) AS DOUBLE), 6)
+    FROM occ o JOIN stats s USING (fh)
+    GROUP BY o.doc_id
+    """).fetchall()
+    assert got == sorted(map(tuple, exp))
