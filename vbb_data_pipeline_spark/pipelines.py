@@ -303,6 +303,13 @@ def e4_corpus_prep(
             substring_span_stats,
         )
 
+        # the gate BRANCHES from `kept` (span stats + the anti-join
+        # back onto it), so without truncation the expensive upstream
+        # lineage (Arrow NFKC, line-dedup shuffles) re-executes once
+        # per consumer — measured 275 s vs 120 s at sf1. One
+        # localCheckpoint computes it once; downstream stages (LM
+        # band, MinHash) inherit the truncated lineage too.
+        kept = kept.localCheckpoint()
         span_stats = substring_span_stats(
             kept.select(id_col, text_col),
             text_col,
