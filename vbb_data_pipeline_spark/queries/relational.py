@@ -716,3 +716,45 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style: order priority checking (EXISTS -> semi-join)
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    survey="§2.4/§2.5: TPC-H Q4 — the correlated EXISTS (any lineitem "
+    "shipped >30 days after the order date) becomes a LEFT SEMI join "
+    "on the order key with the date predicate in the join condition; "
+    "the orders date filter pushes to the scan and the single "
+    "exchange is the tiny priority rollup",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        # timestamp + interval (NOT date_add, which truncates to DATE
+        # and would diverge from the oracle on non-midnight orderdates)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
