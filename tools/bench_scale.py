@@ -83,6 +83,27 @@ def q_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e4_spangate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 with the round-4 cross-document span gate enabled on top of
+    every other optional stage (the full hygiene composition)."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.orderBy("doc_id").limit(100).select("text")
+    return e4_corpus_prep(
+        docs,
+        min_quality=0.2,
+        normalize=True,
+        line_dedup_min_chars=6,
+        lm_band=(0.05, 1.0),
+        max_dup_line_frac=0.9,
+        max_cross_dup_span_frac=0.8,
+        compression_bounds=(1.05, 10.0),
+        eval_df=eval_df,
+        shard_budget=100_000,
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1]
     out_path = sys.argv[2]
@@ -94,7 +115,11 @@ def main() -> None:
 
     runs: list[tuple[str, object]] = [
         (n, registry[n].fn) for n in names
-    ] + [("pagerank_lineitem", q_pagerank), ("e4_corpus_prep", q_e4)]
+    ] + [
+        ("pagerank_lineitem", q_pagerank),
+        ("e4_corpus_prep", q_e4),
+        ("e4_corpus_prep_spangate", q_e4_spangate),
+    ]
 
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
