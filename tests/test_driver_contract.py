@@ -1,7 +1,8 @@
 """Driver-contract guards: the external driver builds its OWN
 SparkSession (untuned, possibly non-UTC); the engine must produce
-oracle-identical results anyway. These encode the probes from
-.claude/skills/verify as regressions."""
+oracle-identical results anyway. Probes: a non-UTC session timezone
+and a driver-built (default-config) SparkSession, each run against
+the DuckDB oracle."""
 
 from __future__ import annotations
 
@@ -44,7 +45,7 @@ def test_window_agg_survives_non_utc_session(non_utc):
     the driver's session zone differs (verify probe #1)."""
     from vbb_data_pipeline_spark.queries import all_queries
 
-    spec = all_queries()["stream_tumbling_window"]
+    spec = all_queries()["stream_window_battery"]
     _compare(spec.fn(non_utc, SF), spec.oracle)
 
 

@@ -63,7 +63,9 @@ def test_dedup_minhash_bounded_exchanges(spark, reg):
     cascades). Candidates are localCheckpoint-ed (computed once,
     lineage truncated), so the visible plan is the re-rank over the
     materialized candidate RDD."""
-    df = reg["dedup_minhash_lsh"].fn(spark, SF)
+    from vbb_data_pipeline_spark.queries.dedup_q import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, SF)
     assert count_exchanges(df) <= 16
 
 
@@ -102,7 +104,9 @@ def test_text_scoring_stays_native(spark, reg):
 def test_ivf_broadcasts_centroids(spark, reg):
     """IVF assignment/probe must broadcast centroids — the corpus
     side never shuffles for the scoring joins."""
-    df = reg["sim_ivf_topk"].fn(spark, SF)
+    from vbb_data_pipeline_spark.queries.similarity_q import sim_ivf_topk
+
+    df = sim_ivf_topk(spark, SF)
     assert_broadcast_join(df, min_count=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
@@ -159,7 +163,9 @@ def test_dedup_clusters_edges_use_lsh_not_allpairs(spark, reg):
     at ~40x per 10x docs (PERF.md §scale, commit 0d52956). CC
     localCheckpoints its input, so assert on the EDGE frame the query
     builds, replicated here from the registry construction."""
-    df = reg["dedup_clusters"].fn(spark, SF)
+    from vbb_data_pipeline_spark.queries.dedup_q import dedup_clusters
+
+    df = dedup_clusters(spark, SF)
     plan = df._jdf.queryExecution().analyzed().toString()
     # the old quadratic construction equi-joined on the blocking
     # columns; the LSH path never touches them

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from bench import HEADLINE, OPTIONAL  # noqa: E402
-from vbb_data_pipeline_spark.queries import all_queries, load_table  # noqa: E402
+from vbb_data_pipeline_spark.queries import (  # noqa: E402
+    all_queries,
+    legacy_queries,
+    load_table,
+)
 from vbb_data_pipeline_spark.session import get_spark  # noqa: E402
 
 #: registry entries beyond bench.py's list whose scale behavior the
@@ -107,14 +111,15 @@ def q_e4_spangate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def main() -> None:
     sf_dir = sys.argv[1]
     out_path = sys.argv[2]
-    registry = all_queries()
+    registry = {n: spec.fn for n, spec in all_queries().items()}
+    registry.update(legacy_queries())
     names = [n for n in HEADLINE + OPTIONAL + EXTRA_REGISTRY if n in registry]
     spark = get_spark("bench-scale")
     for t in ("orders", "lineitem", "events", "customer", "documents"):
         load_table(spark, sf_dir, t).count()
 
     runs: list[tuple[str, object]] = [
-        (n, registry[n].fn) for n in names
+        (n, registry[n]) for n in names
     ] + [
         ("pagerank_lineitem", q_pagerank),
         ("e4_corpus_prep", q_e4),

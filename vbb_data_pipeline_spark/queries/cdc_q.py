@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from vbb_data_pipeline_spark.operators.cdc import HIGH_TS, scd2_apply
 from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.queries.misc_q import (
+    SCHEMA_EVO_ORACLE,
+    schema_evolution_union,
+)
 
 _T0 = "2024-01-01 00:00:00"
 _T1 = "2024-02-01 00:00:00"
@@ -60,9 +64,7 @@ def _new(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cdc_scd2",
-    oracle=f"""
+_CDC_ORACLE = f"""
     WITH o AS ({_OLD_SQL}), n AS ({_NEW_SQL}),
     diff AS (
         SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
@@ -86,14 +88,9 @@ def _new(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.*, TIMESTAMP '{_T1}', TIMESTAMP '{HIGH_TS}'
     FROM n SEMI JOIN (SELECT * FROM diff WHERE op IN ('update','insert'))
       USING (o_orderkey)
-    """,
-    survey="§2.1 S8/J2-J3 extension: CDC snapshot diff + SCD type-2 "
-    "fold (operators/cdc.snapshot_diff + scd2_apply) — the "
-    "incremental-reconciliation leg the reference's append-only load "
-    "lacks; exchanges carry keys + 8-byte digests, never wide rows",
-    note="the oracle replays the fold as raw-column comparisons "
-    "(no digest), cross-checking the md5 row-hash path end-to-end",
-)
+    """
+
+
 def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim0 = (
         _old(spark, sf_dir)
@@ -107,3 +104,51 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus", "o_totalprice"],
         _T1,
     )
+
+
+@register(
+    "orders_evolution_battery",
+    oracle=f"""
+    SELECT 'scd2' AS variant, t.o_orderkey, t.o_totalprice,
+           t.o_orderstatus AS attr, CAST(NULL AS VARCHAR) AS note,
+           t.valid_from AS ts1, t.valid_to AS ts2
+    FROM ({_CDC_ORACLE}) t
+    UNION ALL
+    SELECT 'schema_evolution', t.o_orderkey, t.o_totalprice,
+           t.src, t.o_clerk_note,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+    FROM ({SCHEMA_EVO_ORACLE}) t
+    """,
+    survey="§2.1 S8/J2-J3 extension + §2.6 extension (folded r5 so "
+    "both legs keep a driver CORRECTNESS row) — [scd2] CDC snapshot "
+    "diff + SCD type-2 fold (operators/cdc.snapshot_diff + "
+    "scd2_apply): the incremental-reconciliation leg the reference's "
+    "append-only load lacks; exchanges carry keys + 8-byte digests, "
+    "never wide rows; [schema_evolution] union across evolving "
+    "schemas (unionByName allowMissingColumns / UNION ALL BY NAME) — "
+    "schema drift is the norm across months of landed data at "
+    "100 TB; missing columns fill with NULL instead of failing the "
+    "read",
+    note="the scd2 oracle replays the fold as raw-column comparisons "
+    "(no digest), cross-checking the md5 row-hash path end-to-end",
+)
+def orders_evolution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scd = cdc_scd2(spark, sf_dir).select(
+        F.lit("scd2").alias("variant"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderstatus").alias("attr"),
+        F.lit(None).cast("string").alias("note"),
+        F.col("valid_from").alias("ts1"),
+        F.col("valid_to").alias("ts2"),
+    )
+    evo = schema_evolution_union(spark, sf_dir).select(
+        F.lit("schema_evolution").alias("variant"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("src").alias("attr"),
+        F.col("o_clerk_note").alias("note"),
+        F.lit(None).cast("timestamp").alias("ts1"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+    )
+    return scd.unionByName(evo)

@@ -15,7 +15,12 @@ from vbb_data_pipeline_spark.functions.hashing import (
     md5_long_sql,
 )
 from vbb_data_pipeline_spark.operators import dedup as dd
-from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.queries import (
+    load_table,
+    register,
+    tag_union,
+    tag_union_sql,
+)
 
 #: DuckDB fragment: lower-cased alphanumeric tokens (functions/text.tokens twin)
 TOK_SQL = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
@@ -179,15 +184,6 @@ def _minhash_oracle() -> str:
     """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_minhash_oracle(),
-    survey="extension: MinHash({} perms) + LSH banding ({}×{}) candidate "
-    "pairs with exact-Jaccard re-rank — the linear-cost 100 TB near-dup "
-    "path (no O(n²) stage)".format(NUM_HASHES, BANDS, ROWS_PER_BAND),
-    note="docs with <3 tokens have no shingles and drop out of the "
-    "signature table in both engines",
-)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash_mode: "oracle" under driver verification (md5 = DuckDB
     # parity); bench.py flips SPARK_GRAFT_FAST_HASH=1 for the
@@ -231,9 +227,7 @@ def _simhash_docs(d: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup within (lang, source) blocks
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_ORACLE = f"""
     WITH sets AS (
         SELECT doc_id, lang, source, list_distinct({TOK_SQL.format(c="text")}) AS s
         FROM documents
@@ -245,11 +239,9 @@ def _simhash_docs(d: DataFrame) -> DataFrame:
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / greatest(len(list_distinct(a.s || b.s)), 1) > 0.5
-    """,
-    survey="extension: token-set Jaccard near-dup with (lang, source) "
-    "blocking — blocking keeps the pair space linear-ish; the unblocked "
-    "scale path is dedup_minhash_lsh",
-)
+    """
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.text import tokens
 
@@ -275,6 +267,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             F.round(jac, 6).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "dedup_pairs_battery",
+    oracle=tag_union_sql(
+        [
+            ("minhash_lsh", _minhash_oracle()),
+            ("ngram_jaccard", _NGRAM_JACCARD_ORACLE),
+        ],
+        tag="method",
+    ),
+    survey="extension: near-dup candidate-pair family (folded r5 so "
+    "each method keeps a driver CORRECTNESS row) — [minhash_lsh] "
+    "MinHash({} perms) + LSH banding ({}×{}) candidate pairs with "
+    "exact-Jaccard re-rank, the linear-cost 100 TB near-dup path "
+    "(no O(n²) stage); [ngram_jaccard] token-set Jaccard with "
+    "(lang, source) blocking — the explicitly-documented "
+    "small-corpus baseline whose unblocked scale path is the "
+    "minhash leg".format(NUM_HASHES, BANDS, ROWS_PER_BAND),
+    note="docs with <3 tokens have no shingles and drop out of the "
+    "minhash leg in both engines",
+)
+def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tag_union(
+        [
+            ("minhash_lsh", dedup_minhash_lsh(spark, sf_dir)),
+            ("ngram_jaccard", dedup_ngram_jaccard(spark, sf_dir)),
+        ],
+        tag="method",
     )
 
 
@@ -334,9 +356,7 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Connected-components clustering of near-dup pairs
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_clusters",
-    oracle=f"""
+CLUSTERS_ORACLE = f"""
     WITH RECURSIVE mh AS ({_minhash_oracle()}),
     pairs AS (
         SELECT id_a, id_b FROM mh WHERE jaccard > 0.5
@@ -355,21 +375,19 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
     FROM walk GROUP BY node
-    """,
-    survey="extension: near-dup cluster assembly — connected "
-    "components over MinHash-LSH candidate pairs (exact Jaccard > 0.5 "
-    "within candidates) by iterative min-label propagation "
-    "(operators/dedup.connected_components); cluster_id = smallest "
-    "member = canonical survivor. Oracle = DuckDB recursive CTE "
-    "reachability over the identical banding replay",
-    note="edge generation = the dedup_minhash_lsh construction (linear "
-    "banded bucket join), NOT blocked all-pairs: the r4 sf1 scale "
-    "bench measured the (lang, source)-blocked all-pairs edge build at "
-    "~40x per 10x docs (unbounded block sizes are quadratic); the "
-    "all-pairs baseline survives as dedup_ngram_jaccard, documented "
-    "small-corpus-only",
-)
+    """
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assembly — connected components over
+    MinHash-LSH candidate pairs (exact Jaccard > 0.5 within
+    candidates) by iterative min-label propagation
+    (operators/dedup.connected_components); cluster_id = smallest
+    member = canonical survivor. Edge generation = the
+    dedup_minhash_lsh construction (linear banded bucket join), NOT
+    blocked all-pairs — the r4 sf1 scale bench measured the blocked
+    all-pairs edge build at ~40x per 10x docs. Registered via the
+    graph_cc_pagerank battery (queries/graph_q.py, folded r5)."""
     mode = default_hash_mode()
     d = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(
@@ -477,9 +495,7 @@ _DECON_EVAL_N = 50   # eval set = first N docs by id (deterministic)
 _DECON_MIN = 5       # min shared distinct 3-grams to flag
 
 
-@register(
-    "decontam_report",
-    oracle=f"""
+DECON_ORACLE = f"""
     WITH ev AS (
         SELECT text FROM documents ORDER BY doc_id LIMIT {_DECON_EVAL_N}
     ),
@@ -502,15 +518,9 @@ _DECON_MIN = 5       # min shared distinct 3-grams to flag
     FROM dg JOIN eg USING (gh)
     GROUP BY doc_id
     HAVING count(DISTINCT dg.gh) >= {_DECON_MIN}
-    """,
-    survey="extension: benchmark decontamination (GPT-3 appendix C "
-    "recipe) — eval 3-gram set dedup + BROADCAST; the corpus explodes "
-    "grams map-side and only matching (doc_id, gram_hash) pairs reach "
-    "the one count shuffle; corpus text never moves. Flags documents "
-    "sharing >= {m} distinct grams with the eval set".format(
-        m=_DECON_MIN
-    ),
-)
+    """
+
+
 def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.operators.contamination import (
         contamination_report,

@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 
 from vbb_data_pipeline_spark.operators.graph import PR_SCALE, pagerank
 from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.queries.dedup_q import (
+    CLUSTERS_ORACLE,
+    dedup_clusters,
+)
 
 _PR_ITERS = 5
 _PR_DAMPING = 0.85
@@ -83,21 +87,6 @@ def _pagerank_oracle() -> str:
     """
 
 
-@register(
-    "graph_pagerank",
-    oracle=_pagerank_oracle(),
-    survey="extension: PageRank host-rank weighting (Brin & Page "
-    "1998) over the supplier→part edge list — per-round fixed-point "
-    "contribution sums make the power iteration cross-engine "
-    "deterministic; one driver action per round (dangling mass rides "
-    "the rank update as a broadcast one-row aggregate), per-round "
-    "localCheckpoint lineage truncation",
-    note="the oracle replays all {i} rounds as chained CTEs; Python "
-    "float constants are embedded via shortest-repr string casts so "
-    "DuckDB DECIMAL literal parsing cannot shift a double".format(
-        i=_PR_ITERS
-    ),
-)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
@@ -105,3 +94,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + F.lit(_PART_OFFSET)).cast("long").alias("dst"),
     ).distinct()
     return pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
+
+
+@register(
+    "graph_cc_pagerank",
+    oracle=f"""
+    SELECT 'components' AS variant, doc_id AS node,
+           cluster_id AS group_id, CAST(NULL AS DOUBLE) AS score
+    FROM ({CLUSTERS_ORACLE}) t
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), rank
+    FROM ({_pagerank_oracle()}) t
+    """,
+    survey="extension: iterative graph-algorithm battery (folded r5 "
+    "so both legs keep a driver CORRECTNESS row) — [components] "
+    "near-dup cluster assembly: connected components over MinHash-LSH "
+    "candidate pairs (exact Jaccard > 0.5) by iterative min-label "
+    "propagation (operators/dedup.connected_components), cluster_id "
+    "= smallest member = canonical survivor, edges ride the linear "
+    "banded bucket join (never blocked all-pairs — the r4 decade "
+    "measured that quadratic); [pagerank] PageRank host-rank "
+    "weighting (Brin & Page 1998) over the supplier→part edge list — "
+    "per-round fixed-point contribution sums make the power "
+    "iteration cross-engine deterministic, one driver action per "
+    "round, per-round localCheckpoint lineage truncation",
+    note="the pagerank oracle replays all {i} rounds as chained "
+    "CTEs; the components oracle is DuckDB recursive-CTE "
+    "reachability over the identical banding replay; Python float "
+    "constants are embedded via shortest-repr string casts so DuckDB "
+    "DECIMAL literal parsing cannot shift a double".format(
+        i=_PR_ITERS
+    ),
+)
+def graph_cc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = dedup_clusters(spark, sf_dir).select(
+        F.lit("components").alias("variant"),
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("group_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    pr = graph_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("variant"),
+        F.col("node"),
+        F.lit(None).cast("long").alias("group_id"),
+        F.col("rank").alias("score"),
+    )
+    return cc.unionByName(pr)

@@ -180,9 +180,7 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stats_battery",
-    oracle="""
+_STATS_ORACLE = """
     SELECT l_returnflag,
            round(corr(l_extendedprice, l_quantity), 4)        AS price_qty_corr,
            round(covar_samp(l_extendedprice, l_quantity), 2)  AS price_qty_covar,
@@ -200,19 +198,13 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(l_discount), 6)                  AS sd_discount
     FROM lineitem
     GROUP BY l_returnflag
-    """,
-    # DuckDB skewness/kurtosis carry the sample-bias correction
-    # (G1/G2); Spark's are the population moments (g1/g2). The Spark
-    # side converts g→G with the exact n-dependent factors so both
-    # engines express the same statistic.
-    survey="§2.4 extension: statistical aggregate battery "
-    "(corr/covariance/skewness/kurtosis/variance + distinct "
-    "aggregates, min/max, stddev — absorbs the former "
-    "lineitem_shipmode_stats) + §2.4 extension (exact interpolated "
-    "percentiles; approximate twin = approx_distinct_stats) — "
-    "second-moment profiling for data-quality monitoring at corpus "
-    "scale, one shuffle for the whole battery",
-)
+    """
+
+
+# DuckDB skewness/kurtosis carry the sample-bias correction (G1/G2);
+# Spark's are the population moments (g1/g2). The Spark side converts
+# g→G with the exact n-dependent factors so both engines express the
+# same statistic.
 def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1)).cast("double")
@@ -238,24 +230,16 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "approx_distinct_stats",
-    oracle="""
+_APPROX_ORACLE = """
     SELECT l_returnflag,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
            TRUE AS approx_orders_ok,
            TRUE AS approx_median_ok
     FROM lineitem
     GROUP BY l_returnflag
-    """,
-    survey="§2.4 (approx_count_distinct / percentile_approx — HLL and "
-    "KLL-style sketches; the 100 TB substitutes for exact distinct)",
-    note="sketch values are engine-specific, but their ERROR BOUND is "
-    "checkable: the query emits exact counts plus booleans asserting "
-    "the sketches landed within 5% of exact, and the oracle computes "
-    "the exact values with the booleans literally true — a sketch "
-    "drifting out of tolerance hash-fails the row",
-)
+    """
+
+
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
@@ -280,6 +264,33 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("_approx_median"), F.col("_exact_median")).alias(
             "approx_median_ok"
         ),
+    )
+
+
+@register(
+    "stats_approx_battery",
+    oracle=f"""
+    SELECT s.*, a.exact_orders, a.approx_orders_ok, a.approx_median_ok
+    FROM ({_STATS_ORACLE}) s JOIN ({_APPROX_ORACLE}) a
+    USING (l_returnflag)
+    """,
+    survey="§2.4 extension: statistical aggregate battery "
+    "(corr/covariance/skewness/kurtosis/variance + distinct "
+    "aggregates, min/max, stddev, exact interpolated percentiles) "
+    "JOINED (folded r5, both legs keep a driver CORRECTNESS row) "
+    "with §2.4 approx_count_distinct / percentile_approx — HLL and "
+    "KLL-style sketches, the 100 TB substitutes for exact distinct — "
+    "second-moment profiling for data-quality monitoring at corpus "
+    "scale, one shuffle per leg",
+    note="sketch values are engine-specific, but their ERROR BOUND is "
+    "checkable: the approx leg emits exact counts plus booleans "
+    "asserting the sketches landed within 5% of exact, and the "
+    "oracle computes the exact values with the booleans literally "
+    "true — a sketch drifting out of tolerance hash-fails the row",
+)
+def stats_approx_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats_battery(spark, sf_dir).join(
+        approx_distinct_stats(spark, sf_dir), "l_returnflag"
     )
 
 
@@ -362,9 +373,7 @@ def orders_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "schema_evolution_union",
-    oracle="""
+SCHEMA_EVO_ORACLE = """
     SELECT o_orderkey, o_totalprice, NULL AS o_clerk_note, 'v1' AS src
     FROM orders WHERE o_orderkey % 2 = 0
     UNION ALL BY NAME
@@ -373,12 +382,9 @@ def orders_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat('note-', CAST(o_custkey AS VARCHAR)) AS o_clerk_note,
            'v2' AS src
     FROM orders WHERE o_orderkey % 2 = 1
-    """,
-    survey="§2.6 extension: union across evolving schemas "
-    "(unionByName allowMissingColumns / UNION ALL BY NAME) — schema "
-    "drift is the norm across months of landed data at 100 TB; "
-    "missing columns fill with NULL instead of failing the read",
-)
+    """
+
+
 def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -393,9 +399,7 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True)
 
 
-@register(
-    "dq_check_report",
-    oracle="""
+_DQ_ORACLE = """
     WITH counts AS (
         SELECT
             count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50))   AS qty_range,
@@ -418,15 +422,9 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'price_pos', CAST(price_pos AS BIGINT) FROM counts
     UNION ALL
     SELECT 'ri_orphan', CAST(ri_orphan AS BIGINT) FROM orphans
-    """,
-    survey="§1.3 constraint mapping: CHECK-style data-quality report "
-    "(operators/quality.check_range row-filter twin) — one scan, "
-    "conditional-count aggregates, stack to (rule, n_violations); "
-    "the reference delegated these to Postgres CHECK constraints "
-    "(05-create-schema.sh:154-155). + §2.3 J4 (FK web → "
-    "referential-integrity check as the ri_orphan rule: left-anti "
-    "join count, operators/quality.orphan_rows)",
-)
+    """
+
+
 def dq_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.operators import core as ops
 
@@ -458,9 +456,7 @@ def dq_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHUF_SHARDS = 8
 
 
-@register(
-    "export_shuffle_shards",
-    oracle=f"""
+_EXPORT_ORACLE = f"""
     WITH h AS (
         SELECT doc_id,
                {md5_long_sql("CAST(doc_id AS VARCHAR)", seed=0)} AS hh
@@ -473,12 +469,9 @@ _SHUF_SHARDS = 8
                ORDER BY hh, CAST(doc_id AS VARCHAR)
            ) AS BIGINT) AS pos
     FROM h
-    """,
-    survey="extension: deterministic global shuffle + sharding for "
-    "training export — shard = hash(seed|key) % N, within-shard order "
-    "by (hash, key); reproducible pseudo-random corpus order with ONE "
-    "shard-keyed exchange and per-shard sorts, never a global sort",
-)
+    """
+
+
 def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.operators.sampling import export_shuffle
 
@@ -534,17 +527,6 @@ def _zorder_oracle() -> str:
     """
 
 
-@register(
-    "layout_zorder_key",
-    oracle=_zorder_oracle(),
-    survey="extension: Z-order/Morton clustering key over (user_id, "
-    "event-time) — integer-exact bucketization (pure int64 div, no "
-    "float boundaries) + bit interleave; sorting by the key keeps "
-    "parquet min/max stats tight on EVERY participating dimension so "
-    "filters on any of them skip files (the Delta/Iceberg OPTIMIZE "
-    "ZORDER construction; sources/layout.write_zordered is the "
-    "writer)",
-)
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.sources.layout import int_bucket, zorder_key
 
@@ -570,3 +552,90 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zy",
         zorder_key([F.col("zx"), F.col("zy")], _Z_BITS).alias("zkey"),
     )
+
+
+@register(
+    "layout_export_battery",
+    oracle=f"""
+    SELECT 'zorder' AS variant, event_id AS id,
+           zx AS v1, zy AS v2, zkey AS v3
+    FROM ({_zorder_oracle()}) t
+    UNION ALL
+    SELECT 'export_shuffle', doc_id, shard, pos, CAST(NULL AS BIGINT)
+    FROM ({_EXPORT_ORACLE}) t
+    """,
+    survey="extension: layout/export determinism battery (folded r5 "
+    "so both legs keep a driver CORRECTNESS row) — [zorder] Z-order/"
+    "Morton clustering key over (user_id, event-time): integer-exact "
+    "bucketization (pure int64 div, no float boundaries) + bit "
+    "interleave; sorting by the key keeps parquet min/max stats "
+    "tight on EVERY participating dimension so filters on any of "
+    "them skip files (the Delta/Iceberg OPTIMIZE ZORDER "
+    "construction; sources/layout.write_zordered is the writer); "
+    "[export_shuffle] deterministic global shuffle + sharding for "
+    "training export — shard = hash(seed|key) % N, within-shard "
+    "order by (hash, key); reproducible pseudo-random corpus order "
+    "with ONE shard-keyed exchange and per-shard sorts, never a "
+    "global sort",
+)
+def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = layout_zorder_key(spark, sf_dir).select(
+        F.lit("zorder").alias("variant"),
+        F.col("event_id").alias("id"),
+        F.col("zx").alias("v1"),
+        F.col("zy").alias("v2"),
+        F.col("zkey").alias("v3"),
+    )
+    ex = export_shuffle_shards(spark, sf_dir).select(
+        F.lit("export_shuffle").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("shard").alias("v1"),
+        F.col("pos").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return z.unionByName(ex)
+
+
+def _quality_reports_oracle() -> str:
+    from vbb_data_pipeline_spark.queries.dedup_q import DECON_ORACLE
+
+    return f"""
+    SELECT 'dq' AS report, rule AS key,
+           n_violations AS n
+    FROM ({_DQ_ORACLE}) t
+    UNION ALL
+    SELECT 'decontam', CAST(doc_id AS VARCHAR), n_contaminated_grams
+    FROM ({DECON_ORACLE}) t
+    """
+
+
+@register(
+    "quality_reports",
+    oracle=_quality_reports_oracle(),
+    survey="§1.3 constraint mapping + extension (folded r5 so both "
+    "legs keep a driver CORRECTNESS row) — [dq] CHECK-style "
+    "data-quality report (operators/quality.check_range row-filter "
+    "twin): one scan, conditional-count aggregates, stack to (rule, "
+    "n_violations); the reference delegated these to Postgres CHECK "
+    "constraints (05-create-schema.sh:154-155); includes §2.3 J4 FK "
+    "web → referential-integrity check as the ri_orphan rule "
+    "(left-anti join count, operators/quality.orphan_rows); "
+    "[decontam] benchmark decontamination (GPT-3 appendix C recipe) "
+    "— eval 3-gram set dedup + BROADCAST, corpus explodes grams "
+    "map-side and only matching (doc_id, gram_hash) pairs reach the "
+    "one count shuffle; corpus text never moves",
+)
+def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.queries.dedup_q import decontam_report
+
+    dq = dq_check_report(spark, sf_dir).select(
+        F.lit("dq").alias("report"),
+        F.col("rule").alias("key"),
+        F.col("n_violations").alias("n"),
+    )
+    de = decontam_report(spark, sf_dir).select(
+        F.lit("decontam").alias("report"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_contaminated_grams").alias("n"),
+    )
+    return dq.unionByName(de)

@@ -620,9 +620,7 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # TPC-H Q18: large-volume customers (HAVING subquery -> semi-join)
 # ---------------------------------------------------------------------------
-@register(
-    "q18_large_orders",
-    oracle=f"""
+_Q18_ORACLE = f"""
     WITH big AS (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
@@ -639,12 +637,9 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              o.o_totalprice
     ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
     LIMIT 100
-    """,
-    survey="§2.4/§2.5: TPC-H Q18 — HAVING-subquery membership becomes "
-    "a semi-join against a pre-aggregated key set; customer dim "
-    "broadcasts; the fact table shuffles once on the join key; "
-    "TakeOrderedAndProject for the top-100 (no global sort)",
-)
+    """
+
+
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -676,9 +671,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q17: small-quantity-order revenue (correlated scalar subquery
 # -> per-key aggregate + broadcast join)
 # ---------------------------------------------------------------------------
-@register(
-    "q17_small_quantity_revenue",
-    oracle=f"""
+_Q17_ORACLE = f"""
     WITH avgs AS (
         SELECT l_partkey,
                ({exact_sum_sql("l_quantity")} / count(*)) AS avg_qty
@@ -691,12 +684,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN avgs a ON a.l_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#4' AND p.p_size < 15
       AND l.l_quantity < CAST('0.2' AS DOUBLE) * a.avg_qty
-    """,
-    survey="§2.4/§2.7: TPC-H Q17 — the correlated scalar subquery "
-    "(per-part average) is decorrelated into one map-side-combinable "
-    "aggregate joined back on the part key; the part filter "
-    "broadcasts; single-row exact fixed-point answer",
-)
+    """
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
@@ -716,6 +706,56 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+
+
+@register(
+    "q17_q18_quantity_battery",
+    oracle=f"""
+    SELECT 'q18' AS variant, t.c_name, t.c_custkey, t.o_orderkey,
+           t.o_orderdate, t.o_totalprice, t.sum_qty,
+           CAST(NULL AS DOUBLE) AS avg_yearly
+    FROM ({_Q18_ORACLE}) t
+    UNION ALL
+    SELECT 'q17', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t.avg_yearly
+    FROM ({_Q17_ORACLE}) t
+    """,
+    survey="§2.4/§2.5/§2.7: TPC-H quantity-threshold pair (folded r5 "
+    "so both keep a driver CORRECTNESS row) — [q18] large-volume "
+    "customers: HAVING-subquery membership becomes a semi-join "
+    "against a pre-aggregated key set, customer dim broadcasts, the "
+    "fact table shuffles once on the join key, TakeOrderedAndProject "
+    "for the top-100 (no global sort); [q17] small-quantity-order "
+    "revenue: the correlated scalar subquery (per-part average) is "
+    "decorrelated into one map-side-combinable aggregate joined back "
+    "on the part key, the part filter broadcasts, single-row exact "
+    "fixed-point answer",
+)
+def q17_q18_quantity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q18 = q18_large_orders(spark, sf_dir).select(
+        F.lit("q18").alias("variant"),
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        "sum_qty",
+        F.lit(None).cast("double").alias("avg_yearly"),
+    )
+    q17 = q17_small_quantity_revenue(spark, sf_dir).select(
+        F.lit("q17").alias("variant"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        "avg_yearly",
+    )
+    return q18.unionByName(q17)
 
 
 # ---------------------------------------------------------------------------

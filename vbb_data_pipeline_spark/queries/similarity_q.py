@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vbb_data_pipeline_spark.operators import similarity as sim
-from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.queries import (
+    load_table,
+    register,
+    tag_union,
+    tag_union_sql,
+)
 
 DIM = 64
 N_PLANES = 8
@@ -26,9 +31,7 @@ COS_SQL = (
 )
 
 
-@register(
-    "sim_bruteforce_topk",
-    oracle=f"""
+_BF_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id < 10
@@ -51,10 +54,9 @@ COS_SQL = (
     )
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
-    """,
-    survey="extension: exact top-k cosine ANN baseline (brute force; "
-    "query side broadcast, corpus never replicated)",
-)
+    """
+
+
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Routed through the Arrow/BLAS path (the scale formulation: no
     # pair materialization, per-batch matmul + local top-k) since its
@@ -73,9 +75,7 @@ def _planes_sql_list(p: int) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-@register(
-    "sim_lsh_topk",
-    oracle=f"""
+_LSH_ORACLE = f"""
     WITH b AS (
         SELECT vec_id,
                {" || ".join(
@@ -100,10 +100,9 @@ def _planes_sql_list(p: int) -> str:
     )
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 3
-    """,
-    survey="extension: ANN top-k via LSH bucket join + exact cosine "
-    "re-rank (bucket equi-join replaces the cross join at scale)",
-)
+    """
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = sim.lsh_topk(e, k=3, num_planes=N_PLANES, dim=DIM)
@@ -194,20 +193,6 @@ def _kmeans_oracle() -> str:
     """
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=_kmeans_oracle(),
-    survey="extension: IVF-style ANN with TRAINED centroids — "
-    "deterministic Lloyd k-means ({} rounds, lowest-id seeding, "
-    "fixed-point means: operators/similarity.kmeans_centroids), then "
-    "broadcast-centroid cell assignment, nprobe cell pruning, exact "
-    "re-rank inside probed cells; the inverted-list partitioning is "
-    "the 100 TB layout (corpus bucketed by cell_id, probes touch "
-    "nprobe/n_cells of it)".format(_KMEANS_ITERS),
-    note="fixed-point integer means make every centroid component "
-    "bit-identical across engines; the oracle replays the identical "
-    "training loop as chained CTEs",
-)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -231,6 +216,41 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=centroids,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "sim_ann_battery",
+    oracle=tag_union_sql(
+        [
+            ("bruteforce", _BF_ORACLE),
+            ("lsh", _LSH_ORACLE),
+            ("ivf", _kmeans_oracle()),
+        ]
+    ),
+    survey="extension: ANN family battery (folded r5 so each variant "
+    "keeps a driver CORRECTNESS row) — [bruteforce] exact top-k "
+    "cosine baseline via the Arrow/BLAS pair-free matmul path (query "
+    "side broadcast, corpus never replicated); [lsh] top-k via LSH "
+    "bucket join + exact cosine re-rank (bucket equi-join replaces "
+    "the cross join at scale); [ivf] TRAINED-centroid IVF — "
+    "deterministic Lloyd k-means ({} rounds, lowest-id seeding, "
+    "fixed-point means: operators/similarity.kmeans_centroids), "
+    "broadcast-centroid cell assignment, nprobe cell pruning, exact "
+    "re-rank inside probed cells; the inverted-list partitioning is "
+    "the 100 TB layout (corpus bucketed by cell_id, probes touch "
+    "nprobe/n_cells of it)".format(_KMEANS_ITERS),
+    note="fixed-point integer means make every centroid component "
+    "bit-identical across engines; the ivf leg's oracle replays the "
+    "identical training loop as chained CTEs",
+)
+def sim_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tag_union(
+        [
+            ("bruteforce", sim_bruteforce_topk(spark, sf_dir)),
+            ("lsh", sim_lsh_topk(spark, sf_dir)),
+            ("ivf", sim_ivf_topk(spark, sf_dir)),
+        ]
+    )
 
 
 @register(
@@ -392,20 +412,6 @@ def _pq_oracle() -> str:
     """
 
 
-@register(
-    "sim_pq_topk",
-    oracle=_pq_oracle(),
-    survey="extension: product-quantization ANN (Jégou et al. 2011) — "
-    "per-subspace deterministic k-means codebooks, M-byte codes per "
-    "vector, fixed-point ADC lookup-table scoring over codes only, "
-    "exact re-rank of the candidate set; the compression layer that "
-    "makes billion-vector search storage- and scan-tractable at "
-    "100 TB",
-    note="training, encoding, ADC, and re-rank all follow the "
-    "fixed-point / HALF_UP / smallest-id-tie recipe, so the oracle "
-    "replays the ENTIRE pipeline (including codebook training) as "
-    "chained CTEs, bit-identically",
-)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -615,19 +621,6 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register(
-    "sim_ivfpq_topk",
-    oracle=_ivfpq_oracle(),
-    survey="extension: IVF-PQ ANN (the FAISS IVFx,PQy layout) — IVF "
-    "cell pruning bounds WHICH vectors are scored (nprobe/n_cells of "
-    "the corpus), PQ codes bound WHAT is read per vector (M bytes), "
-    "fixed-point ADC over probed cells only, exact re-rank on top; "
-    "the two multiplicative reductions compose into the standard "
-    "billion-vector search layout",
-    note="the oracle replays BOTH trainings (coarse k-means + "
-    "per-subspace codebooks), assignment, probes, ADC and re-rank as "
-    "one chained-CTE query",
-)
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -882,19 +875,6 @@ def _ivfpq_res_oracle() -> str:
     """
 
 
-@register(
-    "sim_ivfpq_residual_topk",
-    oracle=_ivfpq_res_oracle(),
-    survey="extension: residual IVF-PQ (the full FAISS IVFx,PQy "
-    "construction) — PQ codebooks trained on x − c_cell residuals, "
-    "ADC decomposes q·x̃ and |x̃|² into four broadcast fixed-point "
-    "LUTs including the c·r̃ cross term; same two multiplicative "
-    "scan reductions as sim_ivfpq_topk with materially lower "
-    "quantization error",
-    note="the oracle replays IVF training, assignment, residual "
-    "subtraction, residual-PQ training, probes, four-LUT ADC (with "
-    "the negative-norm clamp) and re-rank as one chained-CTE query",
-)
 def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -929,3 +909,39 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=cb,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "sim_pq_battery",
+    oracle=tag_union_sql(
+        [
+            ("pq", _pq_oracle()),
+            ("ivfpq", _ivfpq_oracle()),
+            ("ivfpq_residual", _ivfpq_res_oracle()),
+        ]
+    ),
+    survey="extension: product-quantization ANN family (folded r5 so "
+    "each variant keeps a driver CORRECTNESS row) — [pq] flat PQ "
+    "(Jégou et al. 2011): per-subspace deterministic k-means "
+    "codebooks, M-byte codes per vector, fixed-point ADC "
+    "lookup-table scoring over codes only, exact re-rank; [ivfpq] "
+    "the FAISS IVFx,PQy layout — IVF cell pruning bounds WHICH "
+    "vectors are scored (nprobe/n_cells), PQ codes bound WHAT is "
+    "read per vector (M bytes); [ivfpq_residual] PQ codebooks "
+    "trained on x − c_cell residuals, ADC decomposed into four "
+    "broadcast fixed-point LUTs including the c·r̃ cross term; the "
+    "compression layers that make billion-vector search storage- "
+    "and scan-tractable at 100 TB",
+    note="training, encoding, ADC and re-rank all follow the "
+    "fixed-point / HALF_UP / smallest-id-tie recipe, so each leg's "
+    "oracle replays its ENTIRE pipeline (including codebook "
+    "training) as chained CTEs, bit-identically",
+)
+def sim_pq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tag_union(
+        [
+            ("pq", sim_pq_topk(spark, sf_dir)),
+            ("ivfpq", sim_ivfpq_topk(spark, sf_dir)),
+            ("ivfpq_residual", sim_ivfpq_residual_topk(spark, sf_dir)),
+        ]
+    )

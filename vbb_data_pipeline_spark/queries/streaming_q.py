@@ -69,18 +69,14 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-@register(
-    "stream_tumbling_window",
-    oracle=f"""
+_TUMBLING_ORACLE = f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n, {exact_sum_sql("value")} AS sum_value
     FROM events
     GROUP BY 1, 2
-    """,
-    survey="§2.9 T1 (micro-batch source pump) — REAL Structured "
-    "Streaming: file source → watermark → tumbling window → memory "
-    "sink; result must equal the batch oracle exactly",
-)
+    """
+
+
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling(
         _event_stream(spark, sf_dir),
@@ -242,9 +238,7 @@ def stream_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register(
-    "stream_sliding_window",
-    oracle=f"""
+_SLIDING_ORACLE = f"""
     WITH buckets AS (
         SELECT e.*,
                TIMESTAMP '1970-01-01'
@@ -261,12 +255,9 @@ def stream_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start, count(*) AS n, {exact_sum_sql("value")} AS sum_value
     FROM assigned
     GROUP BY window_start
-    """,
-    survey="§2.9 (sliding window 1h/30m under REAL Structured "
-    "Streaming — watermark + overlapping window assignment + memory "
-    "sink in complete mode; same oracle as the batch twin "
-    "t_sliding_window)",
-)
+    """
+
+
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.streaming.windows import sliding
 
@@ -283,3 +274,40 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"slide_{uuid.uuid4().hex[:8]}"
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "stream_window_battery",
+    oracle=f"""
+    SELECT 'tumbling' AS variant, t.window_start, t.event_type,
+           t.n, t.sum_value
+    FROM ({_TUMBLING_ORACLE}) t
+    UNION ALL
+    SELECT 'sliding', t.window_start, CAST(NULL AS VARCHAR),
+           t.n, t.sum_value
+    FROM ({_SLIDING_ORACLE}) t
+    """,
+    survey="§2.9 T1 (micro-batch source pump) — windowed-aggregation "
+    "battery under REAL Structured Streaming (folded r5 so both legs "
+    "keep a driver CORRECTNESS row): [tumbling] file source → "
+    "watermark → 1h tumbling window → memory sink; [sliding] 1h/30m "
+    "sliding window, overlapping window assignment, complete mode "
+    "(same oracle as the batch twin t_sliding_window); each leg must "
+    "equal its batch oracle exactly",
+)
+def stream_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tum = stream_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("variant"),
+        "window_start",
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    sli = stream_sliding_window(spark, sf_dir).select(
+        F.lit("sliding").alias("variant"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "sum_value",
+    )
+    return tum.unionByName(sli)

@@ -44,9 +44,7 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w2_running_revenue",
-    oracle="""
+_W2_ORACLE = """
     SELECT o_orderkey, o_custkey,
            round(sum(o_totalprice) OVER (
                PARTITION BY o_custkey
@@ -59,15 +57,9 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
            ) / 100.0) AS rolling_7d_rev
     FROM orders
-    """,
-    survey="§2.5 O2 (ordered accumulation — the priority-queue merge "
-    "restated as a running window aggregate) + §2.5 extension: "
-    "RANGE-frame window (rolling 7-day revenue per customer) — "
-    "value-based frames over event time alongside the ROWS frame; "
-    "one window shuffle produces both",
-    note="RANGE frame uses fixed-point per-row rounding so the "
-    "windowed sum is order-independent (same recipe as exact_sum)",
-)
+    """
+
+
 def w2_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = (
@@ -89,9 +81,7 @@ def w2_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w4_rank_functions",
-    oracle="""
+_W4_ORACLE = """
     SELECT o_orderkey,
            o_orderstatus,
            lag(o_orderkey)  OVER w                                AS prev_key,
@@ -108,11 +98,9 @@ def w2_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            )                                                      AS first_key
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC)
-    """,
-    survey="§2.5 extension: analytic window battery (lag/lead/"
-    "dense_rank/ntile/percent_rank/cume_dist/first_value) — ordered "
-    "accumulation generalizing the reference's priority-queue merge",
-)
+    """
+
+
 def w4_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
@@ -130,6 +118,34 @@ def w4_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.first("o_orderkey").over(wf).alias("first_key"),
+    )
+
+
+
+
+@register(
+    "window_functions_battery",
+    oracle=f"""
+    SELECT a.*, b.o_orderstatus, b.prev_key, b.next_key, b.prio_rank,
+           b.quartile, b.pct_rank, b.cdist, b.first_key
+    FROM ({_W2_ORACLE}) a JOIN ({_W4_ORACLE}) b USING (o_orderkey)
+    """,
+    survey="§2.5 O2 + §2.5 extensions JOINED on o_orderkey (folded "
+    "r5 so both legs keep a driver CORRECTNESS row) — [w2] ordered "
+    "accumulation (the reference's priority-queue merge restated as "
+    "a running window aggregate) + RANGE-frame rolling 7-day revenue "
+    "per customer (value-based frames over event time alongside the "
+    "ROWS frame, one window shuffle produces both); [w4] analytic "
+    "window battery (lag/lead/dense_rank/ntile/percent_rank/"
+    "cume_dist/first_value) — each leg keeps its own single window "
+    "shuffle; the join key is the orders primary key so the fold "
+    "adds exactly one broadcast-free equi-join",
+    note="RANGE frame uses fixed-point per-row rounding so the "
+    "windowed sum is order-independent (same recipe as exact_sum)",
+)
+def window_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return w2_running_revenue(spark, sf_dir).join(
+        w4_rank_functions(spark, sf_dir), "o_orderkey"
     )
 
 
