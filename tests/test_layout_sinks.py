@@ -200,3 +200,47 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     y_z = total_spread(p_z, "y")
     assert y_sorted > 12 * n * 0.9  # sanity: x-sort does NOT cluster y
     assert y_z < y_sorted * 0.5, (y_z, y_sorted)
+
+
+def test_int_bucket_rejects_wide_domain():
+    """(hi-lo)*(2^bits-1) >= 2^53 would make the double division
+    engine-dependent (or overflow the int64 multiply); int_bucket
+    must refuse such spans instead of silently corrupting buckets."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.sources.layout import int_bucket
+
+    # microsecond epoch span of ~100 years: ~2^51.5 — over the bound
+    with _pytest.raises(ValueError, match="pre-scale"):
+        int_bucket(F.col("v"), 0, 3_200_000_000_000_000, bits=12)
+    # seconds-resolution epoch span: fine
+    int_bucket(F.col("v"), 0, 3_200_000_000, bits=12)
+
+
+def test_zorder_key_rejects_bit_overflow():
+    """bits * n_cols must fit the 63 usable bits of int64 — silent
+    shiftleft wraparound would interleave garbage."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.sources.layout import zorder_key
+
+    cols = [F.col(f"c{i}") for i in range(6)]
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key(cols, bits=12)  # 72 bits
+    zorder_key(cols, bits=10)  # 60 bits: ok
+
+
+def test_write_zordered_rejects_all_null_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.sources.layout import write_zordered
+
+    df = spark.range(10).select(
+        F.col("id").alias("x"), F.lit(None).cast("long").alias("y")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="all-NULL"):
+        write_zordered(df, str(tmp_path / "z"), ["x", "y"], num_files=2)

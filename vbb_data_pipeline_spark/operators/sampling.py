@@ -533,6 +533,13 @@ def export_shuffle(
     readers interleave shards round-robin for the global pseudo-random
     order. Hash-determinism rules follow the module header (salted
     content hash, NULL-safe sentinel, mode-switched md5/xxhash64).
+
+    Contract: ``key_col`` must be UNIQUE per row (a doc id / primary
+    key). The within-shard order breaks ties by (hash, key) only, so
+    duplicate keys — which also collide on the hash — would get
+    engine/partitioning-dependent ``pos`` values and break the
+    exactly-reproducible guarantee. Dedupe or add a row-number key
+    upstream if the export key can repeat.
     """
     mode = hash_mode or default_hash_mode()
     key_str = F.coalesce(

@@ -544,6 +544,16 @@ def kmeans_centroids_local(
     cents: list[tuple[int, list[float]]] = [
         (int(i), v) for i, v in vecs if i < n_cells
     ]
+    # Seed convention (id < n_cells) is replayed verbatim by the
+    # DuckDB oracles; ids with gaps below n_cells would silently
+    # train fewer cells, so fail loudly instead.
+    if len(cents) < n_cells:
+        raise ValueError(
+            f"kmeans seeding found {len(cents)} vectors with id < "
+            f"{n_cells}; the id<n_cells seed convention requires "
+            "contiguous ids from 0 — re-key the corpus or pass "
+            "pre-trained centroids"
+        )
     for _ in range(iters):
         norms = [
             (cid, cv, math_sqrt(dot_seq(cv, cv))) for cid, cv in cents
@@ -1003,6 +1013,17 @@ def _pq_lloyd_from_vecs(
         cents: list[tuple[int, list[float]]] = [
             (int(i), sv) for i, sv in svecs if i < n_codes
         ]
+        # Same seed convention as the oracles (id < n_codes); with
+        # gapped ids the seed set shrinks and, at zero seeds,
+        # best_code would stay None and emit NULL-code rows — raise
+        # instead of silently training a degenerate codebook.
+        if len(cents) < n_codes:
+            raise ValueError(
+                f"pq seeding found {len(cents)} sample vectors with "
+                f"id < {n_codes}; the id<n_codes seed convention "
+                "requires contiguous ids from 0 — re-key the corpus "
+                "or pass pre-trained codebooks"
+            )
         for _ in range(iters):
             withn = [(c, cv, _dot_seq(cv, cv)) for c, cv in cents]
             sums: dict[int, list[int]] = {}

@@ -128,14 +128,32 @@ def int_bucket(col: Column, lo: int, hi: int, bits: int) -> Column:
     — so any engine computes the identical bucket (no float division,
     no boundary ulps). ``lo``/``hi`` are table min/max: one metadata
     aggregate at write time. Values are clamped into the range first
-    (late-arriving outliers degrade clustering, never correctness)."""
+    (late-arriving outliers degrade clustering, never correctness).
+
+    Domain bound (checked): exactness requires
+    ``(hi − lo) · (2^bits − 1) < 2^53`` — the scaled numerator must be
+    a double-exact multiple of the span (and stay far inside int64).
+    With the default ``bits=12`` that allows spans up to ~2^41
+    (seconds-resolution epochs, ids, sizes). Wider domains
+    (microsecond epochs, 64-bit hashes) must be pre-scaled by the
+    caller (e.g. ``F.shiftright(col, 20)`` / ``div 1_000_000``) —
+    silently producing engine-dependent buckets would corrupt the
+    layout, so this raises instead."""
     from pyspark.sql import functions as F
 
     span = max(int(hi) - int(lo), 1)
+    m = (1 << bits) - 1
+    if span > (2**53 - 1) // m:
+        raise ValueError(
+            f"int_bucket: span {span} * (2^{bits}-1) exceeds 2^53; "
+            "engine-identical bucketing is not guaranteed — pre-scale "
+            "the column (integer divide / shiftright) before bucketing"
+        )
     v = F.greatest(F.least(col.cast("long"), F.lit(int(hi))), F.lit(int(lo)))
-    num = (v - F.lit(int(lo))) * F.lit((1 << bits) - 1)
+    num = (v - F.lit(int(lo))) * F.lit(m)
     # exact integer division: (num − num % span) is a multiple of span,
-    # so the double division is exact (result < 2^53) in every engine
+    # so the double division is exact (guarded: result < 2^53) in
+    # every engine
     return ((num - num % F.lit(span)) / F.lit(span)).cast("long")
 
 
@@ -157,6 +175,12 @@ def zorder_key(cols: Sequence[Column], bits: int = 12) -> Column:
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {n} cols = {bits * n} exceeds "
+            "the 63 usable bits of a signed int64 key; lower bits "
+            "(coarser buckets still cluster well) or drop a column"
+        )
     terms = []
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -195,6 +219,12 @@ def write_zordered(
             for agg, f in (("min", F.min), ("max", F.max))
         ]
     ).collect()[0]
+    for c in cols:
+        if stats[f"min_{c}"] is None or stats[f"max_{c}"] is None:
+            raise ValueError(
+                f"write_zordered: column {c!r} is all-NULL (no min/max); "
+                "z-ordering on it is meaningless — drop it from cols"
+            )
     buckets = [
         int_bucket(
             F.col(c), stats[f"min_{c}"], stats[f"max_{c}"], bits
