@@ -520,3 +520,50 @@ def test_e4_cross_dup_span_gate(spark):
     kept = {r.doc_id for r in out.select("doc_id").collect()}
     assert kept == {1, 3}
     spark.catalog.clearCache()
+
+
+def test_e4_remove_cross_dup_spans(spark):
+    """remove_cross_dup_spans=True excises duplicated spans instead of
+    dropping documents: the min-id owner keeps its copy, quoters keep
+    their ORIGINAL material with only the quoted run removed (E4's
+    output carries profiled token counts, so assert through those —
+    profiling runs AFTER the removal stage by design)."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+
+    run = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        (1, run + " original tail about trains and schedules", "en", "wiki"),
+        (2, "my own introduction paragraph here " + run, "en", "web"),
+        (3, "a perfectly ordinary document about signals and stations "
+            "with enough words to clear the span window easily", "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    def run_e4():
+        return e4_corpus_prep(
+            docs,
+            min_quality=0.0,
+            remove_cross_dup_spans=True,
+            span_window=6,
+            jaccard_threshold=1.01,
+            shard_budget=10**6,
+            hash_mode="oracle",
+        )
+
+    out = {r.doc_id: r for r in run_e4().collect()}
+    # nothing dropped — removal is surgical
+    assert set(out) == {1, 2, 3}
+    # owner keeps the run + its tail (BPE-ish counting splits each
+    # "sharedN" word into stem + digit: 12*2 + 6 = 30)
+    assert out[1].n_tokens == 30
+    # quoter lost exactly the run, keeps its 5-word intro
+    assert out[2].n_tokens == 5
+    # untouched doc profiles at its full length
+    assert out[3].n_tokens == 17
+    # deterministic: second run identical
+    a = sorted(map(tuple, run_e4().collect()))
+    b = sorted(map(tuple, run_e4().collect()))
+    assert a == b
+    spark.catalog.clearCache()

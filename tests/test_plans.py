@@ -173,3 +173,18 @@ def test_dedup_clusters_edges_use_lsh_not_allpairs(spark, reg):
     # candidates + CC labels arrive as localCheckpoint-ed RDDs (the
     # banding lineage is truncated by design — computed once)
     assert "LogicalRDD" in plan
+
+
+def test_span_removal_bounded_exchanges_no_python(spark):
+    """span_removal: stride-1 hash explode → two map-side-combinable
+    aggs → stats join → covered-index union → one id-keyed join back.
+    Exchanges stay bounded; no Python stage; no cartesian."""
+    from vbb_data_pipeline_spark.operators.dedup import span_removal
+    from vbb_data_pipeline_spark.queries import load_table
+
+    d = load_table(spark, SF, "documents")
+    df = span_removal(d, "text", "doc_id", window=15)
+    assert count_exchanges(df) <= 8
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -206,3 +206,195 @@ def test_random_corpus_matches_duckdb_replay(spark, seed):
     GROUP BY o.doc_id
     """).fetchall()
     assert got == sorted(map(tuple, exp))
+
+
+# ---------------------------------------------------------------------------
+# span_removal (the Lee et al. keep-one REMOVAL pass, r5)
+# ---------------------------------------------------------------------------
+def test_span_removal_owner_keeps_others_lose(spark):
+    shared = " ".join(f"s{i}" for i in range(W))
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"pre amble {shared} post"),
+        (3, f"zz {shared} yy"),
+        (4, "independent text with no duplication at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from vbb_data_pipeline_spark.operators.dedup import span_removal
+
+    out = {r.doc_id: r for r in span_removal(
+        d, "text", "doc_id", window=W
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # owner (min id) keeps the run verbatim
+    assert shared in out[1].text and out[1].removed_tokens == 0
+    # every other holder loses exactly the covered tokens, keeps rest
+    for i in (2, 3):
+        assert shared not in out[i].text
+        assert out[i].removed_tokens == W
+    assert out[2].text == "pre amble post"
+    assert out[3].text == "zz yy"
+    # untouched doc passes through (tokens re-joined by space)
+    assert out[4].text == "independent text with no duplication at all"
+    assert out[4].removed_tokens == 0
+
+
+def test_span_removal_overlapping_spans_union(spark):
+    # doc 2 shares a run of W+3 tokens with doc 1 -> 4 overlapping
+    # duplicated spans; the covered UNION must remove W+3 tokens,
+    # not 4*W
+    run = " ".join(f"r{i}" for i in range(W + 3))
+    d = spark.createDataFrame(
+        [(1, f"{run} tail"), (2, f"head {run}")],
+        "doc_id long, text string",
+    )
+    from vbb_data_pipeline_spark.operators.dedup import span_removal
+
+    out = {r.doc_id: r for r in span_removal(
+        d, "text", "doc_id", window=W
+    ).collect()}
+    assert out[1].removed_tokens == 0
+    assert out[2].removed_tokens == W + 3
+    assert out[2].text == "head"
+
+
+def test_span_removal_degenerate_inputs(spark):
+    from vbb_data_pipeline_spark.operators.dedup import span_removal
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "below window size")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_removal(
+        d, "text", "doc_id", window=W
+    ).collect()}
+    assert out[1].text == "" and out[1].removed_tokens == 0
+    assert out[2].text == "" and out[2].removed_tokens == 0
+    assert out[3].text == "below window size"
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_span_removal_matches_duckdb_replay(spark, seed):
+    """Seeded random corpora (tiny alphabet -> forced collisions)
+    through the OPERATOR vs an independent DuckDB replay of the
+    removal semantics (stride-1 hashes, owner election, covered-index
+    union, token-stream rebuild)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from vbb_data_pipeline_spark.functions.hashing import md5_long_sql
+    from vbb_data_pipeline_spark.operators.dedup import span_removal
+
+    rng = np.random.default_rng(seed)
+    alphabet = ["aa", "bb", "cc"]
+    rows = []
+    for i in range(25):
+        n = int(rng.integers(0, 30))
+        rows.append((i, " ".join(rng.choice(alphabet, size=n))))
+    w = 5
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            span_removal(
+                d, "text", "doc_id", window=w, hash_mode="oracle"
+            ).collect(),
+        )
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    tok = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "x -> x <> '')")
+    span_h = md5_long_sql(f"array_to_string(list_slice(tk, p, p+{w}-1), '_')")
+    exp = sorted(map(tuple, con.execute(f"""
+    WITH toks AS (SELECT doc_id, {tok} AS tk FROM documents),
+    hs AS (
+        SELECT doc_id, tk,
+               list_transform(range(1, greatest(len(tk) - {w}, -1) + 2),
+                              p -> {span_h}) AS hl
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, generate_subscripts(hl, 1) AS p, unnest(hl) AS h
+        FROM hs
+    ),
+    stats AS (
+        SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+        FROM spans GROUP BY h
+    ),
+    fdup AS (
+        SELECT s.doc_id, s.p FROM spans s JOIN stats t USING (h)
+        WHERE t.nd >= 2 AND t.owner <> s.doc_id
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(range(p, p + {w})) AS ci FROM fdup
+    ),
+    tok_idx AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS t
+        FROM toks
+    ),
+    keep AS (
+        SELECT k.* FROM tok_idx k ANTI JOIN covered c
+          ON k.doc_id = c.doc_id AND k.i = c.ci
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+        FROM keep GROUP BY doc_id
+    ),
+    ncov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_tokens
+        FROM covered GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.text, '') AS text,
+           coalesce(n.removed_tokens, 0) AS removed_tokens
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN ncov n USING (doc_id)
+    """).fetchall()))
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_span_removal_no_surviving_foreign_duplicate(spark, seed):
+    """Guarantee: after removal, every ORIGINAL cross-doc duplicated
+    span survives only in its owner document (non-owners lost at
+    least one token of every covering window)."""
+    import numpy as np
+
+    from vbb_data_pipeline_spark.operators.dedup import (
+        span_removal,
+        substring_span_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    alphabet = [f"w{j}" for j in range(6)]
+    planted = " ".join(f"dup{j}" for j in range(8))
+    rows = []
+    for i in range(20):
+        n = int(rng.integers(5, 25))
+        body = " ".join(rng.choice(alphabet, size=n))
+        # plant the duplicate run into a third of the docs
+        if i % 3 == 0:
+            body = f"{body} {planted} {body}" if n else planted
+        rows.append((i, body))
+    w = 5
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = span_removal(d, "text", "doc_id", window=w)
+
+    # re-run the stride-1 accounting on the CLEANED corpus: any span
+    # still duplicated must now be an artifact of random collisions in
+    # the tiny alphabet, never the planted run
+    for r in cleaned.collect():
+        if r.doc_id % 3 == 0 and r.doc_id != 0:
+            assert planted not in r.text, r.doc_id
+        if r.doc_id == 0:
+            assert planted in r.text  # owner keeps its copy
+    # quantitative: cleaned corpus has strictly less duplication mass
+    before = substring_span_stats(d, "text", "doc_id", window=w)
+    after = substring_span_stats(cleaned, "text", "doc_id", window=w)
+    m_before = before.agg(F.sum("dup_spans")).collect()[0][0] or 0
+    m_after = after.agg(F.sum("dup_spans")).collect()[0][0] or 0
+    assert m_after < m_before

@@ -526,3 +526,95 @@ def substring_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def span_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 15,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """Excise cross-document duplicated token spans — the REMOVAL pass
+    completing Lee et al. 2021 exact-substring dedup on top of
+    :func:`substring_span_stats`'s accounting/owner election.
+
+    Semantics: every ``window``-token span is hashed at every offset
+    (stride-1 — the only alignment-safe grid). A span occurring in ≥2
+    distinct documents elects its lowest-id holder as OWNER; every
+    other holder removes the tokens covered by that span (the union
+    of all foreign-duplicate span intervals). The owner keeps its
+    copy, so each duplicated region survives exactly once in the
+    corpus — Lee et al.'s keep-one policy at document granularity.
+    Output text is the surviving tokens joined with single spaces
+    (token-stream dedup: the same normalized space
+    ``functions/text.tokens`` defines; original casing/punctuation is
+    not reconstructed, matching how LLM-prep pipelines consume it).
+
+    Single pass: removal can create new token adjacencies that form
+    fresh ``window``-grams; Lee et al. accept the same (their
+    removals also splice suffixes). Iterate the operator for a
+    fixed-point if required.
+
+    Scale shape: span strings never shuffle — the exchange carries
+    (hash, id, pos) triples; ownership stats are one map-side
+    combinable aggregation (billion-copy boilerplate spans combine
+    per task); covered positions come back to documents via ONE
+    id-keyed join of int arrays. The per-document token filter is an
+    O(n_tokens · n_covered) codegen expression — documents are
+    bounded (chunked) in training corpora; for pathological
+    million-token documents route through a Pandas-UDF interval
+    merge instead.
+    """
+    from vbb_data_pipeline_spark.functions.hashing import hash_long
+
+    w = window
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    positions = F.when(
+        F.size("_tk") >= w,
+        F.sequence(F.lit(1), F.size("_tk") - w + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    hp = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("p"),
+            hash_long(
+                F.concat_ws("_", F.slice(F.col("_tk"), i, w)), hash_mode
+            ).alias("h"),
+        ),
+    )
+    spans = base.select(F.col(id_col), F.explode(hp).alias("_s")).select(
+        F.col(id_col), F.col("_s.p").alias("_p"), F.col("_s.h").alias("_sh")
+    )
+    # ownership: distinct (span, doc) then count+min — both stages
+    # map-side combinable on the span hash
+    occ = spans.select("_sh", id_col).distinct()
+    stats = occ.groupBy("_sh").agg(
+        F.count(F.lit(1)).alias("_ndocs"), F.min(id_col).alias("_owner")
+    )
+    foreign = spans.join(stats, "_sh").filter(
+        (F.col("_ndocs") >= 2) & (F.col("_owner") != F.col(id_col))
+    )
+    covered = (
+        foreign.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + F.lit(w - 1))
+            ).alias("_ci"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_ci")).alias("_cov"))
+    )
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_tk"), lambda t, i: ~F.array_contains(cov, i + F.lit(1))
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", kept).alias("text"),
+            F.size(cov).cast("long").alias("removed_tokens"),
+        )
+    )

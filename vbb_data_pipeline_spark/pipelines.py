@@ -145,6 +145,7 @@ def e4_corpus_prep(
     lm_vocab_size: int = 50_000,
     max_dup_line_frac: float | None = None,
     max_cross_dup_span_frac: float | None = None,
+    remove_cross_dup_spans: bool = False,
     span_window: int = 15,
     span_winnow: int | None = 4,
     compression_bounds: tuple[float, float] | None = None,
@@ -191,6 +192,13 @@ def e4_corpus_prep(
        with winnowed fingerprint selection — catches long quoted runs
        that line dedup misses when line boundaries differ; the
        canonical first holder always survives);
+       ``remove_cross_dup_spans=True`` is the SURGICAL alternative:
+       instead of dropping span-heavy documents it excises the
+       duplicated spans themselves (``operators/dedup.span_removal``,
+       Lee et al.'s keep-one policy — the min-id owner keeps its
+       copy, every other holder loses exactly the covered tokens),
+       applied in the hygiene stage so all downstream profiling and
+       hashing see the excised token stream;
        ``compression_bounds=(lo, hi)`` keeps only documents whose zlib
        compression ratio falls inside the band — below ``lo`` is
        repetitive/templated garbage, above ``hi`` is random/binary
@@ -288,6 +296,26 @@ def e4_corpus_prep(
             min_chars=line_dedup_min_chars,
         )
         docs = docs.drop(text_col).join(deduped_text, id_col)
+    if remove_cross_dup_spans:
+        from vbb_data_pipeline_spark.operators.dedup import span_removal
+
+        # surgical Lee et al. removal (keep-one at the min-id owner)
+        # instead of / before the coarser whole-document span gate;
+        # runs in the hygiene stage so profiling, quality scores and
+        # every downstream hash see the excised text. Stride-1 span
+        # hashing (removal needs every duplicated position, so the
+        # winnowed selection the ACCOUNTING gate uses does not apply).
+        # Branches docs (hash side + rebuild side): truncate lineage
+        # once, same rationale as the span-gate localCheckpoint below.
+        docs = docs.localCheckpoint()
+        rewritten = span_removal(
+            docs.select(id_col, text_col),
+            text_col,
+            id_col,
+            window=span_window,
+            hash_mode=mode,
+        ).select(id_col, text_col)
+        docs = docs.drop(text_col).join(rewritten, id_col)
     profiled = docs.withColumn("n_tokens", bpe_token_count(text_col)).withColumn(
         "quality", quality_score(text_col)
     )

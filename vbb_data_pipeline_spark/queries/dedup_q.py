@@ -488,6 +488,86 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_removal_oracle() -> str:
+    w = _SPAN_W
+    span_h = md5_long_sql(
+        f"array_to_string(list_slice(tk, p, p+{w}-1), '_')"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
+    ),
+    hs AS (
+        SELECT doc_id, tk,
+               list_transform(range(1, greatest(len(tk) - {w}, -1) + 2),
+                              p -> {span_h}) AS hl
+        FROM toks
+    ),
+    spans AS (
+        SELECT doc_id, generate_subscripts(hl, 1) AS p, unnest(hl) AS h
+        FROM hs
+    ),
+    stats AS (
+        SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+        FROM spans GROUP BY h
+    ),
+    fdup AS (
+        SELECT s.doc_id, s.p FROM spans s JOIN stats t USING (h)
+        WHERE t.nd >= 2 AND t.owner <> s.doc_id
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(range(p, p + {w})) AS ci
+        FROM fdup
+    ),
+    tok_idx AS (
+        SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS t
+        FROM toks
+    ),
+    keep AS (
+        SELECT k.* FROM tok_idx k ANTI JOIN covered c
+          ON k.doc_id = c.doc_id AND k.i = c.ci
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+        FROM keep GROUP BY doc_id
+    ),
+    ncov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_tokens
+        FROM covered GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.text, '') AS text,
+           coalesce(n.removed_tokens, 0) AS removed_tokens
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN ncov n USING (doc_id)
+    """
+
+
+@register(
+    "dedup_span_removal",
+    oracle=_span_removal_oracle(),
+    survey="extension: exact-substring span REMOVAL (Lee et al. 2021 "
+    "keep-one policy, NEW r5 — completes the accounting/owner "
+    "election of dedup_substring_spans) — every {w}-token span "
+    "hashed at every offset (stride-1), min-id holder elected owner, "
+    "every other holder excises the union of its foreign-duplicate "
+    "span intervals; each duplicated region survives exactly once in "
+    "the corpus. Span strings never shuffle (the exchange carries "
+    "(hash, id, pos) triples), ownership is one map-side-combinable "
+    "aggregation, covered positions return via one id-keyed "
+    "int-array join".format(w=_SPAN_W),
+    note="token-stream removal: output text is surviving tokens "
+    "space-joined (functions/text.tokens normalization); single "
+    "pass — removal-created adjacencies can form fresh grams, as in "
+    "Lee et al.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.span_removal(
+        d, "text", "doc_id", window=_SPAN_W, hash_mode=default_hash_mode()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination report (operators/contamination.py)
 # ---------------------------------------------------------------------------
