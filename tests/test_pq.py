@@ -268,3 +268,31 @@ def test_ivfpq_index_matches_inline_and_prunes(spark, emb, tmp_path):
         if "pq_codes" in seg[:400]
     ]
     assert any("embedding" not in s for s in scans), scans
+
+
+def test_pq_encode_arrow_parity(emb, codebooks):
+    """Arrow/BLAS encode path must produce IDENTICAL codes to the
+    expression path on the driver fixtures — same d² arithmetic, same
+    HALF_UP rounding, same smallest-code tie rule."""
+    expr = sorted(
+        map(
+            tuple,
+            sim.pq_encode(emb, codebooks, M, DIM).collect(),
+        )
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            sim.pq_encode_arrow(emb, codebooks, M, DIM).collect(),
+        )
+    )
+    assert expr == arrow
+    assert len(expr) > 0
+
+
+def test_pq_encode_arrow_plan_is_single_pass(emb, codebooks):
+    """No exchange at all: the Arrow encode emits final (id, subspace,
+    code) rows straight from the scan."""
+    df = sim.pq_encode_arrow(emb, codebooks, M, DIM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

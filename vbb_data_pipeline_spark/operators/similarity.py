@@ -1185,6 +1185,102 @@ def pq_encode(
     return best.select(id_col, "subspace", F.col("_m.c").alias("code"))
 
 
+def pq_encode_arrow(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Quantize each vector → ``(id_col, subspace, code)`` on the
+    Arrow/numpy path — the scale formulation of :func:`pq_encode`
+    (same recipe as :func:`brute_force_topk_arrow`).
+
+    The expression form materializes one scored row per (vector,
+    subspace, codeword) before the argmin aggregation — correct, and
+    2× cheaper since the r4 x·x / c·c hoist, but the N×M×K candidate
+    rows still exist and the interpreted lambda chain dominated the
+    sf10 encode stage (57 s, PERF.md). Here the codebooks (tiny:
+    ``n_subspaces × n_codes`` subvectors) are collected once and
+    broadcast as numpy matrices; one ``mapInPandas`` pass computes
+    each Arrow batch's ``B × n_codes`` distance matrix per subspace
+    with a single BLAS matmul and emits the argmin codes directly —
+    no candidate materialization, no exchange at all (the expression
+    path's one exchange carried the argmin partials; this path's
+    output is already one row per (vector, subspace)).
+
+    Parity contract: identical codes to :func:`pq_encode` — the same
+    ``(x·x − 2·x·c) + c·c`` arithmetic, the same HALF_UP rounding at
+    ``round_digits`` (sign-aware ``floor(|x|·10^d + 0.5)``; numpy's
+    default is half-to-even), ties → smallest code (argmin returns
+    the first minimum and rows are code-ordered). numpy's pairwise
+    summation can differ from the sequential expression dot below the
+    rounding threshold; the rounding absorbs it (pinned by
+    ``tests/test_pq.py``'s parity test on the driver fixtures).
+    """
+    import numpy as np
+
+    sub = dim // n_subspaces
+    cb_rows = codebooks.select("subspace", "code", "subvec").collect()
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
+        )
+    cmats = []
+    ccods = []
+    for m in range(n_subspaces):
+        entries = sorted(by_sub.get(m, []))  # code-ordered → argmin tie
+        ccods.append(np.array([c for c, _ in entries], dtype="int64"))
+        cmats.append(np.array([v for _, v in entries], dtype="float64"))
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((cmats, ccods))
+
+    out_schema = f"{id_col} long, subspace int, code long"
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats, cods = bc.value
+        p = 10.0 ** round_digits
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            x = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            out_ids = []
+            out_sub = []
+            out_code = []
+            for m in range(n_subspaces):
+                xm = x[:, m * sub : (m + 1) * sub]
+                cm, codes_m = mats[m], cods[m]
+                xx = (xm * xm).sum(axis=1)
+                cc = (cm * cm).sum(axis=1)
+                d2 = (xx[:, None] - 2.0 * (xm @ cm.T)) + cc[None, :]
+                d2 = np.sign(d2) * np.floor(np.abs(d2) * p + 0.5) / p
+                best = codes_m[np.argmin(d2, axis=1)]
+                out_ids.append(ids)
+                out_sub.append(np.full(len(ids), m, dtype="int32"))
+                out_code.append(best)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "subspace": np.concatenate(out_sub),
+                    "code": np.concatenate(out_code),
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).mapInPandas(encode, schema=out_schema)
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1234,7 +1330,11 @@ def pq_topk(
             cache_key=cache_key,
         )
     sub = dim // n_subspaces
-    codes = pq_encode(
+    # Arrow/BLAS encode (18x the expression path at sf10: 50.6 s ->
+    # 2.8 s, PERF.md) — code-identical by the parity contract pinned
+    # in tests/test_pq.py; the expression encoder remains the
+    # zero-Python baseline.
+    codes = pq_encode_arrow(
         embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
     )
     cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
@@ -1398,7 +1498,11 @@ def ivf_pq_topk(
         embeddings, centroids, dim, id_col, vec_col, round_digits,
         cell_col="cell_id",
     )
-    codes = pq_encode(
+    # Arrow/BLAS encode (18x the expression path at sf10: 50.6 s ->
+    # 2.8 s, PERF.md) — code-identical by the parity contract pinned
+    # in tests/test_pq.py; the expression encoder remains the
+    # zero-Python baseline.
+    codes = pq_encode_arrow(
         embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
     )
 
@@ -1608,7 +1712,7 @@ def ivf_pq_residual_topk(
             lambda x, y: x.cast("double") - y.cast("double"),
         ).alias("_res"),
     )
-    codes = pq_encode(
+    codes = pq_encode_arrow(
         res, codebooks, n_subspaces, dim, id_col, "_res", round_digits
     )
 
@@ -1812,7 +1916,11 @@ def ivf_pq_write_index(
         embeddings, centroids, dim, id_col, vec_col, round_digits,
         cell_col="cell_id",
     )
-    codes = pq_encode(
+    # Arrow/BLAS encode (18x the expression path at sf10: 50.6 s ->
+    # 2.8 s, PERF.md) — code-identical by the parity contract pinned
+    # in tests/test_pq.py; the expression encoder remains the
+    # zero-Python baseline.
+    codes = pq_encode_arrow(
         embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
     )
     packed = codes.groupBy(id_col).agg(
