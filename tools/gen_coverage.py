@@ -11,6 +11,46 @@ sys.path.insert(0, "/root/repo")
 
 from vbb_data_pipeline_spark.queries import all_queries  # noqa: E402
 
+#: r5 registry consolidation: folded leg → battery entry carrying its
+#: driver CORRECTNESS row now (legs stay importable for bench via
+#: legacy_queries()).
+R5_FOLDS = [
+    ("sim_bruteforce_topk + sim_lsh_topk + sim_ivf_topk", "sim_ann_battery (variant tag)"),
+    ("sim_pq_topk + sim_ivfpq_topk + sim_ivfpq_residual_topk", "sim_pq_battery (variant tag)"),
+    ("dedup_minhash_lsh + dedup_ngram_jaccard", "dedup_pairs_battery (method tag)"),
+    ("dedup_clusters + graph_pagerank", "graph_cc_pagerank (variant tag)"),
+    ("stats_battery + approx_distinct_stats", "stats_approx_battery (join on l_returnflag)"),
+    ("w2_running_revenue + w4_rank_functions", "window_functions_battery (join on o_orderkey)"),
+    ("stream_tumbling_window + stream_sliding_window", "stream_window_battery (variant tag)"),
+    ("layout_zorder_key + export_shuffle_shards", "layout_export_battery (variant tag)"),
+    ("dq_check_report + decontam_report", "quality_reports (report tag)"),
+    ("cdc_scd2 + schema_evolution_union", "orders_evolution_battery (variant tag)"),
+    ("q17_small_quantity_revenue + q18_large_orders", "q17_q18_quantity_battery (variant tag)"),
+]
+
+
+def driver_rows() -> dict[str, str]:
+    """Per registry entry: the latest round whose driver CORRECTNESS
+    artifact contains a fully-green row under the entry's name."""
+    import glob
+    import json
+    import os
+
+    latest: dict[str, str] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                latest[name] = rnd
+    return latest
+
 #: §2 row → where the non-query surface lives (sources/ops/tests).
 NON_QUERY_ROWS = [
     ("S1/S2 url extraction + change detection", "sources/catalog.url_changed; F5 regexp in string_battery", "tests/test_catalog.py"),
@@ -87,15 +127,25 @@ def main() -> None:
     print(f"{len(reg)} registry queries; every one listed here with the §2")
     print("rows (or north-star extension) it covers and its oracle status.")
     print()
+    checked = driver_rows()
     print("## Oracle-checked queries (driver gate)")
     print()
-    print("| query | covers | oracle |")
-    print("|---|---|---|")
+    print("The 'driver row' column is generated from CORRECTNESS_r*.json —")
+    print("the latest round whose EXTERNAL driver artifact records a green")
+    print("(rows+schema+hash) row under the entry's current name. 'pending'")
+    print("= registered after the last driver run; the in-repo pytest gate")
+    print("(tests/test_queries_oracle.py, all entries at sf0.001) plus")
+    print("tools/check_correctness.py at sf0.01 covers those until the")
+    print("next driver round.")
+    print()
+    print("| query | covers | oracle | driver row |")
+    print("|---|---|---|---|")
     for name in sorted(reg):
         spec = reg[name]
         survey = " ".join(spec.survey.split())
         oracle = "DuckDB hash-match" if spec.oracle else "rows-only"
-        print(f"| `{name}` | {survey} | {oracle} |")
+        drv = checked.get(name, "pending")
+        print(f"| `{name}` | {survey} | {oracle} | {drv} |")
     print()
     print("## Non-query surface (sources / streaming / lifecycle)")
     print()
@@ -109,6 +159,13 @@ def main() -> None:
     print("| round-1 query | now covered by |")
     print("|---|---|")
     for old, new in R1_RENAMES:
+        print(f"| {old} | {new} |")
+    print()
+    print("## Round-5 folds (all legs inside the 50-entry driver window)")
+    print()
+    print("| folded legs | battery entry |")
+    print("|---|---|")
+    for old, new in R5_FOLDS:
         print(f"| {old} | {new} |")
 
 
