@@ -70,7 +70,9 @@ def test_dedup_minhash_bounded_exchanges(spark, reg):
 
 
 def test_q3_broadcast_and_pushdown(spark, reg):
-    df = reg["q3_shipping_priority"].fn(spark, SF)
+    from vbb_data_pipeline_spark.queries.relational import q3_shipping_priority
+
+    df = q3_shipping_priority(spark, SF)
     # filtered customer dim broadcasts; date filters reach both scans
     assert_broadcast_join(df, min_count=1)
     assert_pushed_filter(df, "l_shipdate")
@@ -78,7 +80,11 @@ def test_q3_broadcast_and_pushdown(spark, reg):
 
 
 def test_q5_single_wide_shuffle(spark, reg):
-    df = reg["q5_local_supplier_volume"].fn(spark, SF)
+    from vbb_data_pipeline_spark.queries.relational import (
+        q5_local_supplier_volume,
+    )
+
+    df = q5_local_supplier_volume(spark, SF)
     # all dims broadcast: lineitem⋈orders is the only join shuffle,
     # plus the final groupBy exchange (+AQE reads)
     assert_broadcast_join(df, min_count=4)
@@ -188,3 +194,50 @@ def test_span_removal_bounded_exchanges_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q7_all_dims_broadcast(spark, reg):
+    """Q7 joins 4 dims (supplier, customer, nation x2): all broadcast;
+    the only wide exchanges are lineitem⋈orders + the tiny rollup."""
+    from vbb_data_pipeline_spark.queries.relational import q7_volume_shipping
+
+    df = q7_volume_shipping(spark, SF)
+    assert_broadcast_join(df, min_count=4)
+    assert_pushed_filter(df, "l_shipdate")
+    assert count_exchanges(df) <= 3
+
+
+def test_q10_topk_no_global_sort(spark, reg):
+    """Q10's top-20 must compile to TakeOrderedAndProject, never a
+    full Exchange+Sort of the aggregate output."""
+    from vbb_data_pipeline_spark.queries.relational import q10_returned_items
+
+    df = q10_returned_items(spark, SF)
+    plan = formatted(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_pushed_filter(df, "l_returnflag")
+    assert_broadcast_join(df, min_count=2)
+
+
+def test_q15_max_rides_broadcast(spark, reg):
+    """Q15's MAX scalar must come back as a broadcast single-row join
+    (BroadcastNestedLoopJoin), not a driver collect or a sort."""
+    from vbb_data_pipeline_spark.queries.relational import q15_top_supplier
+
+    df = q15_top_supplier(spark, SF)
+    plan = formatted(df)
+    # the MAX scalar arrives via a broadcast cross join (hash or NLJ
+    # depending on the build side Spark picks) — never a collect
+    assert "BroadcastHashJoin Cross" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Sort" not in plan or "TakeOrdered" in plan  # no global sort
+
+
+def test_q22_anti_join_shape(spark, reg):
+    """Q22: NOT EXISTS compiles to a LeftAnti join; the global average
+    is a broadcast single-row aggregate."""
+    from vbb_data_pipeline_spark.queries.relational import q22_idle_customers
+
+    df = q22_idle_customers(spark, SF)
+    plan = formatted(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -26,6 +26,7 @@ R5_FOLDS = [
     ("dq_check_report + decontam_report", "quality_reports (report tag)"),
     ("cdc_scd2 + schema_evolution_union", "orders_evolution_battery (variant tag)"),
     ("q17_small_quantity_revenue + q18_large_orders", "q17_q18_quantity_battery (variant tag)"),
+    ("q3_shipping_priority + q5_local_supplier_volume", "q3_q5_join_battery (variant tag)"),
 ]
 
 

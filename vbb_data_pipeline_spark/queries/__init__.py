@@ -145,6 +145,8 @@ def legacy_queries() -> dict[str, QueryFn]:
         "cdc_scd2": cdc_q.cdc_scd2,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q18_large_orders": relational.q18_large_orders,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "w2_running_revenue": windows_q.w2_running_revenue,
         "w4_rank_functions": windows_q.w4_rank_functions,
         "stream_tumbling_window": streaming_q.stream_tumbling_window,

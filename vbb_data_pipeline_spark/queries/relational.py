@@ -17,6 +17,8 @@ from vbb_data_pipeline_spark.queries import (
     exact_sum_sql,
     load_table,
     register,
+    tag_union,
+    tag_union_sql,
 )
 
 
@@ -484,9 +486,7 @@ def pivot_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # J1 variant: fact-fact join + top-k (TPC-H Q3 shape)
 # ---------------------------------------------------------------------------
-@register(
-    "q3_shipping_priority",
-    oracle=f"""
+_Q3_ORACLE = f"""
     SELECT l.l_orderkey,
            {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            o.o_orderdate, o.o_orderpriority
@@ -499,12 +499,9 @@ def pivot_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, l.l_orderkey ASC
     LIMIT 10
-    """,
-    survey="§2.3 J1 + §2.5 O1: fact⋈fact join with selective dim "
-    "filter and top-k (TPC-H Q3 shape) — the filtered customer side "
-    "broadcasts; lineitem⋈orders shuffles on orderkey with both "
-    "filters pushed to the parquet scan",
-)
+    """
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -537,9 +534,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # J1 variant: 6-way snowflake join (TPC-H Q5 shape)
 # ---------------------------------------------------------------------------
-@register(
-    "q5_local_supplier_volume",
-    oracle=f"""
+_Q5_ORACLE = f"""
     SELECT n.n_name,
            {exact_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM customer c
@@ -552,11 +547,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1995-01-01'
       AND o.o_orderdate <  TIMESTAMP '1996-01-01'
     GROUP BY n.n_name
-    """,
-    survey="§2.3 J1 + J4 (FK web): 6-way snowflake join with "
-    "local-supplier condition (TPC-H Q5 shape) — dims broadcast, the "
-    "lineitem⋈orders shuffle is the only wide exchange",
-)
+    """
+
+
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -581,6 +574,56 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_name").agg(
         exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+
+
+@register(
+    "q3_q5_join_battery",
+    oracle=tag_union_sql(
+        [
+            (
+                "q3",
+                f"""
+                SELECT t.l_orderkey, t.o_orderdate, t.o_orderpriority,
+                       CAST(NULL AS VARCHAR) AS n_name, t.revenue
+                FROM ({_Q3_ORACLE}) t
+                """,
+            ),
+            (
+                "q5",
+                f"""
+                SELECT CAST(NULL AS BIGINT) AS l_orderkey,
+                       CAST(NULL AS TIMESTAMP) AS o_orderdate,
+                       CAST(NULL AS VARCHAR) AS o_orderpriority,
+                       t.n_name, t.revenue
+                FROM ({_Q5_ORACLE}) t
+                """,
+            ),
+        ]
+    ),
+    survey="§2.3 J1 + §2.5 O1 + J4 (FK web), folded r5 so both legs "
+    "stay inside the 50-entry driver window — [q3] fact⋈fact join "
+    "with selective dim filter and top-k (TPC-H Q3): filtered "
+    "customer broadcasts, lineitem⋈orders shuffles once on orderkey, "
+    "TakeOrderedAndProject for the top-10; [q5] 6-way snowflake join "
+    "with local-supplier condition (TPC-H Q5): all dims broadcast, "
+    "the lineitem⋈orders shuffle is the only wide exchange",
+)
+def q3_q5_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q3 = q3_shipping_priority(spark, sf_dir).select(
+        "l_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit(None).cast("string").alias("n_name"),
+        "revenue",
+    )
+    q5 = q5_local_supplier_volume(spark, sf_dir).select(
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_name",
+        "revenue",
+    )
+    return tag_union([("q3", q3), ("q5", q5)])
 
 
 # ---------------------------------------------------------------------------
@@ -797,4 +840,655 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semi.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H trade analytics battery: Q7 / Q8 / Q9 / Q14 / Q19 shapes
+# ---------------------------------------------------------------------------
+# The driver corpus has no partsupp table and lineitem carries no
+# commit/receipt dates, ship modes or containers, so the classic
+# predicates are adapted to the available columns (p_type words,
+# p_name "<adj> <noun>" vocabulary, NATION_0..24, shipdate windows);
+# the join/aggregation SHAPES — the part the engine must execute well
+# at 100 TB — are the TPC-H originals.
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_Q7_ORACLE = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {exact_sum_sql(_DISC_PRICE)} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2, 3
+    """
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year.
+
+    Both nation dims broadcast twice (supplier side / customer side);
+    the only wide exchanges are lineitem⋈orders on the order key and
+    the final (nation, nation, year) rollup, which is tiny.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(exact_sum(_disc_price()).alias("revenue"))
+    )
+
+
+_Q8_ORACLE = f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {exact_sum_sql(_DISC_PRICE)} AS revenue,
+           round({exact_sum_sql(
+               "CASE WHEN n1.n_name = 'NATION_3' THEN " + _DISC_PRICE
+               + " ELSE 0 END")} / {exact_sum_sql(_DISC_PRICE)}, 4)
+               AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    JOIN region r   ON n2.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional market volume by year.
+
+    The share is a ratio of two order-independent fixed-point sums
+    (numerator CASE-gated map-side), so the rounded result is
+    engine-identical; every dim broadcasts, lineitem⋈orders is the
+    single wide exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("_supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_n2_key"),
+        F.col("n_regionkey").alias("_n2_region"),
+    )
+    vol = _disc_price()
+    j = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .join(F.broadcast(r), F.col("_n2_region") == F.col("r_regionkey"))
+    )
+    gated = F.when(F.col("_supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            exact_sum(vol).alias("revenue"),
+            F.round(exact_sum(gated) / exact_sum(vol), 4).alias("mkt_share"),
+        )
+    )
+
+
+_Q9_ORACLE = f"""
+    SELECT n.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {exact_sum_sql(_DISC_PRICE)} AS revenue
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+
+    Adapted: the corpus has no partsupp, so profit is discounted
+    revenue (the ps_supplycost term is dropped); the join spine —
+    part-name LIKE filter pushed into a broadcast part join, supplier
+    nation rollup by order year — is Q9's.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return (
+        j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("supp_nation", F.col("n_name"))
+        .groupBy("supp_nation", "o_year")
+        .agg(exact_sum(_disc_price()).alias("revenue"))
+    )
+
+
+_Q14_ORACLE = f"""
+    SELECT {exact_sum_sql(_DISC_PRICE)} AS revenue,
+           round(100.0 * {exact_sum_sql(
+               "CASE WHEN p.p_type = 'PROMO' THEN " + _DISC_PRICE
+               + " ELSE 0 END")} / {exact_sum_sql(_DISC_PRICE)}, 4)
+               AS promo_ratio
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share for one month.
+
+    Single-row global aggregate: shipdate window pushed to the scan,
+    part type broadcast-joined, CASE-gated fixed-point numerator.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _disc_price()
+    gated = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            exact_sum(vol).alias("revenue"),
+            F.round(F.lit(100.0) * exact_sum(gated) / exact_sum(vol), 4).alias(
+                "promo_ratio"
+            ),
+        )
+    )
+
+
+_Q19_ORACLE = f"""
+    SELECT {exact_sum_sql(_DISC_PRICE)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides.
+
+    Adapted to available columns (brand/size/quantity; no containers
+    or ship modes in the corpus). The part side pre-filters to the
+    union of brand clauses (broadcastable); the mixed l/p disjunction
+    evaluates post-join in codegen.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return j.filter(cond).agg(exact_sum(_disc_price()).alias("revenue"))
+
+
+@register(
+    "q7_q8_q9_trade_battery",
+    oracle=tag_union_sql(
+        [
+            (
+                "q7",
+                f"""
+                SELECT t.supp_nation, t.cust_nation, t.l_year AS y,
+                       t.revenue, CAST(NULL AS DOUBLE) AS ratio
+                FROM ({_Q7_ORACLE}) t
+                """,
+            ),
+            (
+                "q8",
+                f"""
+                SELECT CAST(NULL AS VARCHAR) AS supp_nation,
+                       CAST(NULL AS VARCHAR) AS cust_nation,
+                       t.o_year AS y, t.revenue, t.mkt_share AS ratio
+                FROM ({_Q8_ORACLE}) t
+                """,
+            ),
+            (
+                "q9",
+                f"""
+                SELECT t.supp_nation, CAST(NULL AS VARCHAR) AS cust_nation,
+                       t.o_year AS y, t.revenue, CAST(NULL AS DOUBLE) AS ratio
+                FROM ({_Q9_ORACLE}) t
+                """,
+            ),
+            (
+                "q14",
+                f"""
+                SELECT CAST(NULL AS VARCHAR) AS supp_nation,
+                       CAST(NULL AS VARCHAR) AS cust_nation,
+                       CAST(NULL AS BIGINT) AS y,
+                       t.revenue, t.promo_ratio AS ratio
+                FROM ({_Q14_ORACLE}) t
+                """,
+            ),
+            (
+                "q19",
+                f"""
+                SELECT CAST(NULL AS VARCHAR) AS supp_nation,
+                       CAST(NULL AS VARCHAR) AS cust_nation,
+                       CAST(NULL AS BIGINT) AS y,
+                       t.revenue, CAST(NULL AS DOUBLE) AS ratio
+                FROM ({_Q19_ORACLE}) t
+                """,
+            ),
+        ]
+    ),
+    survey="§2.3/§2.4 extension — TPC-H trade-analytics shapes, one "
+    "tagged union so each keeps a driver row: [q7] bilateral "
+    "nation-pair shipping volume by year (double nation broadcast); "
+    "[q8] regional market share (CASE-gated fixed-point ratio); "
+    "[q9] product-line profit by supplier nation/year (LIKE-filtered "
+    "broadcast part join; partsupp-free adaptation); [q14] promo "
+    "revenue share (single-row global agg); [q19] OR-of-ANDs "
+    "disjunctive predicate spanning both join sides. All legs share "
+    "one wide exchange (lineitem⋈orders) at most; every dim "
+    "broadcasts; sums are order-independent fixed-point",
+)
+def q7_q8_q9_trade_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    q7 = q7_volume_shipping(spark, sf_dir).select(
+        "supp_nation",
+        "cust_nation",
+        F.col("l_year").alias("y"),
+        "revenue",
+        null_d.alias("ratio"),
+    )
+    q8 = q8_market_share(spark, sf_dir).select(
+        null_s.alias("supp_nation"),
+        null_s.alias("cust_nation"),
+        F.col("o_year").alias("y"),
+        "revenue",
+        F.col("mkt_share").alias("ratio"),
+    )
+    q9 = q9_product_profit(spark, sf_dir).select(
+        "supp_nation",
+        null_s.alias("cust_nation"),
+        F.col("o_year").alias("y"),
+        "revenue",
+        null_d.alias("ratio"),
+    )
+    q14 = q14_promo_effect(spark, sf_dir).select(
+        null_s.alias("supp_nation"),
+        null_s.alias("cust_nation"),
+        null_l.alias("y"),
+        "revenue",
+        F.col("promo_ratio").alias("ratio"),
+    )
+    q19 = q19_disjunctive_revenue(spark, sf_dir).select(
+        null_s.alias("supp_nation"),
+        null_s.alias("cust_nation"),
+        null_l.alias("y"),
+        "revenue",
+        null_d.alias("ratio"),
+    )
+    return tag_union(
+        [("q7", q7), ("q8", q8), ("q9", q9), ("q14", q14), ("q19", q19)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H customer/supplier rollup battery: Q10 / Q13 / Q15 / Q22 shapes
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {exact_sum_sql(_DISC_PRICE)} AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a
+    quarter.
+
+    Returnflag + orderdate predicates push to the scans; customer and
+    nation broadcast; the one wide exchange is lineitem⋈orders;
+    TakeOrderedAndProject (no global sort) serves the top-20 with a
+    custkey tiebreaker for cross-engine determinism.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum(_disc_price()).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q13_ORACLE = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts,
+    zero-order customers included via the left outer join.
+
+    Adapted: the corpus orders table has no o_comment, so the
+    NOT-LIKE filter is dropped; the outer-join + double-aggregate
+    shape is Q13's. count(o_orderkey) skips NULLs from unmatched
+    customers exactly as in SQL; the second rollup is tiny.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q15_ORACLE = f"""
+    WITH rev AS (
+        SELECT l_suppkey, {exact_sum_sql(_DISC_PRICE)} AS total_rev
+        FROM lineitem l
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The revenue view aggregates once on suppkey (map-side combinable);
+    the MAX scalar rides back as a broadcast single-row cross join —
+    never a driver collect. total_rev is an order-independent
+    fixed-point sum, so the equality-to-max predicate is
+    engine-deterministic (doubles would make ties engine-dependent).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum(_disc_price()).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+_Q22_ORACLE = f"""
+    WITH avg_bal AS (
+        SELECT {exact_sum_sql("c_acctbal")} / count(*) AS v
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {exact_sum_sql("c.c_acctbal")} AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY n.n_name
+    """
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no orders, rolled
+    up by nation.
+
+    Adapted: the corpus has no c_phone, so the country-code prefix
+    filter becomes the nation rollup itself. The global average
+    balance is a broadcast single-row aggregate (fixed-point sum /
+    count — identical double in both engines); the NOT EXISTS is a
+    left anti-join on the order key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (exact_sum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("_avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q10_q13_q15_q22_customer_battery",
+    oracle=tag_union_sql(
+        [
+            (
+                "q10",
+                f"""
+                SELECT t.c_custkey AS key, t.c_name AS name, t.n_name,
+                       t.revenue, t.c_acctbal AS acctbal,
+                       CAST(NULL AS BIGINT) AS cnt
+                FROM ({_Q10_ORACLE}) t
+                """,
+            ),
+            (
+                "q13",
+                f"""
+                SELECT t.c_count AS key, CAST(NULL AS VARCHAR) AS name,
+                       CAST(NULL AS VARCHAR) AS n_name,
+                       CAST(NULL AS DOUBLE) AS revenue,
+                       CAST(NULL AS DOUBLE) AS acctbal,
+                       t.custdist AS cnt
+                FROM ({_Q13_ORACLE}) t
+                """,
+            ),
+            (
+                "q15",
+                f"""
+                SELECT t.s_suppkey AS key, t.s_name AS name,
+                       CAST(NULL AS VARCHAR) AS n_name,
+                       t.total_rev AS revenue,
+                       CAST(NULL AS DOUBLE) AS acctbal,
+                       CAST(NULL AS BIGINT) AS cnt
+                FROM ({_Q15_ORACLE}) t
+                """,
+            ),
+            (
+                "q22",
+                f"""
+                SELECT CAST(NULL AS BIGINT) AS key,
+                       CAST(NULL AS VARCHAR) AS name, t.n_name,
+                       CAST(NULL AS DOUBLE) AS revenue,
+                       t.totacctbal AS acctbal, t.numcust AS cnt
+                FROM ({_Q22_ORACLE}) t
+                """,
+            ),
+        ]
+    ),
+    survey="§2.3/§2.4/§2.5 extension — TPC-H customer/supplier rollup "
+    "shapes, one tagged union so each keeps a driver row: [q10] "
+    "top-20 returned-item customers (broadcast dims, top-k with "
+    "tiebreaker); [q13] order-count distribution incl. zero-order "
+    "customers (left outer join + double aggregate); [q15] "
+    "max-revenue supplier via a broadcast single-row MAX (fixed-point "
+    "equality, engine-deterministic ties); [q22] idle well-funded "
+    "customers (broadcast global average + left anti-join)",
+)
+def q10_q13_q15_q22_customer_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    q10 = q10_returned_items(spark, sf_dir).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        "n_name",
+        "revenue",
+        F.col("c_acctbal").alias("acctbal"),
+        null_l.alias("cnt"),
+    )
+    q13 = q13_customer_distribution(spark, sf_dir).select(
+        F.col("c_count").alias("key"),
+        null_s.alias("name"),
+        null_s.alias("n_name"),
+        null_d.alias("revenue"),
+        null_d.alias("acctbal"),
+        F.col("custdist").alias("cnt"),
+    )
+    q15 = q15_top_supplier(spark, sf_dir).select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        null_s.alias("n_name"),
+        F.col("total_rev").alias("revenue"),
+        null_d.alias("acctbal"),
+        null_l.alias("cnt"),
+    )
+    q22 = q22_idle_customers(spark, sf_dir).select(
+        null_l.alias("key"),
+        null_s.alias("name"),
+        "n_name",
+        null_d.alias("revenue"),
+        F.col("totacctbal").alias("acctbal"),
+        F.col("numcust").alias("cnt"),
+    )
+    return tag_union(
+        [("q10", q10), ("q13", q13), ("q15", q15), ("q22", q22)]
     )
