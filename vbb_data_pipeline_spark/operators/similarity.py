@@ -592,6 +592,142 @@ def kmeans_centroids_local(
     return cent
 
 
+def _sample_matrix(
+    embeddings: DataFrame, id_col: str, vec_col: str, sample_n: int
+):
+    """Bounded lowest-id sample as a float64 numpy matrix (BLAS
+    trainer input; one TakeOrderedAndProject job like
+    :func:`_collect_sample`)."""
+    import numpy as np
+
+    vecs = _collect_sample(embeddings, id_col, vec_col, sample_n)
+    return np.asarray([v for _, v in vecs], dtype="float64")
+
+
+def kmeans_centroids_numpy(
+    embeddings: DataFrame,
+    n_cells: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1 << 18,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """BLAS coarse-quantizer trainer → ``(cell_id, vec)`` table.
+
+    The INDEX-BUILD path for real scale: each Lloyd round is one
+    ``(sample × n_cells)`` matrix product (cosine assignment) plus a
+    bincount mean update — minutes for n_cells in the tens of
+    thousands where the interpreted deterministic trainer
+    (:func:`kmeans_centroids_local`) would take days. Seeds are the
+    first ``n_cells`` sample rows BY ORDINAL, so gapped or offset id
+    spaces train fine (the ``id < n_cells`` seed convention of the
+    deterministic trainers exists only for SQL-replayability).
+
+    Trade-off, stated plainly: BLAS summation order is
+    platform-defined, so this trainer is deterministic run-to-run on
+    one platform but NOT bit-replayable in DuckDB — use it for index
+    builds and perf paths; oracle-checked queries keep the
+    deterministic trainers. Empty cells drop out (same convention as
+    the deterministic trainers). Model quality is equivalent: both
+    are Lloyd on the same objective.
+    """
+    import numpy as np
+
+    cached = _cache_get(embeddings.sparkSession, cache_key)
+    if cached is not None:
+        return cached
+    spark = embeddings.sparkSession
+    X = _sample_matrix(embeddings, id_col, vec_col, sample_n)
+    if X.shape[0] < n_cells:
+        raise ValueError(
+            f"kmeans_centroids_numpy: sample has {X.shape[0]} vectors "
+            f"for {n_cells} cells — lower n_cells or raise sample_n"
+        )
+    Xn = X / np.maximum(
+        np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+    )
+    C = X[:n_cells].copy()
+    assign = None
+    for _ in range(max(iters, 1)):
+        Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+        )
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        counts = np.bincount(assign, minlength=C.shape[0])
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        live = counts > 0
+        C = C.copy()
+        C[live] = sums[live] / counts[live, None]
+    live_cells = sorted(set(int(a) for a in assign))
+    cent = spark.createDataFrame(
+        [(cid, C[cid].tolist()) for cid in live_cells],
+        schema=f"cell_id long, {vec_col} array<double>",
+    )
+    _cache_put(spark, cache_key, cent)
+    return cent
+
+
+def pq_train_numpy(
+    embeddings: DataFrame,
+    n_subspaces: int,
+    n_codes: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1 << 18,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """BLAS PQ-codebook trainer → ``(subspace, code, subvec)`` table.
+
+    Per-subspace squared-L2 Lloyd with the assignment as one
+    ``(sample × n_codes)`` distance matrix per round (the vectorized
+    twin of :func:`pq_train_local`'s interpreted loop, same seeding
+    caveats as :func:`kmeans_centroids_numpy`: ordinal seeds, BLAS
+    float order, index-build/perf path only). Codes produced by
+    :func:`pq_encode_arrow` against these codebooks are exact for
+    whatever codebook is passed, so the ANN pipeline downstream is
+    unchanged.
+    """
+    import numpy as np
+
+    cached = _cache_get(embeddings.sparkSession, cache_key)
+    if cached is not None:
+        return cached
+    spark = embeddings.sparkSession
+    sub = dim // n_subspaces
+    X = _sample_matrix(embeddings, id_col, vec_col, sample_n)
+    if X.shape[0] < n_codes:
+        raise ValueError(
+            f"pq_train_numpy: sample has {X.shape[0]} vectors for "
+            f"{n_codes} codes — lower n_codes or raise sample_n"
+        )
+    out: list[tuple[int, int, list[float]]] = []
+    for j in range(n_subspaces):
+        Xs = X[:, j * sub : (j + 1) * sub]
+        C = Xs[:n_codes].copy()
+        xx = (Xs * Xs).sum(axis=1, keepdims=True)
+        for _ in range(max(iters, 1)):
+            d = xx - 2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = np.argmin(d, axis=1)
+            counts = np.bincount(assign, minlength=n_codes)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, Xs)
+            live = counts > 0
+            C = C.copy()
+            C[live] = sums[live] / counts[live, None]
+        out.extend(
+            (j, c, C[c].tolist()) for c in range(n_codes)
+        )
+    cb = spark.createDataFrame(
+        out, schema="subspace int, code long, subvec array<double>"
+    )
+    _cache_put(spark, cache_key, cb)
+    return cb
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
