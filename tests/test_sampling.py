@@ -614,3 +614,49 @@ def test_export_shuffle_single_exchange(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # the shard-keyed window only
     assert "rangepartitioning" not in plan.lower()  # never a global sort
+
+
+def test_pack_sequences_span_invariants(docs):
+    from vbb_data_pipeline_spark.operators.sampling import pack_sequences
+
+    d = docs.select("doc_id", F.col("n_chars").alias("n_tok"))
+    out = pack_sequences(
+        d, "doc_id", "n_tok", seq_len=512, n_shards=4, seed=0
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    total = 0
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        # spans tile the shard stream: start at 0, contiguous,
+        # non-overlapping, width == token count
+        off = 0
+        for r in rows:
+            assert r.start_off == off
+            assert r.end_off - r.start_off == r.n_tok
+            assert r.first_seq == r.start_off // 512
+            assert r.last_seq == max(r.end_off - 1, r.start_off) // 512
+            assert r.first_seq <= r.last_seq
+            off = r.end_off
+        total += len(rows)
+    assert total == len(out) == docs.count()
+
+
+def test_pack_sequences_stable_under_repartition(docs):
+    """The plan is a function of (key, tokens, seed) only — physical
+    partitioning of the input must not change any assignment."""
+    from vbb_data_pipeline_spark.operators.sampling import pack_sequences
+
+    d = docs.select("doc_id", F.col("n_chars").alias("n_tok"))
+    a = pack_sequences(d, "doc_id", "n_tok", seq_len=256, n_shards=8)
+    b = pack_sequences(
+        d.repartition(13), "doc_id", "n_tok", seq_len=256, n_shards=8
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r.doc_id, r.shard, r.pos, r.start_off, r.end_off,
+         r.first_seq, r.last_seq)
+        for r in rows
+    )
+    assert key(a.collect()) == key(b.collect())

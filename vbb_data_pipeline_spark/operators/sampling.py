@@ -553,3 +553,68 @@ def export_shuffle(
     return out.withColumn(
         pos_col, F.row_number().over(w).cast("long")
     ).drop("_h")
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_shards: int,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing PLAN for training export.
+
+    Pre-training batches are fixed-length token sequences; feeding one
+    short document per sequence wastes most of the context window, so
+    the standard recipe (GPT-2/3 style) concatenates the shuffled
+    corpus into one token stream per shard and slices it into
+    ``seq_len`` blocks. This operator computes the deterministic plan
+    of that layout — for every document, where its tokens land:
+
+    ``shard`` / ``pos``      — :func:`export_shuffle` order (hash
+                               shard + within-shard pseudo-random
+                               order; same reproducibility contract,
+                               ``key_col`` unique per row);
+    ``start_off``/``end_off``— the document's [start, end) token span
+                               in its shard's concatenated stream
+                               (prefix sum of preceding token counts);
+    ``first_seq``/``last_seq`` — the range of ``seq_len``-sized
+                               training sequences the document
+                               touches (``last_seq`` inclusive; an
+                               empty document spans just
+                               ``first_seq``).
+
+    The actual token writer is then embarrassingly parallel: one
+    worker per shard streams its documents in ``pos`` order
+    (``repartition(shard) + sortWithinPartitions`` feeding a
+    ``mapInPandas`` tokenizer) and emits sequence files — no token
+    ever crosses shard boundaries, and rerunning the plan on any
+    engine or cluster size reproduces byte-identical shards.
+
+    Scale shape: ONE exchange keyed on the shard id; the prefix sum is
+    a per-shard window (each task sorts and scans only its shard,
+    n·log(n/S)); every derived column is int64 arithmetic
+    (``div``-exact, engine-identical). No global sort, no driver
+    state, no floats.
+    """
+    out = export_shuffle(
+        df, key_col, n_shards, seed=seed, hash_mode=hash_mode
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.col(tokens_col).cast("long")
+    out = out.withColumn(
+        "start_off",
+        F.coalesce(F.sum(toks).over(w), F.lit(0)).cast("long"),
+    ).withColumn("end_off", (F.col("start_off") + toks).cast("long"))
+    return out.withColumn(
+        "first_seq", F.expr(f"start_off div {int(seq_len)}")
+    ).withColumn(
+        "last_seq",
+        F.expr(f"greatest(end_off - 1, start_off) div {int(seq_len)}"),
+    )

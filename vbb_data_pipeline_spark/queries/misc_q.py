@@ -484,6 +484,61 @@ def export_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence-packing plan (operators/sampling.pack_sequences)
+# ---------------------------------------------------------------------------
+_SEQ_LEN = 512
+
+_PACK_ORACLE = f"""
+    WITH h AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS n_tok,
+               {md5_long_sql("CAST(doc_id AS VARCHAR)", seed=0)} AS hh
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tok,
+               CAST(hh % {_SHUF_SHARDS} AS BIGINT) AS shard,
+               row_number() OVER (
+                   PARTITION BY hh % {_SHUF_SHARDS}
+                   ORDER BY hh, CAST(doc_id AS VARCHAR)
+               ) AS pos
+        FROM h
+    ),
+    p AS (
+        SELECT doc_id, shard,
+               CAST(coalesce(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_off,
+               CAST(n_tok AS BIGINT) AS nt
+        FROM s
+    )
+    SELECT doc_id, shard, start_off,
+           CAST(start_off // {_SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST(greatest(start_off + nt - 1, start_off) // {_SEQ_LEN}
+                AS BIGINT) AS last_seq
+    FROM p
+    """
+
+
+def export_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions import text as tx
+    from vbb_data_pipeline_spark.operators.sampling import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count("text").alias("n_tok")
+    )
+    out = pack_sequences(
+        d, "doc_id", "n_tok", seq_len=_SEQ_LEN, n_shards=_SHUF_SHARDS,
+        seed=0, hash_mode=default_hash_mode(),
+    )
+    return out.select(
+        "doc_id", "shard", "start_off", "first_seq", "last_seq"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order clustering key (sources/layout.zorder_key) — bit-exact twin
 # ---------------------------------------------------------------------------
 _Z_BITS = 12
@@ -558,11 +613,15 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "layout_export_battery",
     oracle=f"""
     SELECT 'zorder' AS variant, event_id AS id,
-           zx AS v1, zy AS v2, zkey AS v3
+           zx AS v1, zy AS v2, zkey AS v3, CAST(NULL AS BIGINT) AS v4
     FROM ({_zorder_oracle()}) t
     UNION ALL
-    SELECT 'export_shuffle', doc_id, shard, pos, CAST(NULL AS BIGINT)
+    SELECT 'export_shuffle', doc_id, shard, pos, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
     FROM ({_EXPORT_ORACLE}) t
+    UNION ALL
+    SELECT 'packing', doc_id, shard, start_off, first_seq, last_seq
+    FROM ({_PACK_ORACLE}) t
     """,
     survey="extension: layout/export determinism battery (folded r5 "
     "so both legs keep a driver CORRECTNESS row) — [zorder] Z-order/"
@@ -576,7 +635,13 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training export — shard = hash(seed|key) % N, within-shard "
     "order by (hash, key); reproducible pseudo-random corpus order "
     "with ONE shard-keyed exchange and per-shard sorts, never a "
-    "global sort",
+    "global sort; [packing] concat-and-chunk sequence-packing plan "
+    "(operators/sampling.pack_sequences, GPT-style pre-training "
+    "layout): per-shard token-offset prefix sum over the export "
+    "order maps every document to its [start_off, end_off) span and "
+    "the range of seq_len-sized training sequences it touches — the "
+    "token writer becomes one embarrassingly-parallel pass per "
+    "shard, byte-identical across engines and cluster sizes",
 )
 def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = layout_zorder_key(spark, sf_dir).select(
@@ -585,6 +650,7 @@ def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zx").alias("v1"),
         F.col("zy").alias("v2"),
         F.col("zkey").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
     )
     ex = export_shuffle_shards(spark, sf_dir).select(
         F.lit("export_shuffle").alias("variant"),
@@ -592,8 +658,17 @@ def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").alias("v1"),
         F.col("pos").alias("v2"),
         F.lit(None).cast("long").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
     )
-    return z.unionByName(ex)
+    pk = export_packing_plan(spark, sf_dir).select(
+        F.lit("packing").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("shard").alias("v1"),
+        F.col("start_off").alias("v2"),
+        F.col("first_seq").alias("v3"),
+        F.col("last_seq").alias("v4"),
+    )
+    return z.unionByName(ex).unionByName(pk)
 
 
 def _quality_reports_oracle() -> str:
