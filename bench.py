@@ -54,7 +54,7 @@ OPTIONAL = [
 
 #: Previous round's per-query times — printed as a stderr delta report
 #: so each round states faster/slower per query (judge request).
-PREV_BENCH = "BENCH_r03.json"
+PREV_BENCH = "BENCH_r04.json"
 
 
 def main() -> None:

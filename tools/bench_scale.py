@@ -49,6 +49,9 @@ EXTRA_REGISTRY = [
     "export_shuffle_shards",
     "graph_pagerank",
     "decontam_report",
+    # round-5 additions
+    "dedup_span_removal",
+    "export_packing_plan",
 ]
 
 

@@ -839,12 +839,21 @@ def ivf_write_index(
     mechanism, and a probe query's ``cell_id IN (...)`` filter prunes
     to nprobe/n_cells of the corpus BEFORE file listing. Write once,
     probe many — the assignment scan never re-runs per query.
+
+    The write is repartitioned ON the partition column first:
+    ``partitionBy`` alone makes every input task open a writer per
+    cell it happens to hold (up to tasks × n_cells tiny files, and a
+    probe path throttled by per-file open overhead); aligning the
+    exchange with the layout yields one file per cell (SCALE_ann.json
+    records the measured difference).
     """
     assigned = ivf_assign(
         embeddings, centroids, dim, id_col, vec_col, round_digits,
         cell_col="cell_id",
     )
-    assigned.write.partitionBy("cell_id").mode(mode).parquet(path)
+    assigned.repartition(F.col("cell_id")).write.partitionBy(
+        "cell_id"
+    ).mode(mode).parquet(path)
 
 
 def ivf_topk_from_index(
@@ -2067,9 +2076,13 @@ def ivf_pq_write_index(
             lambda s: s["code"],
         ).alias("pq_codes")
     )
-    assigned.join(packed, id_col).write.partitionBy("cell_id").mode(
-        mode
-    ).parquet(path)
+    # Align the exchange with the directory layout (see
+    # ivf_write_index): one file per cell instead of tasks × cells
+    # stragglers — at a billion vectors the difference between a
+    # probe that opens nprobe files and one that opens thousands.
+    assigned.join(packed, id_col).repartition(F.col("cell_id")).write.partitionBy(
+        "cell_id"
+    ).mode(mode).parquet(path)
 
 
 def ivf_pq_topk_from_index(

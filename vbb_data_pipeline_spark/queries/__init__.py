@@ -141,6 +141,7 @@ def legacy_queries() -> dict[str, QueryFn]:
         "schema_evolution_union": misc_q.schema_evolution_union,
         "dq_check_report": misc_q.dq_check_report,
         "export_shuffle_shards": misc_q.export_shuffle_shards,
+        "export_packing_plan": misc_q.export_packing_plan,
         "layout_zorder_key": misc_q.layout_zorder_key,
         "cdc_scd2": cdc_q.cdc_scd2,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
