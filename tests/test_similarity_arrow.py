@@ -196,3 +196,30 @@ def test_expression_plan_is_dim_independent_and_arrow_wins_at_768(spark):
     # 1.3x jitter headroom on a 400-row toy corpus; at real corpus
     # sizes the gap is 12x, PERF.md)
     assert times[("arrow", 768)] < times[("expr", 768)] * 1.3, times
+
+
+def test_ivf_assign_arrow_matches_expression_path(spark, emb):
+    """Index-build assignment parity: the BLAS argmax must pick the
+    identical cell for every vector (rounding absorbs BLAS-vs-
+    sequential dot ulps; ties break to the smallest cell id on both
+    paths), and pass the vector column through unchanged."""
+    from vbb_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        kmeans_centroids_local,
+    )
+
+    cent = kmeans_centroids_local(emb, n_cells=8, iters=2)
+    exp = ivf_assign(emb, cent, dim=64, cell_col="cell_id").collect()
+    got = ivf_assign_arrow(
+        emb, cent, dim=64, cell_col="cell_id"
+    ).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r.vec_id, r.cell_id, tuple(r.embedding)) for r in rows
+    )
+    assert key(got) == key(exp)
+    # identical under different physical partitioning of the corpus
+    got13 = ivf_assign_arrow(
+        emb.repartition(13), cent, dim=64, cell_col="cell_id"
+    ).collect()
+    assert key(got13) == key(exp)

@@ -338,6 +338,93 @@ def ivf_assign(
     )
 
 
+def ivf_assign_arrow(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment on the Arrow/numpy path — the
+    index-BUILD formulation of :func:`ivf_assign` (same recipe as
+    :func:`pq_encode_arrow`).
+
+    The expression form scores O(N·C) candidate rows through the
+    codegen dot expression — fine per query at small C, but the
+    one-time index build assigns the WHOLE corpus and C is the cell
+    count (thousands): at 2M vectors × 4k cells the candidate pass is
+    ~0.5T flops of interpreted-expression arithmetic and dominates
+    :func:`ivf_pq_write_index`. Here the centroid matrix (C × dim,
+    tiny) broadcasts once; one ``mapInPandas`` pass computes each
+    Arrow batch's ``B × C`` cosine matrix with a single BLAS matmul
+    and emits the argmax cell directly — no candidate
+    materialization, no exchange (the expression path's exchange
+    carried the argmax partials).
+
+    Parity contract: identical cells to :func:`ivf_assign` — the same
+    rounded-cosine argmax (HALF_UP sign-aware at ``round_digits``;
+    the ``max(nx·nc, 1e-12)`` denominator floor), ties → smallest
+    cell id (centroid rows are cell-ordered and ``argmax`` returns
+    the first maximum). BLAS summation order differs from the
+    sequential expression dot below the rounding threshold; the
+    rounding absorbs it (pinned by ``tests/test_pq.py``'s
+    assignment-parity test on the driver fixtures).
+    """
+    import numpy as np
+
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(
+            F.col(cell_col or id_col), F.col(vec_col)
+        ).collect()
+    )
+    cells = np.array([c for c, _ in cent_rows], dtype="int64")
+    cmat = np.array([v for _, v in cent_rows], dtype="float64")
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((cells, cmat, cnorm))
+
+    elem = "float"
+    for f in embeddings.schema.fields:
+        if f.name == vec_col:
+            elem = f.dataType.elementType.simpleString()
+    out_schema = (
+        f"{id_col} long, cell_id long, {vec_col} array<{elem}>"
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cells_, cmat_, cnorm_ = bc.value
+        p = 10.0 ** round_digits
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            xn = np.sqrt((x * x).sum(axis=1))
+            denom = np.maximum(xn[:, None] * cnorm_[None, :], 1e-12)
+            cos = (x @ cmat_.T) / denom
+            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
+            best = cells_[np.argmax(cos, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype="int64"),
+                    "cell_id": best,
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=out_schema
+    )
+
+
 #: Fixed-point scale for k-means centroid means (exact int sums →
 #: order-independent, cross-engine-identical components).
 KMEANS_SCALE = 1_000_000
@@ -846,8 +933,13 @@ def ivf_write_index(
     probe path throttled by per-file open overhead); aligning the
     exchange with the layout yields one file per cell (SCALE_ann.json
     records the measured difference).
+
+    Assignment runs on the Arrow/BLAS path (:func:`ivf_assign_arrow`,
+    cell-identical by the parity contract): the build assigns the
+    whole corpus against ALL cells, the one place the expression
+    form's O(N·C·dim) candidate pass dominates.
     """
-    assigned = ivf_assign(
+    assigned = ivf_assign_arrow(
         embeddings, centroids, dim, id_col, vec_col, round_digits,
         cell_col="cell_id",
     )
@@ -2057,7 +2149,10 @@ def ivf_pq_write_index(
     vector column for candidate rows alone. Encode runs once at write
     time, never per query.
     """
-    assigned = ivf_assign(
+    # Arrow/BLAS assignment (cell-identical by the ivf_assign_arrow
+    # parity contract): the build scores the corpus against ALL
+    # cells, where the expression form's O(N·C·dim) pass dominates.
+    assigned = ivf_assign_arrow(
         embeddings, centroids, dim, id_col, vec_col, round_digits,
         cell_col="cell_id",
     )
