@@ -127,26 +127,46 @@ def bench_factor(work: Path, factor: int) -> dict:
     )
     write_sec = time.perf_counter() - t0
 
-    # ---- probe: fixed query set, steady best-of-2
-    q = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint()
-    probe_secs = []
-    res = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        res = sim.ivf_pq_topk_from_index(
-            spark, idx_path, q, centroids, codebooks, k=K, nprobe=NPROBE,
-            n_subspaces=N_SUBSPACES, dim=DIM, candidates=3 * K,
-        )
-        rows = res.collect()
-        probe_secs.append(time.perf_counter() - t0)
-    got = {(r.query_id, r.neighbor_id) for r in rows}
-
-    # ---- recall vs brute-force truth on the same queries
+    # ---- probe: fixed query set, steady best-of-2; optional nprobe
+    # sweep over the SAME index (ANN_NPROBES="8,32,128") to show the
+    # recall/latency knob — probe cost scales with nprobe x cell
+    # size, recall with the scanned fraction
     t0 = time.perf_counter()
-    truth = sim.brute_force_topk_arrow(emb, q, k=K).collect()
+    truth = sim.brute_force_topk_arrow(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=K
+    ).collect()
     brute_sec = time.perf_counter() - t0
     want = {(r.query_id, r.neighbor_id) for r in truth}
-    recall = len(got & want) / max(len(want), 1)
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint()
+    nprobes = [
+        int(x)
+        for x in os.environ.get("ANN_NPROBES", str(NPROBE)).split(",")
+    ]
+    sweep = {}
+    probe_secs = [None, None]
+    recall = None
+    for np_ in nprobes:
+        secs = []
+        rows = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = sim.ivf_pq_topk_from_index(
+                spark, idx_path, q, centroids, codebooks, k=K,
+                nprobe=np_, n_subspaces=N_SUBSPACES, dim=DIM,
+                candidates=3 * K,
+            ).collect()
+            secs.append(time.perf_counter() - t0)
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        rc = len(got & want) / max(len(want), 1)
+        sweep[np_] = {
+            "probe_first_sec": round(secs[0], 3),
+            "probe_steady_sec": round(min(secs), 3),
+            "recall_at_k": round(rc, 4),
+        }
+        if np_ == nprobes[0]:
+            probe_secs = secs
+            recall = rc
 
     out = {
         "factor": factor,
@@ -166,6 +186,8 @@ def bench_factor(work: Path, factor: int) -> dict:
         "brute_force_sec": round(brute_sec, 3),
         "recall_at_k": round(recall, 4),
     }
+    if len(nprobes) > 1:
+        out["nprobe_sweep"] = sweep
     spark.stop()
     emb_path.unlink()
     shutil.rmtree(idx_path, ignore_errors=True)
