@@ -296,3 +296,25 @@ def test_pq_encode_arrow_plan_is_single_pass(emb, codebooks):
     df = sim.pq_encode_arrow(emb, codebooks, M, DIM)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivfpq_index_write_is_cell_aligned(spark, emb, tmp_path):
+    """The index write repartitions ON cell_id before partitionBy, so
+    each cell directory holds exactly one data file. Unaligned
+    dynamic-partition writes (every task writing every cell) produced
+    tasks x cells tiny files — measured 14x slower build and 5.5x
+    slower probe at 200k rows, and a disk-filling spill at 2M
+    (SCALE_ann.json before_fixes)."""
+    from pathlib import Path
+
+    centroids = sim.kmeans_centroids_local(emb, n_cells=8, iters=1)
+    cb = sim.pq_train_local(emb, n_subspaces=M, n_codes=K, iters=1, dim=DIM)
+    idx = tmp_path / "aligned_idx"
+    sim.ivf_pq_write_index(
+        emb, centroids, cb, str(idx), dim=DIM, n_subspaces=M
+    )
+    cell_dirs = [p for p in Path(idx).iterdir() if p.name.startswith("cell_id=")]
+    assert cell_dirs, "no cell partitions written"
+    for d in cell_dirs:
+        files = [f for f in d.iterdir() if f.suffix == ".parquet"]
+        assert len(files) == 1, f"{d.name}: {len(files)} files"
