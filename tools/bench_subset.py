@@ -22,13 +22,16 @@ from vbb_data_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir, names = sys.argv[1], sys.argv[2:]
-    registry = all_queries()
+    registry = {n: spec.fn for n, spec in all_queries().items()}
+    from vbb_data_pipeline_spark.queries import legacy_queries
+
+    registry.update(legacy_queries())
     spark = get_spark("bench-subset")
     for t in ("documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
     out: dict[str, dict[str, float]] = {}
     for name in names:
-        fn = registry[name].fn
+        fn = registry[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
