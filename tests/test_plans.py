@@ -241,3 +241,16 @@ def test_q22_anti_join_shape(spark, reg):
     plan = formatted(df)
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_packing_plan_single_exchange_no_python(spark, reg):
+    """pack_sequences: ONE shard-keyed exchange feeds both the
+    row_number and the prefix-sum window (same partitioning reused —
+    no second shuffle), and every derived column is codegen-native."""
+    from vbb_data_pipeline_spark.queries.misc_q import export_packing_plan
+
+    df = export_packing_plan(spark, SF)
+    assert count_exchanges(df) == 1
+    plan = formatted(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
