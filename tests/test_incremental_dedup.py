@@ -1,0 +1,97 @@
+"""Incremental dedup against the at-rest index: new batches dedupe
+against the whole corpus without re-milling it, and without the index
+storing (or the probe reading) any corpus text.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.operators.dedup import (
+    dedup_incremental,
+    dedup_index_write,
+)
+from vbb_data_pipeline_spark.queries import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def halves(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    ).localCheckpoint()
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") <= mid)
+    rest = docs.filter(F.col("doc_id") > mid)
+    return corpus.localCheckpoint(), rest.localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def index(halves, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dedup_idx") / "idx")
+    corpus, _ = halves
+    dedup_index_write(corpus, path)
+    return path
+
+
+def _batch(spark, corpus, rest):
+    """rest + 3 exact copies of corpus docs (re-keyed) + 3 near copies
+    (one appended token: fingerprint breaks, shingles mostly keep)."""
+    donors = corpus.orderBy("doc_id").limit(3).collect()
+    exact = [(9_000_000 + i, r.text) for i, r in enumerate(donors)]
+    near = [(9_100_000 + i, r.text + " zzqy") for i, r in enumerate(donors)]
+    planted = spark.createDataFrame(
+        exact + near, schema="doc_id long, text string"
+    )
+    return rest.unionByName(planted), donors
+
+
+def test_verdicts_and_planted_dups(spark, halves, index):
+    corpus, rest = halves
+    batch, donors = _batch(spark, corpus, rest)
+    out = dedup_incremental(batch, index).localCheckpoint()
+    assert out.count() == batch.count()  # nothing silently dropped
+    rows = {r.doc_id: r for r in out.collect()}
+    for i, d in enumerate(donors):
+        ex = rows[9_000_000 + i]
+        assert ex.status == "exact_dup" and ex.dup_of == d.doc_id
+        assert ex.similarity == 1.0
+        nr = rows[9_100_000 + i]
+        assert nr.status == "near_dup" and nr.dup_of == d.doc_id
+        assert nr.similarity >= 0.7
+    statuses = {r.status for r in rows.values()}
+    assert statuses <= {"exact_dup", "near_dup", "new"}
+    assert any(r.status == "new" for r in rows.values())
+
+
+def test_append_then_reprobe_is_idempotent(spark, halves, tmp_path):
+    """After appending the surviving batch, re-probing the same batch
+    finds EVERY row already in the corpus (exact tier catches the
+    appended survivors; nothing re-enters)."""
+    corpus, rest = halves
+    path = str(tmp_path / "idx2")
+    dedup_index_write(corpus, path)
+    batch, _ = _batch(spark, corpus, rest)
+    first = dedup_incremental(batch, path).localCheckpoint()
+    survivors = first.filter(F.col("status") == "new").select(
+        "doc_id", "text"
+    )
+    dedup_index_write(survivors, path, mode="append")
+    second = dedup_incremental(batch, path)
+    assert second.filter(F.col("status") == "new").count() == 0
+
+
+def test_probe_plan_reads_no_text_and_stays_native(spark, halves, index):
+    corpus, rest = halves
+    out = dedup_incremental(rest, index)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the index side carries fingerprints/signatures only — the
+    # probe must not resurrect a text column from the index path
+    import re
+
+    for scan in re.findall(r"ReadSchema: [^\n]*", plan):
+        if "fps" in scan or "bands" in scan:
+            assert "text" not in scan

@@ -618,3 +618,210 @@ def span_removal(
             F.size(cov).cast("long").alias("removed_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against an at-rest index (append-only corpus growth)
+# ---------------------------------------------------------------------------
+
+
+def _band_buckets(
+    id_col: str, num_hashes: int, bands: int, hash_mode: str
+) -> list[Column]:
+    """The band-bucket hash columns of :func:`lsh_candidate_pairs`,
+    factored so the at-rest index and the inline pair generator derive
+    identical bucket keys from a signature frame."""
+    rows_per_band = num_hashes // bands
+    cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        payload = F.concat_ws("_", F.lit(str(b)), *parts)
+        bucket = F.md5(payload) if hash_mode == "oracle" else F.xxhash64(payload)
+        cols.append(bucket.cast("string").alias(f"band_{b}"))
+    return cols
+
+
+def dedup_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    hash_mode: str = "fast",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's DEDUP STATE as an at-rest index so new
+    ingest batches dedupe against the whole corpus WITHOUT re-milling
+    it (the append-only pattern of ``pack_token_shards_incremental``,
+    applied to dedup).
+
+    Two tables under ``path``, neither containing any text:
+
+    ``fps/``    one ``(doc_id, fp)`` row per doc — the sorted-token-set
+                fingerprint (exact / reordered-content dedup);
+    ``bands/``  one ``(doc_id, band, bucket)`` row per (doc, LSH band)
+                plus the doc's full MinHash signature — candidate
+                generation AND verification state in one narrow table.
+
+    At 100 TB the index is ~1/1000th of the corpus (a fingerprint,
+    ``bands`` band keys and ``num_hashes`` int64s per document vs the
+    document bytes), so the per-batch probe reads catalog-scale data,
+    and verification needs no corpus text at all: candidate pairs are
+    confirmed by SIGNATURE AGREEMENT — the fraction of equal MinHash
+    components, the standard unbiased Jaccard estimator (Broder) the
+    signatures exist to provide.
+
+    Append new (surviving) batches with ``mode="append"``; both tables
+    are plain parquet appends, no rewrite of existing state.
+    """
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_mode
+    )
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    fp.write.mode(mode).parquet(f"{path}/fps")
+    banded = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        *_band_buckets(id_col, num_hashes, bands, hash_mode),
+    )
+    melted = banded.select(
+        F.col(id_col),
+        "sig",
+        F.explode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
+    melted.write.mode(mode).parquet(f"{path}/bands")
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+    hash_mode: str = "fast",
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """Classify a new ingest batch against an at-rest dedup index
+    (:func:`dedup_index_write`) — every input row comes back with a
+    verdict, nothing is silently dropped:
+
+    ``status``       ``'exact_dup'`` (fingerprint already in the
+                     corpus), ``'near_dup'`` (signature agreement ≥
+                     ``threshold`` with some corpus doc), or
+                     ``'new'``;
+    ``dup_of``       the matched corpus doc id (smallest, for
+                     determinism), NULL for ``'new'``;
+    ``similarity``   the MinHash agreement estimate for near-dups
+                     (1.0 for exact).
+
+    Plan shape: the batch's fingerprints hash-join ``fps/`` (exact
+    tier), its band keys equi-join ``bands/`` (candidate tier, capped
+    per bucket like :func:`lsh_candidate_pairs` — a boilerplate bucket
+    with millions of corpus occupants is handled by the exact tier,
+    not a quadratic join), and candidates are verified by comparing
+    the stored signature with the batch signature in one codegen
+    ``zip_with`` — corpus TEXT is never read, so probe cost scales
+    with the batch and the matched index rows, not the corpus.
+
+    The caller appends survivors (``status = 'new'``) back with
+    ``dedup_index_write(..., mode="append")``; intra-batch dedup is
+    the existing batch operators' job, run before or after this probe.
+    ``id_col`` must be numeric (the corpus id convention everywhere in
+    this package) — the near-dup tie-break negates it inside a
+    max(struct) to pick the smallest matching corpus id.
+    """
+    sig = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_n, hash_mode
+    )
+    spark = new_df.sparkSession
+    new_banded = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_nsig"),
+        *_band_buckets(id_col, num_hashes, bands, hash_mode),
+    )
+
+    # exact tier: fingerprint hash-join
+    fps = spark.read.parquet(f"{index_path}/fps")
+    new_fp = new_df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    exact = (
+        new_fp.join(fps.withColumnRenamed(id_col, "_old"), "fp")
+        .groupBy(id_col)
+        .agg(F.min("_old").alias("dup_of"))
+        .withColumn("status", F.lit("exact_dup"))
+        .withColumn("similarity", F.lit(1.0))
+    )
+
+    # candidate tier: band-key equi-join against the index
+    idx = spark.read.parquet(f"{index_path}/bands")
+    if max_bucket_size is not None:
+        ok = (
+            idx.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        idx = idx.join(ok, "bucket", "left_semi")
+    melted = new_banded.select(
+        F.col(id_col),
+        "_nsig",
+        F.explode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
+    cand = (
+        melted.join(
+            idx.select(
+                F.col(id_col).alias("_old"),
+                F.col("sig").alias("_osig"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        .select(id_col, "_old", "_nsig", "_osig")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_nsig"), F.col("_osig"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(float(num_hashes))
+    near = (
+        cand.withColumn("_sim", F.round(agree, 6))
+        .filter(F.col("_sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_sim").alias("s"),
+                    (-F.col("_old")).alias("negid"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            F.col(id_col),
+            (-F.col("_m.negid")).alias("dup_of"),
+            F.lit("near_dup").alias("status"),
+            F.col("_m.s").alias("similarity"),
+        )
+    )
+
+    verdicts = exact.unionByName(
+        near.join(exact.select(id_col), id_col, "left_anti"),
+        allowMissingColumns=False,
+    )
+    return new_df.join(verdicts, id_col, "left").select(
+        new_df["*"],
+        F.coalesce(F.col("status"), F.lit("new")).alias("status"),
+        F.col("dup_of"),
+        F.col("similarity"),
+    )
