@@ -90,7 +90,7 @@ NON_QUERY_ROWS = [
     ("ext: format coverage", "ORC / JSON-lines / CSV round trips with pushdown", "tests/test_formats.py"),
     ("ext: multimodal resize / frame-sample / audio", "operators/multimodal.resize_images (REAL for PPM; PIL-gated for codecs) + frame_sample (REAL for Y4M video) + audio_features (REAL WAV/PCM decode: RMS / peak / zero-crossing-rate via stdlib wave + numpy, one mapInPandas pass)", "tests/test_multimodal.py (incl. sine-wave physics checks)"),
     ("ext: concat-and-chunk sequence packing", "operators/sampling.pack_sequences (export_shuffle order + per-shard token prefix sum → every document's [start_off, end_off) span and seq_len training-sequence range; 1 shard exchange, int64-exact, engine-reproducible)", "layout_export_battery registry oracle (packing leg) + tests/test_sampling.py (shard-stream tiling invariants, repartition stability)"),
-    ("ext: incremental dedup (at-rest index)", "operators/dedup.dedup_index_write / dedup_incremental — corpus dedup state materialized as text-free parquet (fingerprints + band keys + MinHash signatures, ~1/1000th of the corpus); a new ingest batch dedupes against the WHOLE corpus via fingerprint hash-join (exact tier) + capped band-key equi-join with signature-agreement verification (near tier, Broder's Jaccard estimator in one codegen zip_with) — corpus text never re-read, probe cost ∝ batch; survivors append, nothing rewrites", "tests/test_incremental_dedup.py (planted exact/near dups, append-then-reprobe idempotency, no-text-scan plan guard)"),
+    ("ext: incremental dedup (at-rest index)", "operators/dedup.dedup_index_write / dedup_incremental — corpus dedup state materialized as text-free parquet (fingerprints + band keys + MinHash signatures — constant ~0.5-1.5 KB/doc, orders of magnitude below realistic document bytes); a new ingest batch dedupes against the WHOLE corpus via fingerprint hash-join (exact tier) + capped band-key equi-join with signature-agreement verification (near tier, Broder's Jaccard estimator in one codegen zip_with) — corpus text never re-read, probe cost ∝ batch; survivors append, nothing rewrites", "tests/test_incremental_dedup.py (planted exact/near dups, append-then-reprobe idempotency, no-text-scan plan guard)"),
     ("ext: BLAS index-build tier (ANN)", "operators/similarity.kmeans_centroids_numpy / pq_train_numpy (one matmul per Lloyd round, ordinal seeding — index builds at real cell counts) + ivf_assign_arrow (batch B×C cosine argmax, cell-identical to the expression path) + cell-aligned index writes (repartition on cell_id → one file per cell)", "tests/test_trainers_numpy.py (determinism, id-offset seeding, end-to-end recall) + ivf_assign parity in tests/test_similarity_arrow.py + file-count guard in tests/test_pq.py; measured decade in SCALE_ann.json"),
 ]
 

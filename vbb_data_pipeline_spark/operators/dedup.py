@@ -667,10 +667,12 @@ def dedup_index_write(
                 plus the doc's full MinHash signature — candidate
                 generation AND verification state in one narrow table.
 
-    At 100 TB the index is ~1/1000th of the corpus (a fingerprint,
-    ``bands`` band keys and ``num_hashes`` int64s per document vs the
-    document bytes), so the per-batch probe reads catalog-scale data,
-    and verification needs no corpus text at all: candidate pairs are
+    The index is CONSTANT bytes per document (~0.5–1.5 KB: a
+    fingerprint, ``bands`` band keys, the signature — denormalized per
+    band row for join locality) regardless of document size, so for
+    realistic multi-KB..MB documents it is orders of magnitude smaller
+    than the corpus; the per-batch probe reads catalog-scale data, and
+    verification needs no corpus text at all: candidate pairs are
     confirmed by SIGNATURE AGREEMENT — the fraction of equal MinHash
     components, the standard unbiased Jaccard estimator (Broder) the
     signatures exist to provide.
