@@ -660,3 +660,66 @@ def test_pack_sequences_stable_under_repartition(docs):
         for r in rows
     )
     assert key(a.collect()) == key(b.collect())
+
+
+# ---------------------------------------------------------------------------
+# Property-based: pack_sequences vs a plain-python replay
+# ---------------------------------------------------------------------------
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 700)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    seq_len=st.sampled_from([1, 64, 512]),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+def test_pack_sequences_matches_python_replay(
+    shared_spark_holder, data, seq_len, n_shards
+):
+    """For any (unique-key, token-count) multiset: the plan equals a
+    sequential python replay of the documented recipe (export_shuffle
+    order, per-shard running offset, div arithmetic)."""
+    from vbb_data_pipeline_spark.operators.sampling import (
+        export_shuffle,
+        pack_sequences,
+    )
+
+    df = shared_spark_holder.createDataFrame(
+        data, schema="doc_id long, n_tok long"
+    )
+    got = {
+        r.doc_id: (r.shard, r.pos, r.start_off, r.end_off,
+                   r.first_seq, r.last_seq)
+        for r in pack_sequences(
+            df, "doc_id", "n_tok", seq_len=seq_len, n_shards=n_shards
+        ).collect()
+    }
+    order = sorted(
+        (
+            (r.shard, r.pos, r.doc_id)
+            for r in export_shuffle(df, "doc_id", n_shards).collect()
+        )
+    )
+    toks = dict(data)
+    off: dict[int, int] = {}
+    for shard, pos, doc in order:
+        start = off.get(shard, 0)
+        end = start + toks[doc]
+        off[shard] = end
+        exp = (
+            shard, pos, start, end,
+            start // seq_len, max(end - 1, start) // seq_len,
+        )
+        assert got[doc] == exp, (doc, got[doc], exp)
+    assert len(got) == len(data)
