@@ -95,3 +95,29 @@ def test_probe_plan_reads_no_text_and_stays_native(spark, halves, index):
     for scan in re.findall(r"ReadSchema: [^\n]*", plan):
         if "fps" in scan or "bands" in scan:
             assert "text" not in scan
+
+
+def test_bucket_cap_bounds_candidate_join(spark, tmp_path):
+    """A boilerplate band bucket with more occupants than
+    max_bucket_size is excluded from NEAR-dup candidate generation
+    (the documented recall trade: such content is exact/fingerprint
+    territory); with the cap off the same probe explodes into
+    occupancy x batch candidates."""
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    corpus = spark.createDataFrame(
+        [(i, f"{base} tail{i}") for i in range(200)],
+        schema="doc_id long, text string",
+    )
+    path = str(tmp_path / "hotidx")
+    dedup_index_write(corpus, path)
+    batch = spark.createDataFrame(
+        [(10_000 + i, f"{base} probe{i}") for i in range(20)],
+        schema="doc_id long, text string",
+    )
+    capped = dedup_incremental(batch, path, max_bucket_size=50)
+    uncapped = dedup_incremental(batch, path, max_bucket_size=None)
+    # every probe doc shares the dominant shingle mass -> without the
+    # cap the hot buckets resolve near-dups; with the cap those
+    # buckets are dropped and the docs come back 'new'
+    assert uncapped.filter(F.col("status") == "near_dup").count() > 0
+    assert capped.filter(F.col("status") == "new").count() == 20
