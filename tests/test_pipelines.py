@@ -567,3 +567,33 @@ def test_e4_remove_cross_dup_spans(spark):
     b = sorted(map(tuple, run_e4().collect()))
     assert a == b
     spark.catalog.clearCache()
+
+
+def test_e4_sequence_packing_plan(spark):
+    """pack_seq_len: output rows carry a per-split concat-and-chunk
+    plan; streams tile exactly and never cross a split boundary."""
+    from vbb_data_pipeline_spark.pipelines import e4_corpus_prep
+    from vbb_data_pipeline_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = e4_corpus_prep(
+        docs,
+        min_quality=0.0,
+        split_weights={"train": 8, "val": 1, "test": 1},
+        pack_seq_len=512,
+        pack_seq_shards=4,
+    ).collect()
+    for col in ("seq_shard", "seq_pos", "start_off", "end_off",
+                "first_seq", "last_seq"):
+        assert col in out[0].asDict()
+    streams: dict[tuple, list] = {}
+    for r in out:
+        streams.setdefault((r.split, r.seq_shard), []).append(r)
+    assert {s for s, _ in streams} == {"train", "val", "test"}
+    for rows in streams.values():
+        rows.sort(key=lambda r: r.seq_pos)
+        off = 0
+        for r in rows:
+            assert r.start_off == off
+            assert r.end_off - r.start_off == r.n_tokens
+            off = r.end_off

@@ -723,3 +723,26 @@ def test_pack_sequences_matches_python_replay(
         )
         assert got[doc] == exp, (doc, got[doc], exp)
     assert len(got) == len(data)
+
+
+def test_pack_sequences_group_scoped_streams(docs):
+    """group_cols: every (group, shard) stream tiles independently
+    from offset 0 — rows of different groups never share a stream."""
+    from vbb_data_pipeline_spark.operators.sampling import pack_sequences
+
+    d = docs.select("doc_id", "lang", F.col("n_chars").alias("n_tok"))
+    out = pack_sequences(
+        d, "doc_id", "n_tok", seq_len=256, n_shards=4,
+        group_cols=["lang"],
+    ).collect()
+    streams: dict[tuple, list] = {}
+    for r in out:
+        streams.setdefault((r.lang, r.shard), []).append(r)
+    assert len(streams) > 4  # multiple langs actually split streams
+    for rows in streams.values():
+        rows.sort(key=lambda r: r.pos)
+        off = 0
+        for i, r in enumerate(rows):
+            assert r.pos == i + 1
+            assert r.start_off == off
+            off = r.end_off

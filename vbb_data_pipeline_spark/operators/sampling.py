@@ -29,6 +29,8 @@ Design rules shared by every operator here:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -514,6 +516,7 @@ def export_shuffle(
     hash_mode: str | None = None,
     shard_col: str = "shard",
     pos_col: str = "pos",
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle + sharding for training export.
 
@@ -540,8 +543,15 @@ def export_shuffle(
     engine/partitioning-dependent ``pos`` values and break the
     exactly-reproducible guarantee. Dedupe or add a row-number key
     upstream if the export key can repeat.
+
+    ``group_cols`` scopes the shard streams: positions are assigned
+    within ``(group…, shard)`` so rows of different groups (train/val
+    splits, languages) never share a stream — required whenever the
+    downstream writer must not interleave groups. Key uniqueness is
+    then per group.
     """
     mode = hash_mode or default_hash_mode()
+    group_cols = list(group_cols or [])
     key_str = F.coalesce(
         F.col(key_col).cast("string"), F.lit(_NULL_KEY)
     )
@@ -549,7 +559,9 @@ def export_shuffle(
     out = df.withColumn("_h", h).withColumn(
         shard_col, (F.col("_h") % F.lit(n_shards)).cast("long")
     )
-    w = Window.partitionBy(shard_col).orderBy(F.col("_h"), key_str)
+    w = Window.partitionBy(*group_cols, shard_col).orderBy(
+        F.col("_h"), key_str
+    )
     return out.withColumn(
         pos_col, F.row_number().over(w).cast("long")
     ).drop("_h")
@@ -563,6 +575,7 @@ def pack_sequences(
     n_shards: int,
     seed: str | int = 0,
     hash_mode: str | None = None,
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence-packing PLAN for training export.
 
@@ -599,11 +612,13 @@ def pack_sequences(
     (``div``-exact, engine-identical). No global sort, no driver
     state, no floats.
     """
+    group_cols = list(group_cols or [])
     out = export_shuffle(
-        df, key_col, n_shards, seed=seed, hash_mode=hash_mode
+        df, key_col, n_shards, seed=seed, hash_mode=hash_mode,
+        group_cols=group_cols,
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*group_cols, "shard")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -160,6 +160,8 @@ def e4_corpus_prep(
     cosine_threshold: float = 0.9,
     split_weights: dict[str, float] | None = None,
     shard_budget: int = 50_000,
+    pack_seq_len: int | None = None,
+    pack_seq_shards: int = 8,
     mix_factors: dict[str, float] | None = None,
     mix_split: str = "train",
     epoch: int = 0,
@@ -241,6 +243,13 @@ def e4_corpus_prep(
        ``copy_idx = 1``.
     7. **Pack** — greedy token-budget sharding per (split, lang): the
        physical training-shard layout, one window shuffle.
+    7b. **Sequence plan** (optional, ``pack_seq_len``) — the
+       concat-and-chunk packing plan per SPLIT
+       (``operators/sampling.pack_sequences``, ``group_cols=
+       ["split"]`` so no training sequence ever spans a split
+       boundary): each output row additionally carries
+       ``(seq_shard, seq_pos, start_off, end_off, first_seq,
+       last_seq)`` — everything a per-shard token writer needs.
 
     Returns one row per packed document copy:
     ``(doc_id, lang, source, n_tokens, quality, split[, copy_idx],
@@ -448,4 +457,32 @@ def e4_corpus_prep(
     packed = pack_token_shards(
         split, ["split", "lang"], pack_order, "n_tokens", budget=shard_budget
     )
+    if pack_seq_len is not None:
+        # 8c. Sequence-packing plan per SPLIT (streams never cross a
+        # split boundary — a val token inside a train sequence would
+        # leak). Key = (id, copy_idx) when epoch mixing duplicated
+        # rows; the plan columns ride on the output so the token
+        # writer is one per-(split, seq_shard) pass.
+        from vbb_data_pipeline_spark.operators.sampling import pack_sequences
+
+        if mix_factors:
+            packed = packed.withColumn(
+                "_seq_key",
+                F.concat_ws("#", F.col(id_col).cast("string"),
+                            F.col("copy_idx").cast("string")),
+            )
+            skey = "_seq_key"
+        else:
+            skey = id_col
+        packed = (
+            pack_sequences(
+                packed, skey, "n_tokens", seq_len=pack_seq_len,
+                n_shards=pack_seq_shards, seed=seed, hash_mode=hash_mode,
+                group_cols=["split"],
+            )
+            .withColumnRenamed("shard", "seq_shard")
+            .withColumnRenamed("pos", "seq_pos")
+        )
+        if mix_factors:
+            packed = packed.drop("_seq_key")
     return packed.drop(text_col)
