@@ -66,7 +66,7 @@ NON_QUERY_ROWS = [
     ("T2 event-time paced replay", "streaming/arrivals.replay_paced (demo harness, non-goal per SURVEY §7.5)", "tests/test_streaming.py"),
     ("T3/T5 backoff, shutdown", "Structured Streaming trigger/checkpoint internals (engine lifecycle)", "—"),
     ("§3 E1/E2/E3 end-to-end pipelines", "pipelines.e1_extract / e2_load / e3_arrivals (scan→dedup→load→expand→wire)", "tests/test_pipelines.py (E2E incl. double-load idempotency)"),
-    ("ext: E4 corpus-prep pipeline", "pipelines.e4_corpus_prep (profile → hygiene (PII redact, repetition cap) → quality gate → decontaminate → fingerprint + MinHash/LSH text dedup ∪ optional embedding-cosine SEMANTIC dedup (operators/similarity.embedding_neardup_pairs) → split → train-only mix → token shards; fully deterministic composition)", "tests/test_pipelines.py (stage invariants, no surviving near-dup pair, paraphrase collapse via embeddings, run-to-run identity)"),
+    ("ext: E4 corpus-prep pipeline", "pipelines.e4_corpus_prep (profile → hygiene (PII redact, repetition cap) → quality gate → decontaminate → fingerprint + MinHash/LSH text dedup ∪ optional embedding-cosine SEMANTIC dedup (operators/similarity.embedding_neardup_pairs) → split → train-only mix → token shards → optional per-split sequence-packing plan (pack_seq_len); fully deterministic composition)", "tests/test_pipelines.py (stage invariants, no surviving near-dup pair, paraphrase collapse via embeddings, run-to-run identity)"),
     ("ext: corpus hygiene (PII, repetition)", "functions/text.redact_pii / pii_counts / dup_line_fraction (scalar regexp/array passes, zero shuffle) + top_bigram_fraction (per-doc mode, two map-side-combinable shuffles) + udfs.compression_signals (zlib ratio + char entropy, Arrow-batched — no Catalyst expression exists) — Gopher-style repetition/garbage filters and pre-training PII redaction", "tests/test_hygiene.py (DuckDB differentials incl. corpus-scale; PII fixtures)"),
     ("ext: benchmark decontamination", "operators/contamination.contamination_report / decontaminate (eval n-gram set broadcast; corpus text never shuffles — only matching (doc_id, gram_hash) pairs move)", "tests/test_contamination.py (raw-gram DuckDB differential — also cross-checks the hash join; plan hygiene)"),
     ("§2.9 ext: stream-stream interval join", "streaming/joins.interval_join (watermark-bounded state; batch ≡ stream)", "tests/test_streaming.py (stream vs batch twin)"),
