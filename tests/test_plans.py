@@ -94,8 +94,63 @@ def test_q5_single_wide_shuffle(spark, reg):
 def test_scalar_subquery_one_shuffle(spark, reg):
     """Decorrelated scalar subquery = one shuffle on the correlation
     key (window), not a per-row subquery."""
-    df = reg["scalar_subquery_filter"].fn(spark, SF)
+    from vbb_data_pipeline_spark.queries.relational import (
+        scalar_subquery_filter,
+    )
+
+    df = scalar_subquery_filter(spark, SF)
     assert count_exchanges(df) == 1
+
+
+def test_q6_scan_only_single_exchange(spark):
+    """TPC-H Q6: every predicate pushes to the scan; the only exchange
+    is the single-partition final aggregate."""
+    from vbb_data_pipeline_spark.queries.relational import (
+        q6_forecast_revenue,
+    )
+
+    df = q6_forecast_revenue(spark, SF)
+    assert_pushed_filter(df, "l_shipdate")
+    assert count_exchanges(df) <= 1
+    plan = formatted(df)
+    assert "BatchEvalPython" not in plan
+
+
+def test_q21_no_cartesian_no_python(spark):
+    """Q21's EXISTS/NOT-EXISTS decorrelation must stay equi-join
+    (semi/anti on the order key with the supplier inequality as a
+    join condition) — never a nested-loop or cartesian fallback."""
+    from vbb_data_pipeline_spark.queries.relational import (
+        q21_waiting_suppliers,
+    )
+
+    df = q21_waiting_suppliers(spark, SF)
+    plan = formatted(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_partsupp_battery_dims_broadcast(spark):
+    """Q2/Q16/Q20: supplier/nation/region/part dims broadcast; the
+    derived partsupp aggregate and join-backs are the only wide
+    exchanges."""
+    from vbb_data_pipeline_spark.queries.relational import (
+        q2_min_cost_supplier,
+        q16_supplier_part_counts,
+        q20_excess_stock_suppliers,
+    )
+
+    for fn, max_exch in (
+        (q2_min_cost_supplier, 6),
+        (q16_supplier_part_counts, 4),
+        (q20_excess_stock_suppliers, 3),
+    ):
+        df = fn(spark, SF)
+        assert_broadcast_join(df, min_count=2)
+        assert count_exchanges(df) <= max_exch, fn.__name__
+        plan = formatted(df)
+        assert "CartesianProduct" not in plan, fn.__name__
 
 
 def test_text_scoring_stays_native(spark, reg):

@@ -25,7 +25,9 @@ R5_FOLDS = [
     ("layout_zorder_key + export_shuffle_shards", "layout_export_battery (variant tag)"),
     ("dq_check_report + decontam_report", "quality_reports (report tag)"),
     ("cdc_scd2 + schema_evolution_union", "orders_evolution_battery (variant tag)"),
-    ("q17_small_quantity_revenue + q18_large_orders", "q17_q18_quantity_battery (variant tag)"),
+    ("q6_forecast_revenue + q12_late_shipment_priority + q17_small_quantity_revenue + q18_large_orders", "q6_q12_q17_q18_battery (variant tag)"),
+    ("scalar_subquery_filter + q2_min_cost_supplier + q11_important_stock + q16_supplier_part_counts + q20_excess_stock_suppliers", "subquery_battery (variant tag)"),
+    ("q4_order_priority + q21_waiting_suppliers", "q4_q21_exists_battery (variant tag)"),
     ("q3_shipping_priority + q5_local_supplier_volume", "q3_q5_join_battery (variant tag)"),
 ]
 

@@ -629,9 +629,10 @@ def q3_q5_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Correlated scalar subquery (decorrelated to window/join form)
 # ---------------------------------------------------------------------------
-@register(
-    "scalar_subquery_filter",
-    oracle="""
+# Oracle for the scalar-subquery leg of subquery_battery (was its own
+# registry entry through r4; folded so the four partsupp-CTE TPC-H
+# shapes below fit the driver's 50-entry CORRECTNESS window).
+_SCALAR_SUB_ORACLE = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o
     WHERE o_totalprice > 1.5 * (
@@ -640,11 +641,9 @@ def q3_q5_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o2
         WHERE o2.o_custkey = o.o_custkey
     )
-    """,
-    survey="§2.3 extension: correlated scalar subquery (per-key "
-    "average), decorrelated to a window aggregate — one shuffle on "
-    "the correlation key instead of a per-row subquery execution",
-)
+    """
+
+
 def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -753,21 +752,118 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- TPC-H Q6: forecast revenue change (pure scan-side filter + agg) ---
+_Q6_ORACLE = f"""
+    SELECT round({exact_sum_sql("l_extendedprice * l_discount", 10000)}, 4)
+           AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: every predicate pushes to the parquet scan (range on
+    shipdate, band on discount, threshold on quantity); the answer is
+    one map-side-combinable fixed-point sum — zero wide exchanges."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000),
+            4,
+        ).alias("revenue")
+    )
+
+
+# --- TPC-H Q12: shipping-lateness priority counts -------------------------
+# The corpus lineitem has no ship mode or commit/receipt dates; the
+# shape keeps Q12's join + dual conditional aggregate with
+# l_returnflag as the grouping dimension and shipdate-vs-orderdate
+# lateness as the filter.
+_Q12_ORACLE = """
+    SELECT l.l_returnflag AS flag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """
+
+
+def q12_late_shipment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12: one fact-fact equi-join on the order key (lateness
+    predicate in the join condition), then a tiny conditional-count
+    rollup; the shipdate range pushes to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            (li.l_orderkey == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_cnt"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_cnt"),
+        )
+    )
+
+
 @register(
-    "q17_q18_quantity_battery",
+    "q6_q12_q17_q18_battery",
     oracle=f"""
     SELECT 'q18' AS variant, t.c_name, t.c_custkey, t.o_orderkey,
            t.o_orderdate, t.o_totalprice, t.sum_qty,
-           CAST(NULL AS DOUBLE) AS avg_yearly
+           CAST(NULL AS DOUBLE) AS avg_yearly,
+           CAST(NULL AS VARCHAR) AS flag, CAST(NULL AS BIGINT) AS high_cnt,
+           CAST(NULL AS BIGINT) AS low_cnt, CAST(NULL AS DOUBLE) AS revenue
     FROM ({_Q18_ORACLE}) t
     UNION ALL
     SELECT 'q17', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t.avg_yearly
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t.avg_yearly,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM ({_Q17_ORACLE}) t
+    UNION ALL
+    SELECT 'q6', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), t.revenue
+    FROM ({_Q6_ORACLE}) t
+    UNION ALL
+    SELECT 'q12', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), t.flag, t.high_cnt, t.low_cnt,
+           CAST(NULL AS DOUBLE)
+    FROM ({_Q12_ORACLE}) t
     """,
-    survey="§2.4/§2.5/§2.7: TPC-H quantity-threshold pair (folded r5 "
-    "so both keep a driver CORRECTNESS row) — [q18] large-volume "
+    survey="§2.4/§2.5/§2.7: TPC-H lineitem battery (folded so every "
+    "leg keeps a driver CORRECTNESS row) — [q18] large-volume "
     "customers: HAVING-subquery membership becomes a semi-join "
     "against a pre-aggregated key set, customer dim broadcasts, the "
     "fact table shuffles once on the join key, TakeOrderedAndProject "
@@ -775,9 +871,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue: the correlated scalar subquery (per-part average) is "
     "decorrelated into one map-side-combinable aggregate joined back "
     "on the part key, the part filter broadcasts, single-row exact "
-    "fixed-point answer",
+    "fixed-point answer; [q6] forecast revenue: all predicates pushed "
+    "to the scan, zero wide exchanges; [q12] late-shipment priority "
+    "counts: fact-fact equi-join with the lateness predicate in the "
+    "join condition, dual conditional aggregate",
 )
-def q17_q18_quantity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q6_q12_q17_q18_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_ts = F.lit(None).cast("timestamp_ntz")
     q18 = q18_large_orders(spark, sf_dir).select(
         F.lit("q18").alias("variant"),
         "c_name",
@@ -786,27 +889,63 @@ def q17_q18_quantity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
         "sum_qty",
-        F.lit(None).cast("double").alias("avg_yearly"),
+        null_d.alias("avg_yearly"),
+        null_s.alias("flag"),
+        null_l.alias("high_cnt"),
+        null_l.alias("low_cnt"),
+        null_d.alias("revenue"),
     )
     q17 = q17_small_quantity_revenue(spark, sf_dir).select(
         F.lit("q17").alias("variant"),
-        F.lit(None).cast("string").alias("c_name"),
-        F.lit(None).cast("long").alias("c_custkey"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-        F.lit(None).cast("double").alias("sum_qty"),
+        null_s.alias("c_name"),
+        null_l.alias("c_custkey"),
+        null_l.alias("o_orderkey"),
+        null_ts.alias("o_orderdate"),
+        null_d.alias("o_totalprice"),
+        null_d.alias("sum_qty"),
         "avg_yearly",
+        null_s.alias("flag"),
+        null_l.alias("high_cnt"),
+        null_l.alias("low_cnt"),
+        null_d.alias("revenue"),
     )
-    return q18.unionByName(q17)
+    q6 = q6_forecast_revenue(spark, sf_dir).select(
+        F.lit("q6").alias("variant"),
+        null_s.alias("c_name"),
+        null_l.alias("c_custkey"),
+        null_l.alias("o_orderkey"),
+        null_ts.alias("o_orderdate"),
+        null_d.alias("o_totalprice"),
+        null_d.alias("sum_qty"),
+        null_d.alias("avg_yearly"),
+        null_s.alias("flag"),
+        null_l.alias("high_cnt"),
+        null_l.alias("low_cnt"),
+        "revenue",
+    )
+    q12 = q12_late_shipment_priority(spark, sf_dir).select(
+        F.lit("q12").alias("variant"),
+        null_s.alias("c_name"),
+        null_l.alias("c_custkey"),
+        null_l.alias("o_orderkey"),
+        null_ts.alias("o_orderdate"),
+        null_d.alias("o_totalprice"),
+        null_d.alias("sum_qty"),
+        null_d.alias("avg_yearly"),
+        "flag",
+        "high_cnt",
+        "low_cnt",
+        null_d.alias("revenue"),
+    )
+    return (
+        q18.unionByName(q17).unionByName(q6).unionByName(q12)
+    )
 
 
 # ---------------------------------------------------------------------------
 # TPC-H Q4-style: order priority checking (EXISTS -> semi-join)
 # ---------------------------------------------------------------------------
-@register(
-    "q4_order_priority",
-    oracle="""
+_Q4_ORACLE = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
@@ -817,13 +956,9 @@ def q17_q18_quantity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
       )
     GROUP BY o_orderpriority
-    """,
-    survey="§2.4/§2.5: TPC-H Q4 — the correlated EXISTS (any lineitem "
-    "shipped >30 days after the order date) becomes a LEFT SEMI join "
-    "on the order key with the date predicate in the join condition; "
-    "the orders date filter pushes to the scan and the single "
-    "exchange is the tiny priority rollup",
-)
+    """
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01"))
@@ -841,6 +976,163 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+# The corpus lineitem has no commit/receipt dates, so "late" is adapted
+# to l_shipdate > o_orderdate + 45 days; the double-correlated shape —
+# the counted supplier was late on a finished multi-supplier order and
+# was the ONLY late supplier on it — is the TPC-H original
+# (EXISTS same-order-other-supplier, NOT EXISTS other-late-supplier).
+
+_Q21_ORACLE = """
+    WITH of AS (
+        SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ),
+    all_pairs AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN of o ON l.l_orderkey = o.o_orderkey
+    ),
+    late_pairs AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN of o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    ),
+    asia AS (
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    w AS (
+        SELECT lp.l_orderkey, a.s_name
+        FROM late_pairs lp JOIN asia a ON a.s_suppkey = lp.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM all_pairs ap
+            WHERE ap.l_orderkey = lp.l_orderkey
+              AND ap.l_suppkey <> lp.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late_pairs lp2
+            WHERE lp2.l_orderkey = lp.l_orderkey
+              AND lp2.l_suppkey <> lp.l_suppkey
+        )
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM w GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the sole late supplier on a
+    finished multi-supplier order.
+
+    Decorrelation: both correlated predicates become joins against the
+    SAME distinct (orderkey, suppkey) pair sets — EXISTS → LEFT SEMI,
+    NOT EXISTS → LEFT ANTI — each an equi-join on the order key with
+    the supplier inequality in the join condition, so the only wide
+    exchanges hash on l_orderkey and carry 16-byte pairs. The supplier/
+    nation/region dim chain broadcasts; the final rollup is tiny.
+    """
+    o_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(
+        o_f.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    all_pairs = lo.select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = (
+        lo.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late_pairs.join(
+        F.broadcast(asia), late_pairs.l_suppkey == F.col("s_suppkey")
+    )
+    ap = all_pairs.select(
+        F.col("l_orderkey").alias("ap_orderkey"),
+        F.col("l_suppkey").alias("ap_suppkey"),
+    )
+    lp2 = late_pairs.select(
+        F.col("l_orderkey").alias("lp2_orderkey"),
+        F.col("l_suppkey").alias("lp2_suppkey"),
+    )
+    l2 = l1.join(
+        ap,
+        (l1.l_orderkey == ap.ap_orderkey)
+        & (l1.l_suppkey != ap.ap_suppkey),
+        "left_semi",
+    )
+    l3 = l2.join(
+        lp2,
+        (l2.l_orderkey == lp2.lp2_orderkey)
+        & (l2.l_suppkey != lp2.lp2_suppkey),
+        "left_anti",
+    )
+    return (
+        l3.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q4_q21_exists_battery",
+    oracle=tag_union_sql(
+        [
+            (
+                "q4",
+                f"""
+                SELECT t.o_orderpriority AS attr, t.order_count AS cnt
+                FROM ({_Q4_ORACLE}) t
+                """,
+            ),
+            (
+                "q21",
+                f"""
+                SELECT t.s_name AS attr, t.numwait AS cnt
+                FROM ({_Q21_ORACLE}) t
+                """,
+            ),
+        ]
+    ),
+    survey="§2.4/§2.5 + §2.3 J2/J3: TPC-H correlated-EXISTS pair, one "
+    "tagged union so both keep a driver CORRECTNESS row — [q4] order "
+    "priority checking: the correlated EXISTS becomes a LEFT SEMI "
+    "join on the order key with the date predicate in the join "
+    "condition, orders date filter pushed to the scan; [q21] "
+    "waiting suppliers: EXISTS→semi + NOT EXISTS→anti against "
+    "distinct (order, supplier) pair sets, supplier inequality in "
+    "the join condition, dim chain broadcast",
+)
+def q4_q21_exists_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q4 = q4_order_priority(spark, sf_dir).select(
+        F.col("o_orderpriority").alias("attr"),
+        F.col("order_count").alias("cnt"),
+    )
+    q21 = q21_waiting_suppliers(spark, sf_dir).select(
+        F.col("s_name").alias("attr"),
+        F.col("numwait").alias("cnt"),
+    )
+    return tag_union([("q4", q4), ("q21", q21)])
 
 
 # ---------------------------------------------------------------------------
@@ -1491,4 +1783,392 @@ def q10_q13_q15_q22_customer_battery(
     )
     return tag_union(
         [("q10", q10), ("q13", q13), ("q15", q15), ("q22", q22)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H partsupp-CTE shapes: Q2 / Q11 / Q16 / Q20 + scalar-subquery leg
+# ---------------------------------------------------------------------------
+# The driver corpus has no partsupp table, so both engines derive the
+# SAME part-supplier catalog from lineitem: per (partkey, suppkey),
+# supply cost = min unit price in exact centi-units, availqty = total
+# quantity shipped (integer units). The derivation is one map-side-
+# combinable aggregate; downstream, the four classic partsupp query
+# SHAPES (correlated MIN, scalar threshold, NOT IN, nested IN with a
+# correlated aggregate) run unchanged. All money/quantity arithmetic
+# is fixed-point BIGINT so every comparison is exact in both engines.
+
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+                   AS ps_cost_c,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+"""
+
+_EU_SQL = """
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem-derived partsupp: one hash aggregate on the pair key
+    (map-side combinable — at 100 TB the exchange carries one row per
+    (part, supplier) pair per map partition, not per lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+            .cast("long")
+        ).alias("ps_cost_c"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("ps_availqty"),
+    )
+
+
+def _region_suppliers(
+    spark: SparkSession, sf_dir: str, region: str
+) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_Q2_ORACLE = f"""
+    WITH ps AS ({_PS_SQL}), eu AS ({_EU_SQL})
+    SELECT p.p_partkey, eu.s_name, eu.n_name,
+           ps.ps_cost_c / 100.0 AS min_cost
+    FROM part p
+    JOIN ps ON ps.ps_partkey = p.p_partkey
+    JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 10
+      AND ps.ps_cost_c = (
+          SELECT min(ps2.ps_cost_c)
+          FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.ps_suppkey
+          WHERE ps2.ps_partkey = p.p_partkey
+      )
+    """
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: cheapest regional supplier per selected part.
+
+    The correlated MIN subquery decorrelates into a per-part aggregate
+    over the SAME region-filtered pair set, joined back on
+    (partkey, cost): the pair set is computed once, the dims broadcast,
+    and ties at the minimum surface every qualifying supplier exactly
+    like the subquery form.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    eps = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey).join(
+        F.broadcast(parts), ps.ps_partkey == F.col("p_partkey")
+    )
+    min_c = eps.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost_c").alias("min_c")
+    )
+    return (
+        eps.join(
+            min_c,
+            (eps.ps_partkey == min_c.m_partkey)
+            & (eps.ps_cost_c == min_c.min_c),
+        )
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            (F.col("ps_cost_c") / 100.0).alias("min_cost"),
+        )
+    )
+
+
+_Q11_ORACLE = f"""
+    WITH ps AS ({_PS_SQL}), eu AS ({_EU_SQL}),
+    grp AS (
+        SELECT ps.ps_partkey,
+               CAST(sum(ps.ps_cost_c * ps.ps_availqty) AS BIGINT) AS value_c
+        FROM ps JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+        GROUP BY 1
+    )
+    SELECT ps_partkey, value_c / 100.0 AS stock_value
+    FROM grp
+    WHERE value_c * 1000 > (SELECT CAST(sum(value_c) AS BIGINT) FROM grp)
+    """
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose regional stock value exceeds 1/1000 of
+    the total.
+
+    The global-total scalar subquery becomes a broadcast single-row
+    aggregate over the grouped values; the threshold comparison is
+    pure BIGINT (value·1000 > total), so both engines agree exactly.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    eu = _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
+    grp = (
+        ps.join(F.broadcast(eu), ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_c") * F.col("ps_availqty")).alias("value_c")
+        )
+    )
+    total = grp.agg(F.sum("value_c").alias("total_c"))
+    return (
+        grp.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select(
+            "ps_partkey", (F.col("value_c") / 100.0).alias("stock_value")
+        )
+    )
+
+
+_Q16_ORACLE = f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier count per part attribute group,
+    excluding flagged suppliers.
+
+    NOT IN (no NULLs possible on a key column) becomes a broadcast
+    LEFT ANTI join; the part attribute filter broadcasts; the single
+    wide exchange is the count-distinct aggregate.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+    )
+    return (
+        ps.join(
+            F.broadcast(bad), ps.ps_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(parts), ps.ps_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = f"""
+    WITH ps AS ({_PS_SQL}), eu AS ({_EU_SQL}),
+    q96 AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty96
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT eu.s_suppkey, eu.s_name, eu.n_name
+    FROM eu
+    WHERE eu.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM ps JOIN q96 ON ps.ps_partkey = q96.l_partkey
+                        AND ps.ps_suppkey = q96.l_suppkey
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+        AND ps.ps_availqty > 2 * q96.qty96
+    )
+    """
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: regional suppliers holding more than twice the 1996
+    demand of a selected part.
+
+    The nested IN chain becomes two LEFT SEMI joins: the part-name
+    membership broadcasts, the correlated 1996-demand aggregate is a
+    pre-grouped pair-keyed join, and the BIGINT comparison
+    (avail > 2·qty96) is exact in both engines.
+    """
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    q96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty96"))
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    cand = (
+        ps.join(
+            q96,
+            (ps.ps_partkey == q96.l_partkey)
+            & (ps.ps_suppkey == q96.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 2 * F.col("qty96"))
+        .join(
+            F.broadcast(small_parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("ps_suppkey")
+    )
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    return eu.join(
+        cand, eu.s_suppkey == cand.ps_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+@register(
+    "subquery_battery",
+    oracle=tag_union_sql(
+        [
+            (
+                "scalar_avg_filter",
+                f"""
+                SELECT t.o_orderkey AS k1, t.o_custkey AS k2,
+                       CAST(NULL AS VARCHAR) AS name1,
+                       CAST(NULL AS VARCHAR) AS name2,
+                       t.o_totalprice AS val, CAST(NULL AS BIGINT) AS cnt
+                FROM ({_SCALAR_SUB_ORACLE}) t
+                """,
+            ),
+            (
+                "q2",
+                f"""
+                SELECT t.p_partkey AS k1, CAST(NULL AS BIGINT) AS k2,
+                       t.s_name AS name1, t.n_name AS name2,
+                       t.min_cost AS val, CAST(NULL AS BIGINT) AS cnt
+                FROM ({_Q2_ORACLE}) t
+                """,
+            ),
+            (
+                "q11",
+                f"""
+                SELECT t.ps_partkey AS k1, CAST(NULL AS BIGINT) AS k2,
+                       CAST(NULL AS VARCHAR) AS name1,
+                       CAST(NULL AS VARCHAR) AS name2,
+                       t.stock_value AS val, CAST(NULL AS BIGINT) AS cnt
+                FROM ({_Q11_ORACLE}) t
+                """,
+            ),
+            (
+                "q16",
+                f"""
+                SELECT t.p_size AS k1, CAST(NULL AS BIGINT) AS k2,
+                       t.p_brand AS name1, t.p_type AS name2,
+                       CAST(NULL AS DOUBLE) AS val, t.supplier_cnt AS cnt
+                FROM ({_Q16_ORACLE}) t
+                """,
+            ),
+            (
+                "q20",
+                f"""
+                SELECT t.s_suppkey AS k1, CAST(NULL AS BIGINT) AS k2,
+                       t.s_name AS name1, t.n_name AS name2,
+                       CAST(NULL AS DOUBLE) AS val, CAST(NULL AS BIGINT) AS cnt
+                FROM ({_Q20_ORACLE}) t
+                """,
+            ),
+        ]
+    ),
+    survey="§2.3/§2.4 extension — subquery-decorrelation battery, one "
+    "tagged union so all five shapes keep a driver CORRECTNESS row: "
+    "[scalar_avg_filter] correlated per-key average → window "
+    "aggregate (one shuffle on the correlation key); TPC-H partsupp "
+    "shapes over the lineitem-derived pair catalog — [q2] correlated "
+    "MIN → per-part aggregate joined back on (key, cost); [q11] "
+    "global-total scalar → broadcast single-row aggregate, BIGINT "
+    "threshold; [q16] NOT IN → broadcast anti-join + count-distinct; "
+    "[q20] nested IN + correlated aggregate → semi-join chain over "
+    "pre-grouped pairs",
+    note="partsupp is derived identically in both engines (min unit "
+    "price in centi-units, total shipped quantity); all money math "
+    "fixed-point BIGINT",
+)
+def subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    scalar = scalar_subquery_filter(spark, sf_dir).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("k2"),
+        null_s.alias("name1"),
+        null_s.alias("name2"),
+        F.col("o_totalprice").alias("val"),
+        null_l.alias("cnt"),
+    )
+    q2 = q2_min_cost_supplier(spark, sf_dir).select(
+        F.col("p_partkey").alias("k1"),
+        null_l.alias("k2"),
+        F.col("s_name").alias("name1"),
+        F.col("n_name").alias("name2"),
+        F.col("min_cost").alias("val"),
+        null_l.alias("cnt"),
+    )
+    q11 = q11_important_stock(spark, sf_dir).select(
+        F.col("ps_partkey").alias("k1"),
+        null_l.alias("k2"),
+        null_s.alias("name1"),
+        null_s.alias("name2"),
+        F.col("stock_value").alias("val"),
+        null_l.alias("cnt"),
+    )
+    q16 = q16_supplier_part_counts(spark, sf_dir).select(
+        F.col("p_size").alias("k1"),
+        null_l.alias("k2"),
+        F.col("p_brand").alias("name1"),
+        F.col("p_type").alias("name2"),
+        null_d.alias("val"),
+        F.col("supplier_cnt").alias("cnt"),
+    )
+    q20 = q20_excess_stock_suppliers(spark, sf_dir).select(
+        F.col("s_suppkey").alias("k1"),
+        null_l.alias("k2"),
+        F.col("s_name").alias("name1"),
+        F.col("n_name").alias("name2"),
+        null_d.alias("val"),
+        null_l.alias("cnt"),
+    )
+    return tag_union(
+        [
+            ("scalar_avg_filter", scalar),
+            ("q2", q2),
+            ("q11", q11),
+            ("q16", q16),
+            ("q20", q20),
+        ]
     )
