@@ -276,32 +276,108 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (watermarked, bounded state)
+# ---------------------------------------------------------------------------
+_SS_JOIN_ORACLE = """
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+           a.ts AS view_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 6 h of a view by the
+    same user.
+
+    Both sides are watermarked and the join condition carries the
+    event-time range, so Spark derives a state-retention bound for
+    each side (view state expires once the purchase watermark passes
+    view_ts + 6 h) — state is bounded by the interval, not the stream
+    length. The equi-key (user_id) makes it a hash join per
+    micro-batch; no cartesian fallback.
+    """
+    views = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
 @register(
     "stream_window_battery",
     oracle=f"""
     SELECT 'tumbling' AS variant, t.window_start, t.event_type,
-           t.n, t.sum_value
+           t.n, t.sum_value, CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+           CAST(NULL AS TIMESTAMP) AS b_ts
     FROM ({_TUMBLING_ORACLE}) t
     UNION ALL
     SELECT 'sliding', t.window_start, CAST(NULL AS VARCHAR),
-           t.n, t.sum_value
+           t.n, t.sum_value, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS TIMESTAMP)
     FROM ({_SLIDING_ORACLE}) t
+    UNION ALL
+    SELECT 'ss_join', t.view_ts, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), t.user_id,
+           t.view_id, t.purchase_id, t.purchase_ts
+    FROM ({_SS_JOIN_ORACLE}) t
     """,
-    survey="§2.9 T1 (micro-batch source pump) — windowed-aggregation "
-    "battery under REAL Structured Streaming (folded r5 so both legs "
-    "keep a driver CORRECTNESS row): [tumbling] file source → "
-    "watermark → 1h tumbling window → memory sink; [sliding] 1h/30m "
-    "sliding window, overlapping window assignment, complete mode "
-    "(same oracle as the batch twin t_sliding_window); each leg must "
-    "equal its batch oracle exactly",
+    survey="§2.9 T1 (micro-batch source pump) — Structured Streaming "
+    "battery (folded so every leg keeps a driver CORRECTNESS row): "
+    "[tumbling] file source → watermark → 1h tumbling window → memory "
+    "sink; [sliding] 1h/30m sliding window, overlapping window "
+    "assignment, complete mode; [ss_join] watermarked stream-stream "
+    "interval join (purchases within 6h of a view, per user) — the "
+    "event-time range in the join condition bounds each side's state "
+    "by the interval, not the stream length; each leg must equal its "
+    "batch oracle exactly",
 )
 def stream_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_ts = F.lit(None).cast("timestamp")
     tum = stream_tumbling_window(spark, sf_dir).select(
         F.lit("tumbling").alias("variant"),
         "window_start",
         "event_type",
         "n",
         "sum_value",
+        null_l.alias("user_id"),
+        null_l.alias("a_id"),
+        null_l.alias("b_id"),
+        null_ts.alias("b_ts"),
     )
     sli = stream_sliding_window(spark, sf_dir).select(
         F.lit("sliding").alias("variant"),
@@ -309,5 +385,20 @@ def stream_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("event_type"),
         "n",
         "sum_value",
+        null_l.alias("user_id"),
+        null_l.alias("a_id"),
+        null_l.alias("b_id"),
+        null_ts.alias("b_ts"),
     )
-    return tum.unionByName(sli)
+    ssj = stream_stream_join(spark, sf_dir).select(
+        F.lit("ss_join").alias("variant"),
+        F.col("view_ts").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        null_l.alias("n"),
+        null_d.alias("sum_value"),
+        "user_id",
+        F.col("view_id").alias("a_id"),
+        F.col("purchase_id").alias("b_id"),
+        F.col("purchase_ts").alias("b_ts"),
+    )
+    return tum.unionByName(sli).unionByName(ssj)
