@@ -1,0 +1,203 @@
+"""Distributed BPE tokenizer-training preparation.
+
+Byte-pair encoding (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units"; byte-level variant
+popularized by GPT-2) trains a subword vocabulary by repeatedly
+merging the most frequent adjacent symbol pair. The reference
+pipeline has no tokenizer plane; this is part of the
+training-data-pipeline extension (BASELINE.json north star).
+
+Scale design (100 TB posture):
+
+* The corpus text is touched EXACTLY ONCE — the word-frequency
+  aggregate (`word_counts`), a map-side-combinable hash groupBy whose
+  exchange carries (word, count) pairs, never documents.
+* Every merge round runs over the DISTINCT-WORD table. By Heaps' law
+  the vocabulary grows ~O(corpus^0.5), so at 100 TB the per-round
+  working set is millions of short rows, not terabytes; pair counts
+  partial-aggregate map-side, and the argmax that reaches the driver
+  is ONE row per round.
+* Only words that actually contain the winning pair are rewritten
+  each round (an `exists` filter guards the Arrow stage), and the
+  vocab lineage is truncated per round with localCheckpoint —
+  the same bounded-lineage pattern as operators/graph.py's PageRank.
+* The symbol-merge rewrite is an Arrow-batched pandas_udf: justified
+  Python because it is sequential left-to-right string folding over
+  VOCAB-scale rows (never corpus-scale), inexpressible as a native
+  array expression without a quadratic construction.
+
+Determinism: the winning pair each round is (max count, then
+lexicographically smallest pair) — engine- and partitioning-
+independent, so any two runs (and the pytest python replay) produce
+identical merge tables.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from vbb_data_pipeline_spark.functions.text import tokens
+
+__all__ = [
+    "word_counts",
+    "symbol_pairs",
+    "pair_counts",
+    "bpe_train",
+    "bpe_encode_words",
+]
+
+# End-of-word marker (Sennrich et al. §3.2): distinguishes "est" in
+# "est</w>" (word-final) from "est" mid-word, and makes decoding
+# unambiguous. Appended as a distinct trailing symbol.
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, n) frequency table; the ONLY corpus-wide pass.
+
+    One explode + one hash aggregate: partial counts combine map-side,
+    so the exchange is bounded by distinct words per partition.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def symbol_pairs(vocab: DataFrame) -> DataFrame:
+    """(word-as-symbol-array, n) → exploded (a, b, n) pair rows."""
+    pairs = F.expr(
+        "transform(sequence(0, size(syms) - 2), "
+        "i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(F.explode(pairs).alias("p"), "n")
+        .select("p.a", "p.b", "n")
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies weighted by word count.
+
+    Map-side-combinable hash aggregate over vocab-scale rows; at any
+    corpus size the exchange carries (pair, partial count) rows.
+    """
+    return symbol_pairs(vocab).groupBy("a", "b").agg(
+        F.sum("n").alias("pair_n")
+    )
+
+
+def initial_vocab(words: DataFrame, eow: bool = True) -> DataFrame:
+    """(word, n) → (word, syms, n) with chars (+ end-of-word mark)."""
+    syms = F.split(F.col("word"), "")
+    if eow:
+        syms = F.concat(syms, F.array(F.lit(EOW)))
+    return words.select("word", syms.alias("syms"), "n")
+
+
+def _merge_round_udf(a: str, b: str):
+    """pandas_udf merging adjacent (a, b) → a+b, left-to-right
+    non-overlapping — the classic BPE merge step, vocab-scale only."""
+    merged = a + b
+
+    @F.pandas_udf("array<string>")
+    def merge(col: pd.Series) -> pd.Series:
+        def one(syms):
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(one)
+
+    return merge
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+    eow: bool = True,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges; returns (merge table, final vocab).
+
+    Each round: vocab-scale pair aggregate → single-row deterministic
+    argmax to the driver (count desc, then (a, b) asc) → Arrow rewrite
+    of only the words containing the pair → localCheckpoint to keep
+    the plan flat. Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    vocab = initial_vocab(word_counts(df, text_col), eow=eow)
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(vocab)
+            .filter(F.col("pair_n") >= min_pair_count)
+            .orderBy(F.col("pair_n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        has_pair = F.expr(
+            f"exists(sequence(0, size(syms) - 2), "
+            f"i -> syms[i] = {_sql_str(a)} AND syms[i + 1] = {_sql_str(b)})"
+        )
+        merge = _merge_round_udf(a, b)
+        vocab = vocab.withColumn(
+            "syms", F.when(has_pair, merge(F.col("syms"))).otherwise(F.col("syms"))
+        )
+        vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], eow: bool = True
+) -> DataFrame:
+    """Apply a learned merge table to a (word, ...) table → subword
+    arrays.
+
+    One Arrow stage, no shuffle: encoding is embarrassingly parallel.
+    Downstream, corpus encoding is a broadcast-join of documents'
+    exploded words against this (vocab-scale) table — the merge loop
+    itself never sees corpus rows.
+    """
+    merge_list = list(merges)
+
+    @F.pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        def one(word):
+            syms = list(word) + ([EOW] if eow else [])
+            for a, b in merge_list:
+                out = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return col.map(one)
+
+    return words.withColumn("subwords", encode(F.col("word")))

@@ -35,22 +35,56 @@ def _sw_hits_sql(lang: str) -> str:
                )) AS n_bpe,
                n_chars
         FROM documents
+    ),
+    words AS (
+        SELECT w AS word, count(*) AS n FROM (
+            SELECT unnest({TOK_SQL.format(c="text")}) AS w FROM documents
+        ) GROUP BY 1
+    ),
+    chars AS (
+        SELECT list_append(string_split(word, ''), '</w>') AS cs, n
+        FROM words
+    ),
+    bpe_pairs AS (
+        SELECT cs[i] || ' ' || cs[i + 1] AS pair, n
+        FROM chars, LATERAL unnest(range(1, len(cs))) t(i)
+        WHERE len(cs) >= 2
     )
-    SELECT lang,
+    SELECT 'per_lang' AS variant, lang,
            count(*)                        AS n_docs,
            CAST(sum(n_tok) AS BIGINT)      AS total_tokens,
            CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
            round(avg(CAST(n_tok AS DOUBLE)), 4)  AS avg_tokens,
-           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           CAST(NULL AS VARCHAR) AS pair, CAST(NULL AS BIGINT) AS pair_n
     FROM toks
     GROUP BY lang
+    UNION ALL
+    SELECT 'top_pairs', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t.pair, t.pair_n
+    FROM (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS pair_n
+        FROM bpe_pairs GROUP BY 1
+        ORDER BY pair_n DESC, pair LIMIT 50
+    ) t
     """,
     survey="extension: token accounting per language (training-data "
     "token counting: whitespace/alnum runs AND a BPE-ish GPT-2-style "
     "pre-tokenizer count, functions/text.bpe_token_count — one "
-    "codegen regex pass each)",
+    "codegen regex pass each) + [top_pairs] BPE trainer round-0 "
+    "evidence: adjacent symbol-pair frequencies over the end-of-word-"
+    "marked char vocabulary (operators/bpe.pair_counts — the corpus "
+    "is scanned once for word counts; pair stats aggregate over the "
+    "vocab-scale word table), deterministic top-50",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.operators.bpe import (
+        initial_vocab,
+        pair_counts,
+        word_counts,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "lang",
@@ -58,13 +92,47 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.bpe_token_count("text").alias("n_bpe"),
         "n_chars",
     )
-    return t.groupBy("lang").agg(
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    per_lang = t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
         F.round(F.avg(F.col("n_tok").cast("double")), 4).alias("avg_tokens"),
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    ).select(
+        F.lit("per_lang").alias("variant"),
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_bpe_tokens",
+        "avg_tokens",
+        "avg_chars",
+        null_s.alias("pair"),
+        null_l.alias("pair_n"),
     )
+    vocab = initial_vocab(word_counts(d, "text"), eow=True)
+    top_pairs = (
+        pair_counts(vocab)
+        .select(
+            F.concat_ws(" ", "a", "b").alias("pair"), F.col("pair_n")
+        )
+        .orderBy(F.col("pair_n").desc(), F.col("pair"))
+        .limit(50)
+        .select(
+            F.lit("top_pairs").alias("variant"),
+            null_s.alias("lang"),
+            null_l.alias("n_docs"),
+            null_l.alias("total_tokens"),
+            null_l.alias("total_bpe_tokens"),
+            null_d.alias("avg_tokens"),
+            null_d.alias("avg_chars"),
+            "pair",
+            "pair_n",
+        )
+    )
+    return per_lang.unionByName(top_pairs)
 
 
 @register(
