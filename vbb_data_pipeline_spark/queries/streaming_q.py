@@ -334,6 +334,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# Stream-static broadcast enrichment
+# ---------------------------------------------------------------------------
+_STATIC_ENRICH_ORACLE = f"""
+    SELECT date_trunc('day', e.ts) AS window_start, c.c_mktsegment,
+           count(*) AS n, {exact_sum_sql("e.value")} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the
+    customer dimension (no state, no watermark requirement on the
+    static side) — the standard enrichment topology for dimension
+    lookups at streaming ingest. Aggregated per market segment by
+    1-day tumbling window so the result is comparable batch-wise.
+    """
+    from vbb_data_pipeline_spark.queries import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = _event_stream(spark, sf_dir).join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = tumbling(
+        enriched,
+        "ts",
+        "1 day",
+        ["c_mktsegment"],
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value")).alias("sum_value"),
+        watermark="10 minutes",
+    ).select("window_start", "c_mktsegment", "n", "sum_value")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 @register(
     "stream_window_battery",
     oracle=f"""
@@ -353,6 +393,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), t.user_id,
            t.view_id, t.purchase_id, t.purchase_ts
     FROM ({_SS_JOIN_ORACLE}) t
+    UNION ALL
+    SELECT 'static_enrich', t.window_start, t.c_mktsegment,
+           t.n, t.sum_value, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS TIMESTAMP)
+    FROM ({_STATIC_ENRICH_ORACLE}) t
     """,
     survey="§2.9 T1 (micro-batch source pump) — Structured Streaming "
     "battery (folded so every leg keeps a driver CORRECTNESS row): "
@@ -361,8 +407,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment, complete mode; [ss_join] watermarked stream-stream "
     "interval join (purchases within 6h of a view, per user) — the "
     "event-time range in the join condition bounds each side's state "
-    "by the interval, not the stream length; each leg must equal its "
-    "batch oracle exactly",
+    "by the interval, not the stream length; [static_enrich] "
+    "stream-static broadcast dimension join (stateless per "
+    "micro-batch) → per-segment daily window; each leg must equal "
+    "its batch oracle exactly",
 )
 def stream_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_l = F.lit(None).cast("long")
@@ -401,4 +449,15 @@ def stream_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id").alias("b_id"),
         F.col("purchase_ts").alias("b_ts"),
     )
-    return tum.unionByName(sli).unionByName(ssj)
+    enr = stream_static_enrich(spark, sf_dir).select(
+        F.lit("static_enrich").alias("variant"),
+        "window_start",
+        F.col("c_mktsegment").alias("event_type"),
+        "n",
+        "sum_value",
+        null_l.alias("user_id"),
+        null_l.alias("a_id"),
+        null_l.alias("b_id"),
+        null_ts.alias("b_ts"),
+    )
+    return tum.unionByName(sli).unionByName(ssj).unionByName(enr)
