@@ -1,0 +1,139 @@
+"""BM25 full-text retrieval over the documents corpus.
+
+Okapi BM25 (Robertson & Spärck Jones probabilistic relevance
+framework; the idf variant below is the widely-used
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` form, which keeps idf
+positive). The reference pipeline has no retrieval plane; this is
+part of the training-data-pipeline extension — corpus search powers
+decontamination audits, targeted curation, and RAG-style lookups.
+
+Scale design (100 TB posture):
+
+* **Query path filters before it aggregates**: the exploded token
+  stream is semi-joined against the BROADCAST query-term set before
+  the tf aggregate, so only matching (doc, term) tokens ever reach an
+  exchange — the corpus-wide shuffles are the per-doc length
+  aggregate (map-side combinable, one row per doc per map partition)
+  and the matched-postings tf aggregate.
+* **Document frequency and idf are computed on the matched postings
+  only** (query-term cardinality, broadcast back), never as a global
+  term dictionary.
+* **Scoring is exact across engines**: every per-term score component
+  is rounded to integer micro-units and summed as BIGINT (the repo's
+  fixed-point convention), so ranking ties are impossible to break
+  differently in two engines; ranks order by (score_micro DESC,
+  doc_id) — a total order.
+* `build_postings` materializes the classic inverted index
+  ((term, doc_id, tf) + doc lengths) for an index-at-rest deployment;
+  the query path does not require it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from vbb_data_pipeline_spark.functions.text import tokens
+
+__all__ = ["build_postings", "bm25_topk"]
+
+K1 = 1.2
+B = 0.75
+SCORE_SCALE = 1_000_000
+
+
+def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted index: ((term, doc_id, tf), (doc_id, dl)).
+
+    Two hash aggregates over the exploded token stream; both partial-
+    aggregate map-side. Write the postings partitioned by a term-hash
+    bucket for an at-rest index that query terms can prune.
+    """
+    toks = _token_stream(df, id_col, text_col)
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doclen
+
+
+def bm25_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k BM25 matches per query → (qid, rank, doc_id, score).
+
+    ``queries``: (qid, [term, ...]) with terms already normalized the
+    way :func:`vbb_data_pipeline_spark.functions.text.tokens` would
+    (lowercase alnum runs); duplicate terms are ignored (standard
+    short-query BM25 drops query tf).
+    """
+    qrows = sorted(
+        {(int(qid), t) for qid, terms in queries for t in terms}
+    )
+    qterms = spark.createDataFrame(qrows, "qid long, term string")
+
+    toks = _token_stream(df, id_col, text_col)
+    # corpus-wide per-doc length: map-side combinable
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    # filter the token stream to query terms BEFORE aggregating
+    qterm_set = qterms.select("term").distinct()
+    matched = toks.join(F.broadcast(qterm_set), "term", "left_semi")
+    tf = matched.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    comp = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(idf * tf_norm * SCORE_SCALE).cast("long").alias("comp_u"),
+        )
+    )
+    scores = comp.groupBy("qid", "doc_id").agg(
+        F.sum("comp_u").alias("score_u")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_u").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            (F.col("score_u") / float(SCORE_SCALE)).alias("score"),
+        )
+    )

@@ -172,11 +172,19 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# posexplode (1→N with ordinal)
+# posexplode (1→N with ordinal) + BM25 retrieval battery
 # ---------------------------------------------------------------------------
-@register(
-    "posexplode_tokens",
-    oracle="""
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    return t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+
+
+_POSEXPLODE_ORACLE = """
     WITH t AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -187,17 +195,117 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
            unnest(range(1, len(toks) + 1)) AS pos,
            unnest(toks) AS tok
     FROM t
-    """,
-    survey="§2.8 (generator/table function with ordinal — posexplode)",
-)
-def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vbb_data_pipeline_spark.functions.text import tokens
+    """
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    t = d.select("doc_id", tokens("text").alias("toks"))
-    return t.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+# BM25 query set: fixed term lists (pre-normalized the way
+# functions/text.tokens normalizes).
+_BM25_QUERIES = [
+    (0, ["hash", "join", "batch"]),
+    (1, ["small", "vector", "data"]),
+    (2, ["customer", "order", "line", "slow"]),
+]
+_BM25_K = 10
+
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in sorted(set(terms))
+)
+
+_BM25_ORACLE = f"""
+    WITH q(qid, term) AS (VALUES {_BM25_Q_VALUES}),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM toks
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2
+    ),
+    dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    comp AS (
+        SELECT q.qid, tf.doc_id,
+               CAST(round(
+                   ln(1 + (s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+                   * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75
+                       + 0.75 * dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+                   * 1000000) AS BIGINT) AS comp_u
+        FROM tf
+        JOIN q ON q.term = tf.term
+        JOIN dft ON dft.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    ),
+    scores AS (
+        SELECT qid, doc_id, CAST(sum(comp_u) AS BIGINT) AS score_u
+        FROM comp GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, doc_id, score_u,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_u DESC, doc_id) AS rank
+        FROM scores
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+           score_u / 1000000.0 AS score
+    FROM ranked WHERE rank <= {_BM25_K}
+    """
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(spark, d, _BM25_QUERIES, k=_BM25_K)
+
+
+@register(
+    "tokens_retrieval_battery",
+    oracle=f"""
+    SELECT 'posexplode' AS variant, t.doc_id, t.pos, t.tok,
+           CAST(NULL AS BIGINT) AS qid, CAST(NULL AS DOUBLE) AS score
+    FROM ({_POSEXPLODE_ORACLE}) t
+    UNION ALL
+    SELECT 'bm25', t.doc_id, t.rank, CAST(NULL AS VARCHAR),
+           t.qid, t.score
+    FROM ({_BM25_ORACLE}) t
+    """,
+    survey="§2.8 (generator/table function with ordinal — posexplode) "
+    "+ extension: BM25 full-text retrieval (operators/retrieval.py) — "
+    "the exploded token stream is semi-joined against the BROADCAST "
+    "query-term set BEFORE the tf aggregate (only matching tokens "
+    "shuffle), document frequency/idf computed on matched postings "
+    "only, per-term score components fixed-point micro-units summed "
+    "as BIGINT so ranking is engine-exact, top-k per query via "
+    "(score, doc_id) total order",
+)
+def tokens_retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    pe = posexplode_tokens(spark, sf_dir).select(
+        F.lit("posexplode").alias("variant"),
+        "doc_id",
+        "pos",
+        "tok",
+        null_l.alias("qid"),
+        null_d.alias("score"),
+    )
+    bm = bm25_search(spark, sf_dir).select(
+        F.lit("bm25").alias("variant"),
+        "doc_id",
+        F.col("rank").alias("pos"),
+        null_s.alias("tok"),
+        "qid",
+        "score",
+    )
+    return pe.unionByName(bm)
 
 
 # ---------------------------------------------------------------------------
