@@ -1865,12 +1865,14 @@ _Q2_ORACLE = f"""
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: cheapest regional supplier per selected part.
 
-    The correlated MIN subquery decorrelates into a per-part aggregate
-    over the SAME region-filtered pair set, joined back on
-    (partkey, cost): the pair set is computed once, the dims broadcast,
-    and ties at the minimum surface every qualifying supplier exactly
-    like the subquery form.
+    The correlated MIN subquery decorrelates into a window MIN over
+    the SAME region-filtered pair set: one pass, one shuffle on the
+    part key, no join-back (an agg+self-join would scan lineitem
+    twice). Ties at the minimum surface every qualifying supplier
+    exactly like the subquery form; the dims broadcast.
     """
+    from pyspark.sql.window import Window
+
     ps = _derived_partsupp(spark, sf_dir)
     eu = _region_suppliers(spark, sf_dir, "EUROPE")
     parts = (
@@ -1881,15 +1883,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey).join(
         F.broadcast(parts), ps.ps_partkey == F.col("p_partkey")
     )
-    min_c = eps.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
-        F.min("ps_cost_c").alias("min_c")
-    )
+    w = Window.partitionBy("ps_partkey")
     return (
-        eps.join(
-            min_c,
-            (eps.ps_partkey == min_c.m_partkey)
-            & (eps.ps_cost_c == min_c.min_c),
-        )
+        eps.withColumn("_min_c", F.min("ps_cost_c").over(w))
+        .filter(F.col("ps_cost_c") == F.col("_min_c"))
         .select(
             "p_partkey",
             "s_name",
