@@ -609,6 +609,51 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_MIX_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.3
+                           WHEN 'src2' THEN 0.0 ELSE 1.0 END AS factor,
+               CAST('0x' || substr(md5('mix|epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id,
+               CAST(floor(factor) AS BIGINT)
+               + CASE WHEN bucket <
+                       CAST(round((factor - floor(factor)) * 10000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM base
+    )
+    SELECT doc_id, CAST(t.copy_idx AS BIGINT) AS copy_idx
+    FROM n, LATERAL unnest(range(1, n_copies + 1)) t(copy_idx)
+    """
+
+
+def domain_mix_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain re-weighting (operators/sampling.
+    weighted_domain_mix): src0 up-sampled 2.5x (every row twice, a
+    hash-chosen half a third time), src1 kept at 30%, src2 dropped,
+    everything else passes at 1.0. Zero shuffles — the copy expansion
+    is a map-side explode inside the scan stage."""
+    from vbb_data_pipeline_spark.operators.sampling import (
+        weighted_domain_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = weighted_domain_mix(
+        d,
+        "source",
+        {"src0": 2.5, "src1": 0.3, "src2": 0.0},
+        "doc_id",
+        epoch=0,
+        seed="mix",
+        hash_mode="oracle",
+    )
+    return out.select("doc_id", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
 @register(
     "layout_export_battery",
     oracle=f"""
@@ -622,6 +667,10 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'packing', doc_id, shard, start_off, first_seq, last_seq
     FROM ({_PACK_ORACLE}) t
+    UNION ALL
+    SELECT 'domain_mix', doc_id, copy_idx, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_DOMAIN_MIX_ORACLE}) t
     """,
     survey="extension: layout/export determinism battery (folded r5 "
     "so both legs keep a driver CORRECTNESS row) — [zorder] Z-order/"
@@ -641,7 +690,11 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order maps every document to its [start_off, end_off) span and "
     "the range of seq_len-sized training sequences it touches — the "
     "token writer becomes one embarrassingly-parallel pass per "
-    "shard, byte-identical across engines and cluster sizes",
+    "shard, byte-identical across engines and cluster sizes; "
+    "[domain_mix] weighted domain re-weighting (operators/sampling."
+    "weighted_domain_mix): fractional repeat factors via "
+    "hash(seed|epoch|key) buckets — epoch-aware, reproducible, zero "
+    "shuffles (map-side explode)",
 )
 def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = layout_zorder_key(spark, sf_dir).select(
@@ -668,7 +721,16 @@ def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_seq").alias("v3"),
         F.col("last_seq").alias("v4"),
     )
-    return z.unionByName(ex).unionByName(pk)
+    null_l = F.lit(None).cast("long")
+    dm = domain_mix_assignment(spark, sf_dir).select(
+        F.lit("domain_mix").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("copy_idx").alias("v1"),
+        null_l.alias("v2"),
+        null_l.alias("v3"),
+        null_l.alias("v4"),
+    )
+    return z.unionByName(ex).unionByName(pk).unionByName(dm)
 
 
 def _quality_reports_oracle() -> str:
