@@ -265,6 +265,32 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark, d, _BM25_QUERIES, k=_BM25_K)
 
 
+_TFIDF_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (docfreq.df + 1)) + 1), 6) AS tfidf
+        FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rank FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, tfidf
+    FROM ranked WHERE rank <= 3
+    """
+
+
 @register(
     "tokens_retrieval_battery",
     oracle=f"""
@@ -275,6 +301,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'bm25', t.doc_id, t.rank, CAST(NULL AS VARCHAR),
            t.qid, t.score
     FROM ({_BM25_ORACLE}) t
+    UNION ALL
+    SELECT 'tfidf', t.doc_id, t.rank, t.term, t.tf, t.tfidf
+    FROM ({_TFIDF_ORACLE}) t
     """,
     survey="§2.8 (generator/table function with ordinal — posexplode) "
     "+ extension: BM25 full-text retrieval (operators/retrieval.py) — "
@@ -283,7 +312,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle), document frequency/idf computed on matched postings "
     "only, per-term score components fixed-point micro-units summed "
     "as BIGINT so ranking is engine-exact, top-k per query via "
-    "(score, doc_id) total order",
+    "(score, doc_id) total order + extension: TF-IDF top-3 keyword "
+    "profile per document (functions/text.tf_idf_top_terms — explode, "
+    "two map-side-combinable aggregates, top-k window; in the tfidf "
+    "leg the generic qid column carries the term frequency)",
 )
 def tokens_retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_s = F.lit(None).cast("string")
@@ -305,7 +337,19 @@ def tokens_retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "score",
     )
-    return pe.unionByName(bm)
+    from vbb_data_pipeline_spark.functions.text import tf_idf_top_terms
+
+    ti = tf_idf_top_terms(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    ).select(
+        F.lit("tfidf").alias("variant"),
+        "doc_id",
+        F.col("rank").cast("long").alias("pos"),
+        F.col("term").alias("tok"),
+        F.col("tf").alias("qid"),
+        F.col("tfidf").alias("score"),
+    )
+    return pe.unionByName(bm).unionByName(ti)
 
 
 # ---------------------------------------------------------------------------
