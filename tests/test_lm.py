@@ -44,11 +44,15 @@ def _oracle_scores(parquet: str, vocab: int) -> dict[int, float]:
             FROM counts ORDER BY n DESC, token ASC LIMIT {vocab}
         ),
         lp AS (
-            SELECT t.doc_id, coalesce(m.logprob, {oov!r}) AS lp
+            SELECT t.doc_id,
+                   CAST(round(coalesce(m.logprob, {oov!r}) * 1000000)
+                        AS BIGINT) AS lp_u
             FROM tok t LEFT JOIN model m USING (token)
         ),
         per_doc AS (
-            SELECT doc_id, sum(lp) / count(*) AS m FROM lp GROUP BY doc_id
+            SELECT doc_id,
+                   CAST(sum(lp_u) AS DOUBLE) / count(*) / 1000000.0 AS m
+            FROM lp GROUP BY doc_id
         )
         SELECT d.doc_id, round(coalesce(p.m, {oov!r}), 4)
         FROM (SELECT DISTINCT doc_id FROM read_parquet('{parquet}')) d

@@ -84,17 +84,30 @@ def score_documents(
     take the OOV floor), then one groupBy(doc) averages — the
     exchange carries ``(doc_id, sum, count)`` partial aggregates.
     Empty documents score the OOV floor (defined, never NULL).
-    Rounded for cross-engine comparison.
+
+    Per-token log-probs are rounded to integer micro-units and summed
+    as BIGINT (the repo's fixed-point convention), so the mean is
+    order-independent and bit-identical across engines/partitionings
+    — summing raw doubles would make the 4-dp result depend on
+    reduction order.
     """
     tok = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
     scored = tok.join(F.broadcast(model), "token", "left").select(
         id_col,
-        F.coalesce(F.col("logprob"), F.lit(oov_logprob)).alias("lp"),
+        F.round(
+            F.coalesce(F.col("logprob"), F.lit(oov_logprob)) * 1_000_000
+        )
+        .cast("long")
+        .alias("lp_u"),
     )
     per_doc = scored.groupBy(id_col).agg(
-        (F.sum("lp") / F.count(F.lit(1))).alias("_mean")
+        (
+            F.sum("lp_u").cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000.0
+        ).alias("_mean")
     )
     return (
         docs.select(id_col)

@@ -733,6 +733,48 @@ def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.unionByName(ex).unionByName(pk).unionByName(dm)
 
 
+# CCNet-style unigram LM scores as fixed-point 1e-4 units (the
+# report schema's n column is BIGINT; scores are negative mean token
+# log-probs). vocab_size=100 deliberately exercises the OOV floor.
+_LM_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    stats AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
+        FROM counts
+    ),
+    model AS (
+        SELECT token,
+               ln((n + 1) / CAST(s.nt + s.v + 1 AS DOUBLE)) AS logprob
+        FROM counts, stats s
+        ORDER BY n DESC, token ASC LIMIT 100
+    ),
+    oov AS (SELECT -ln(CAST(nt + v + 1 AS DOUBLE)) AS o FROM stats),
+    lp AS (
+        SELECT t.doc_id,
+               CAST(round(coalesce(m.logprob, o.o) * 1000000) AS BIGINT)
+                   AS lp_u
+        FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(lp_u) AS BIGINT) AS su, count(*) AS c
+        FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(round(round(coalesce(
+               CAST(p.su AS DOUBLE) / p.c / 1000000.0, o.o), 4) * 10000)
+               AS BIGINT) AS score_e4
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc p USING (doc_id)
+    CROSS JOIN oov o
+    """
+
+
 def _quality_reports_oracle() -> str:
     from vbb_data_pipeline_spark.queries.dedup_q import DECON_ORACLE
 
@@ -743,6 +785,9 @@ def _quality_reports_oracle() -> str:
     UNION ALL
     SELECT 'decontam', CAST(doc_id AS VARCHAR), n_contaminated_grams
     FROM ({DECON_ORACLE}) t
+    UNION ALL
+    SELECT 'lm', CAST(doc_id AS VARCHAR), score_e4
+    FROM ({_LM_ORACLE}) t
     """
 
 
@@ -760,7 +805,12 @@ def _quality_reports_oracle() -> str:
     "[decontam] benchmark decontamination (GPT-3 appendix C recipe) "
     "— eval 3-gram set dedup + BROADCAST, corpus explodes grams "
     "map-side and only matching (doc_id, gram_hash) pairs reach the "
-    "one count shuffle; corpus text never moves",
+    "one count shuffle; corpus text never moves; [lm] CCNet-style "
+    "unigram LM quality scores (operators/lm.lm_quality_scores, "
+    "vocab=100 to exercise the OOV floor) — per-token log-probs in "
+    "fixed-point micro-units summed as BIGINT so the mean is "
+    "order-independent; scores reported in 1e-4 units in the BIGINT "
+    "n column",
 )
 def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.queries.dedup_q import decontam_report
@@ -775,4 +825,12 @@ def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_contaminated_grams").alias("n"),
     )
-    return dq.unionByName(de)
+    from vbb_data_pipeline_spark.operators.lm import lm_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = lm_quality_scores(docs, "text", "doc_id", vocab_size=100).select(
+        F.lit("lm").alias("report"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.round(F.col("lm_score") * 10000).cast("long").alias("n"),
+    )
+    return dq.unionByName(de).unionByName(lm)
