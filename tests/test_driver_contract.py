@@ -23,7 +23,7 @@ def non_utc(spark):
 
 def _compare(sdf, oracle_sql):
     con = duckdb.connect()
-    for t in ("events", "orders"):
+    for t in ("events", "orders", "customer", "documents"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )

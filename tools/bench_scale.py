@@ -52,6 +52,14 @@ EXTRA_REGISTRY = [
     # round-5 additions
     "dedup_span_removal",
     "export_packing_plan",
+    # round-5 TPC-H completion + retrieval/text batteries
+    "subquery_battery",
+    "q4_q21_exists_battery",
+    "q6_q12_q17_q18_battery",
+    "tokens_retrieval_battery",
+    "text_token_stats",
+    "quality_reports",
+    "layout_export_battery",
 ]
 
 
