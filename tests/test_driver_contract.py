@@ -21,9 +21,15 @@ def non_utc(spark):
     spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
 def _compare(sdf, oracle_sql):
     con = duckdb.connect()
-    for t in ("events", "orders", "customer", "documents"):
+    for t in _TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -40,21 +46,38 @@ def _compare(sdf, oracle_sql):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-def test_window_agg_survives_non_utc_session(non_utc):
-    """load_table pins UTC, so event-time windows must not shift when
-    the driver's session zone differs (verify probe #1)."""
+#: Every registry entry whose semantics touch event time, date
+#: arithmetic, windows, or timestamp wire formats — each must be
+#: oracle-identical under a non-UTC driver session (load_table pins
+#: the session zone to UTC; this sweep is the proof that the pin
+#: covers the whole timestamp surface, not two hand-picked probes).
+TS_ENTRIES = [
+    "service_filters",
+    "flagship_expand_events",
+    "t_session_window",
+    "pivot_unpivot_events",
+    "json_wire_roundtrip",
+    "window_functions_battery",
+    "asof_purchase_context",
+    "orders_evolution_battery",
+    "q4_q21_exists_battery",
+    "q6_q12_q17_q18_battery",
+    "stream_window_battery",
+    "stream_dedup_keys",
+    "stream_stateful_counts",
+    "stream_geo_filter",
+]
+
+
+@pytest.mark.parametrize("name", TS_ENTRIES)
+def test_timestamp_entries_survive_non_utc_session(non_utc, name):
+    """load_table pins UTC, so event-time windows, interval
+    arithmetic, and wire formats must not shift when the driver's
+    session zone differs (verify probe #1, widened to the full
+    timestamp-sensitive surface)."""
     from vbb_data_pipeline_spark.queries import all_queries
 
-    spec = all_queries()["stream_window_battery"]
-    _compare(spec.fn(non_utc, SF), spec.oracle)
-
-
-def test_timestamp_formatting_survives_non_utc_session(non_utc):
-    """date_format wire output (F7) is wall-clock UTC regardless of
-    driver session zone."""
-    from vbb_data_pipeline_spark.queries import all_queries
-
-    spec = all_queries()["json_wire_roundtrip"]
+    spec = all_queries()[name]
     _compare(spec.fn(non_utc, SF), spec.oracle)
 
 
