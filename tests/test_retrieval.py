@@ -106,6 +106,54 @@ def test_postings_consistent_with_query_path(spark, docs):
     assert doclen.count() == docs.count()
 
 
+def test_index_path_matches_query_path(spark, docs, tmp_path):
+    """bm25_topk_from_index must return EXACTLY bm25_topk's answer."""
+    from vbb_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+
+    path = str(tmp_path / "bm25_idx")
+    bm25_write_index(docs, path, n_buckets=16)
+    want = sorted(map(tuple, bm25_topk(spark, docs, QUERIES, k=10).collect()))
+    got = sorted(
+        map(tuple, bm25_topk_from_index(spark, path, QUERIES, k=10).collect())
+    )
+    assert got == want
+
+
+def test_index_probe_prunes_buckets(spark, docs, tmp_path):
+    """The probe's postings scan must carry the bucket predicate as a
+    partition filter (file-level pruning) — reading every bucket for a
+    3-term query would defeat the at-rest layout."""
+    from vbb_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        bm25_write_index,
+    )
+    from vbb_data_pipeline_spark.plans import formatted
+
+    path = str(tmp_path / "bm25_idx")
+    bm25_write_index(docs, path, n_buckets=16)
+    df = bm25_topk_from_index(spark, path, QUERIES, k=5)
+    plan = formatted(df)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("bucket" in l and "IN" in l for l in part_lines), part_lines
+
+
+def test_index_write_is_bucket_aligned(spark, docs, tmp_path):
+    """One file per bucket directory (repartition-before-partitionBy),
+    not one file per task."""
+    import glob
+
+    from vbb_data_pipeline_spark.operators.retrieval import bm25_write_index
+
+    path = str(tmp_path / "bm25_idx")
+    bm25_write_index(docs, path, n_buckets=8)
+    for d in glob.glob(f"{path}/postings/bucket=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+
+
 def test_bm25_plan_posture(spark, docs):
     """Query path: no cartesian/python; bounded exchanges (doc-length
     agg, matched-tf agg, score agg, top-k window + AQE reads)."""

@@ -35,7 +35,12 @@ from pyspark.sql.window import Window
 
 from vbb_data_pipeline_spark.functions.text import tokens
 
-__all__ = ["build_postings", "bm25_topk"]
+__all__ = [
+    "build_postings",
+    "bm25_topk",
+    "bm25_write_index",
+    "bm25_topk_from_index",
+]
 
 K1 = 1.2
 B = 0.75
@@ -112,6 +117,136 @@ def bm25_topk(
     )
     comp = (
         tf.join(F.broadcast(qterms), "term")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(idf * tf_norm * SCORE_SCALE).cast("long").alias("comp_u"),
+        )
+    )
+    scores = comp.groupBy("qid", "doc_id").agg(
+        F.sum("comp_u").alias("score_u")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_u").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            (F.col("score_u") / float(SCORE_SCALE)).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# At-rest inverted index (bucket-partitioned postings, pruned probes)
+# ---------------------------------------------------------------------------
+# The same construction as the persisted IVF index (similarity.py):
+# postings land partitioned by a term-hash bucket, so a query reads
+# ONLY the buckets its terms hash to — partition pruning at the file
+# level, then a row-level term filter inside those buckets. Document
+# lengths and the (n_docs, total_dl, n_buckets) stats row are stored
+# beside the postings; nothing at query time ever rescans the corpus.
+
+
+def _term_bucket(term, n_buckets: int):
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def bm25_write_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the inverted index at ``path``.
+
+    ``postings/`` is partitioned by ``bucket = xxhash64(term) mod
+    n_buckets`` — repartitioned on the bucket before the write so each
+    partition directory is one file, not one file per task (the
+    cell-aligned layout lesson from the IVF index). ``doclen/`` and
+    the single-row ``stats/`` table complete the scoring inputs.
+    """
+    spark = df.sparkSession
+    postings, doclen = build_postings(df, id_col, text_col)
+    (
+        postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k BM25 from the at-rest index — identical results to
+    :func:`bm25_topk` on the indexed corpus.
+
+    Query cost is proportional to the probed buckets' postings, never
+    the corpus: the bucket predicate prunes partitions at file level
+    (assert ``bucket IN …`` lands in the scan's PartitionFilters), the
+    term predicate filters rows inside them, and doc lengths join only
+    for matched documents.
+    """
+    srow = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = int(srow["n_buckets"])
+    qrows = sorted(
+        {(int(qid), t) for qid, terms in queries for t in terms}
+    )
+    qterms = spark.createDataFrame(qrows, "qid long, term string")
+    terms = sorted({t for _, t in qrows})
+    # bucket ids for the query terms, computed with the SAME engine
+    # hash expression the writer used (query-set-sized collect)
+    buckets = sorted(
+        {
+            r["bucket"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_term_bucket(F.col("term"), n_buckets).alias("bucket"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+    )
+    doclen = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats").select("n_docs", "total_dl")
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    comp = (
+        postings.join(F.broadcast(qterms), "term")
         .join(doclen, "doc_id")
         .join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(stats))
