@@ -136,6 +136,23 @@ def test_corpus_scanned_once(spark, docs):
     assert "Scan parquet" not in plan
 
 
+def test_fully_merged_word_does_not_crash(spark):
+    """Enough merges collapse a frequent word to ONE symbol; the
+    has-pair probe must guard the size before indexing (sequence(0,-1)
+    walks backwards into syms[-1] under ANSI — regression caught by
+    the sf0.1 trainer run)."""
+    df = spark.createDataFrame([("ab ab ab ab",)], "text string")
+    merges, vocab = bpe_train(df, "text", n_merges=10, min_pair_count=1)
+    rows = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+    assert rows["ab"] == ("ab" + EOW,)  # fully collapsed, single symbol
+    # python replay agrees end-to-end
+    want_merges, want_vocab = _py_bpe_train(
+        ["ab ab ab ab"], n_merges=10, min_pair_count=1
+    )
+    assert merges == want_merges
+    assert rows == want_vocab
+
+
 def test_pair_counts_weighting(spark):
     df = spark.createDataFrame(
         [("ab ab xy",)], "text string"

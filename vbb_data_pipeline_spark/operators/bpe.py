@@ -152,8 +152,12 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        # size guard first: a fully-merged word has ONE symbol, and
+        # sequence(0, -1) would walk backwards into syms[-1] (ANSI
+        # array-index error — caught by the sf0.1 trainer run, where
+        # 30 merges collapse frequent short words to single symbols)
         has_pair = F.expr(
-            f"exists(sequence(0, size(syms) - 2), "
+            f"size(syms) >= 2 AND exists(sequence(0, size(syms) - 2), "
             f"i -> syms[i] = {_sql_str(a)} AND syms[i + 1] = {_sql_str(b)})"
         )
         merge = _merge_round_udf(a, b)
