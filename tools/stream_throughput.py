@@ -44,10 +44,10 @@ FILES = int(os.environ.get("STREAM_TP_FILES", "32"))
 FILES_PER_TRIGGER = int(os.environ.get("STREAM_TP_TRIGGER", "2"))
 
 
-def drain(stream_df, name: str) -> dict:
+def drain(stream_df, name: str, output_mode: str = "update") -> dict:
     q = (
         stream_df.writeStream.format("noop")
-        .outputMode("update")
+        .outputMode(output_mode)
         .queryName(f"{name}_{uuid.uuid4().hex[:6]}")
         .trigger(processingTime="0 seconds")
         .start()
@@ -146,6 +146,41 @@ def main() -> None:
             wire, center_lat=52.5208, center_lon=13.4095, radius_m=500_000.0
         )
         results["geo_filter"] = drain(geo, "geo_filter")
+
+        # stream-stream interval join (the ss_join registry shape):
+        # both sides watermarked, event-time range in the condition —
+        # state bounded by the interval
+        views = (
+            source()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                "user_id",
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 hour")
+        )
+        purchases = (
+            source()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        ssj = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")
+            ),
+        )
+        # joins only support append mode
+        results["stream_stream_join"] = drain(ssj, "ss_join", "append")
 
         out = {
             "sf_dir": sf_dir,
