@@ -34,7 +34,12 @@ def _py_tokens(text: str) -> list[str]:
 
 def _py_bm25(rows, queries, k):
     toks = {doc_id: _py_tokens(text) for doc_id, text in rows}
-    dl = {d: len(ts) for d, ts in toks.items()}
+    # operator contract: corpus stats cover token-BEARING documents
+    # (doclen is derived from the token stream, so zero-token docs
+    # contribute neither to n_docs nor avgdl)
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    if not dl:
+        return []
     n_docs = len(dl)
     avgdl = sum(dl.values()) / n_docs
     tf: dict[tuple[str, int], int] = collections.Counter()

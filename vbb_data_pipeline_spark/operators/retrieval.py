@@ -86,6 +86,11 @@ def bm25_topk(
     way :func:`vbb_data_pipeline_spark.functions.text.tokens` would
     (lowercase alnum runs); duplicate terms are ignored (standard
     short-query BM25 drops query tf).
+
+    Corpus statistics (``n_docs``, ``avgdl``) cover token-BEARING
+    documents: doc lengths derive from the token stream, so a
+    zero-token document contributes to neither (it can never match a
+    query anyway).
     """
     qrows = sorted(
         {(int(qid), t) for qid, terms in queries for t in terms}
