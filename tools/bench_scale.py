@@ -122,6 +122,8 @@ def q_e4_spangate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def main() -> None:
     sf_dir = sys.argv[1]
     out_path = sys.argv[2]
+    only = set(sys.argv[3:])  # optional name filter: run a chunk and
+    # merge JSONs (long batteries can exceed one wrapper timeout)
     registry = {n: spec.fn for n, spec in all_queries().items()}
     registry.update(legacy_queries())
     names = [n for n in HEADLINE + OPTIONAL + EXTRA_REGISTRY if n in registry]
@@ -136,6 +138,8 @@ def main() -> None:
         ("e4_corpus_prep", q_e4),
         ("e4_corpus_prep_spangate", q_e4_spangate),
     ]
+    if only:
+        runs = [(n, f) for n, f in runs if n in only]
 
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
