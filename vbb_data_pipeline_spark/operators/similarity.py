@@ -1149,6 +1149,136 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") — cluster-scoped
+    semantic dedup for training corpora.
+
+    The construction from the paper: k-means-cluster the embedding
+    space, then compare each document ONLY against its own cluster
+    (the cluster is the candidate block, so there is never a corpus-
+    wide pair stage); within a cluster a document is a semantic
+    duplicate if its cosine to some better-keep-priority document
+    exceeds ``threshold``. Keep priority follows the paper's published
+    choice — LOW similarity to the cluster centroid first (they keep
+    the *atypical* representative of each duplicate group) — with the
+    document id as the deterministic tiebreak, and "duplicate of a
+    better-ranked doc" is the paper's upper-triangular max over the
+    within-cluster similarity matrix (a dropped doc still suppresses
+    worse-ranked near-copies, so no sequential sweep is needed).
+
+    Scale design (100 TB posture):
+
+    * ``centroids`` come from the bounded sample-to-driver trainer
+      (:func:`kmeans_centroids_local` / the BLAS tier) and broadcast;
+      cell assignment is one map-side argmax aggregate — the corpus
+      shuffles once, keyed by ``cell_id``.
+    * The pair stage is an equi-join on ``cell_id``: quadratic per
+      CELL, linear in cells. ``n_cells`` is the scale lever (the
+      paper runs 110k clusters for LAION-440M); ``max_cell_size`` is
+      the degenerate-cell backstop, mirroring
+      :func:`embedding_neardup_pairs`'s bucket cap.
+    * Only ``(cell_id, rank, id, vec)`` rows enter the pair join; the
+      aggregate folds each doc's candidate rows to ONE row map-side
+      (max of rounded cosine), so the post-join exchange carries N
+      rows.
+
+    Deterministic and engine-replayable: centroid cosines round
+    HALF_UP at ``round_digits`` before ranking, pair cosines before
+    the max; the DuckDB oracle replays training, ranking and the
+    upper-triangular max bit-for-bit.
+
+    Returns ``(id, cell_id, rnk, max_cos_better, dropped)`` — an
+    auditable report (one row per input doc) rather than the filtered
+    corpus, so the keep/drop decision itself is the checked artifact;
+    callers filter ``~dropped`` and join back by id (wide doc columns
+    never enter the pair stage).
+    """
+    cent = centroids.select(
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.col(vec_col).alias("_mv"),
+    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+    v = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v"), dim))
+    scored = v.join(F.broadcast(cent)).select(
+        id_col,
+        "_v",
+        "cell_id",
+        F.round(
+            dot(F.col("_v"), F.col("_mv"), dim)
+            / F.greatest(F.col("_n") * F.col("_mn"), F.lit(1e-12)),
+            round_digits,
+        ).alias("_ccos"),
+    )
+    assigned = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_ccos").alias("c"),
+                (-F.col("cell_id")).cast("long").alias("negid"),
+                F.col("_v").alias("v"),
+            )
+        ).alias("_m")
+    ).select(
+        id_col,
+        (-F.col("_m.negid")).alias("cell_id"),
+        F.col("_m.c").alias("_ccos"),
+        F.col("_m.v").alias("_v"),
+    )
+    if max_cell_size is not None:
+        ok = (
+            assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .filter(F.col("_cn") <= max_cell_size)
+            .select("cell_id")
+        )
+        assigned = assigned.join(F.broadcast(ok), "cell_id", "left_semi")
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("_ccos").asc(), F.col(id_col).asc()
+    )
+    ranked = assigned.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "_vn", l2_norm(F.col("_v"), dim)
+    )
+    a = ranked.alias("a")  # candidate under test
+    b = ranked.alias("b")  # better keep-priority docs in the same cell
+    pair_cos = F.round(
+        dot(F.col("a._v"), F.col("b._v"), dim)
+        / F.greatest(F.col("a._vn") * F.col("b._vn"), F.lit(1e-12)),
+        round_digits,
+    )
+    best = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("b.rnk") < F.col("a.rnk")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg(F.max(pair_cos).alias("max_cos_better"))
+    )
+    return (
+        ranked.join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("max_cos_better"),
+            (
+                F.coalesce(F.col("max_cos_better"), F.lit(-2.0))
+                >= F.lit(threshold)
+            ).alias("dropped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's compression half) — Jégou, Douze,
 # Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
