@@ -775,6 +775,91 @@ _LM_ORACLE = """
     """
 
 
+# DSIR (Xie et al. 2023) replay: hashed unigram+bigram buckets,
+# add-1-smoothed bucket log-ratios in micro-units (BIGINT sums), and
+# the Gumbel-top-k selection keys — identical arithmetic to
+# operators/dsir.py. Constants shared with the Spark side below.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP_N = 100
+_DSIR_SEED = "dsir-7"
+_DSIR_U_DENOM = "1152921504606846977.0"  # 2^60 + 1 (60-bit md5 hash)
+
+_DSIR_BASE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(t || CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)),
+                                       i -> t[i] || '_' || t[i + 1])
+                   ELSE [] END) AS gram
+        FROM tok
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS bucket,
+               count(*) AS c
+        FROM grams GROUP BY doc_id, lang, bucket
+    ),
+    tgt_b AS (
+        SELECT bucket, CAST(sum(c) AS BIGINT) AS n FROM feat
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    raw_b AS (
+        SELECT bucket, CAST(sum(c) AS BIGINT) AS n FROM feat GROUP BY bucket
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(n) AS BIGINT) FROM tgt_b) AS nt,
+               (SELECT CAST(sum(n) AS BIGINT) FROM raw_b) AS nr
+    ),
+    delta AS (
+        SELECT coalesce(t.bucket, r.bucket) AS bucket,
+               CAST(round((
+                   ln((coalesce(t.n, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}.0))
+                 - ln((coalesce(r.n, 0) + 1.0) / (tot.nr + {_DSIR_BUCKETS}.0))
+               ) * 1000000) AS BIGINT) AS delta_u
+        FROM tgt_b t FULL OUTER JOIN raw_b r ON t.bucket = r.bucket
+        CROSS JOIN tot
+    ),
+    logw AS (
+        SELECT f.doc_id, CAST(sum(f.c * d.delta_u) AS BIGINT) AS logw_u
+        FROM feat f JOIN delta d USING (bucket) GROUP BY f.doc_id
+    ),
+    w AS (
+        SELECT d.doc_id, coalesce(l.logw_u, 0) AS logw_u
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN logw l USING (doc_id)
+    )"""
+
+_DSIR_W_ORACLE = _DSIR_BASE + """
+    SELECT doc_id, logw_u FROM w
+    """
+
+_DSIR_SEL_ORACLE = _DSIR_BASE + f"""
+    , sel AS (
+        SELECT doc_id,
+               round(CAST(logw_u AS DOUBLE) / 1000000.0
+                     + -ln(-ln((CAST('0x' || substr(
+                           md5('{_DSIR_SEED}|' || CAST(doc_id AS VARCHAR)),
+                           1, 15) AS BIGINT) + 1) / {_DSIR_U_DENOM})),
+                     6) AS key
+        FROM w
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+        FROM sel
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_DSIR_TOP_N}
+    """
+
+
 def _quality_reports_oracle() -> str:
     from vbb_data_pipeline_spark.queries.dedup_q import DECON_ORACLE
 
@@ -788,6 +873,12 @@ def _quality_reports_oracle() -> str:
     UNION ALL
     SELECT 'lm', CAST(doc_id AS VARCHAR), score_e4
     FROM ({_LM_ORACLE}) t
+    UNION ALL
+    SELECT 'dsir', CAST(doc_id AS VARCHAR), logw_u
+    FROM ({_DSIR_W_ORACLE}) t
+    UNION ALL
+    SELECT 'dsir_sel', CAST(doc_id AS VARCHAR), rank
+    FROM ({_DSIR_SEL_ORACLE}) t
     """
 
 
@@ -810,7 +901,16 @@ def _quality_reports_oracle() -> str:
     "vocab=100 to exercise the OOV floor) — per-token log-probs in "
     "fixed-point micro-units summed as BIGINT so the mean is "
     "order-independent; scores reported in 1e-4 units in the BIGINT "
-    "n column",
+    "n column; [dsir]+[dsir_sel] DSIR data selection (Xie et al. "
+    "2023, operators/dsir.py): hashed unigram+bigram bucket models "
+    "(B={}) for target (lang='{}') vs raw, per-doc importance "
+    "log-weight = Σ c_b·(ln p_b − ln q_b) in micro-unit BIGINTs "
+    "(order-independent), then Gumbel-top-{} resampling without "
+    "replacement via deterministic md5-derived noise — both corpus "
+    "scans aggregate map-side, the log-ratio table broadcasts, and "
+    "selection is a TakeOrdered, never a corpus sort".format(
+        _DSIR_BUCKETS, _DSIR_TARGET_LANG, _DSIR_TOP_N
+    ),
 )
 def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.queries.dedup_q import decontam_report
@@ -833,4 +933,36 @@ def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("key"),
         F.round(F.col("lm_score") * 10000).cast("long").alias("n"),
     )
-    return dq.unionByName(de).unionByName(lm)
+    from vbb_data_pipeline_spark.operators.dsir import (
+        dsir_logweights,
+        gumbel_topk,
+    )
+
+    dd = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    weights = dsir_logweights(
+        dd,
+        dd.filter(F.col("lang") == _DSIR_TARGET_LANG),
+        "text",
+        "doc_id",
+        n_buckets=_DSIR_BUCKETS,
+    )
+    dsir_w = weights.select(
+        F.lit("dsir").alias("report"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("logw_u").alias("n"),
+    )
+    dsir_sel = gumbel_topk(
+        weights, _DSIR_TOP_N, _DSIR_SEED, "doc_id"
+    ).select(
+        F.lit("dsir_sel").alias("report"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("rank").cast("long").alias("n"),
+    )
+    return (
+        dq.unionByName(de)
+        .unionByName(lm)
+        .unionByName(dsir_w)
+        .unionByName(dsir_sel)
+    )
