@@ -167,3 +167,122 @@ def test_pair_counts_weighting(spark):
     assert pc[("b", EOW)] == 2
     assert pc[("x", "y")] == 1
     assert pc[("y", EOW)] == 1
+
+
+# ---------------------------------------------------------------------------
+# Corpus encoding → token ids (bpe_encode_corpus) — the tokenizer
+# plane's second half: train on the word table, encode every document
+# in order, feed sequence packing with real token counts.
+# ---------------------------------------------------------------------------
+def _py_encode_word(word, merges):
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _py_encode_corpus(texts_by_id, merges):
+    """Sequential replay: subword -> dense lexicographic id, then the
+    per-doc ordered id stream."""
+    all_sub = set()
+    enc_word = {}
+    for t in texts_by_id.values():
+        for w in _py_tokens(t):
+            if w not in enc_word:
+                enc_word[w] = _py_encode_word(w, merges)
+                all_sub.update(enc_word[w])
+    ids = {s: i for i, s in enumerate(sorted(all_sub))}
+    return {
+        did: [ids[s] for w in _py_tokens(t) for s in enc_word[w]]
+        for did, t in texts_by_id.items()
+    }, ids
+
+
+def test_encode_corpus_matches_sequential_replay(spark, docs):
+    from vbb_data_pipeline_spark.operators.bpe import bpe_encode_corpus
+
+    merges, _ = bpe_train(docs, "text", n_merges=10)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want, want_ids = _py_encode_corpus(texts, merges)
+
+    encoded, vocab = bpe_encode_corpus(docs, merges)
+    got = {
+        r["doc_id"]: list(r["token_ids"]) for r in encoded.collect()
+    }
+    assert got == want
+    got_ids = {
+        r["subword"]: r["token_id"] for r in vocab.collect()
+    }
+    assert got_ids == want_ids
+
+
+def test_encode_corpus_partitioning_invariant(spark, docs):
+    from vbb_data_pipeline_spark.operators.bpe import bpe_encode_corpus
+
+    merges, _ = bpe_train(docs, "text", n_merges=6)
+    a, _ = bpe_encode_corpus(docs.repartition(1), merges)
+    b, _ = bpe_encode_corpus(docs.repartition(9, "doc_id"), merges)
+    ga = {r["doc_id"]: list(r["token_ids"]) for r in a.collect()}
+    gb = {r["doc_id"]: list(r["token_ids"]) for r in b.collect()}
+    assert ga == gb
+
+
+def test_encode_corpus_roundtrip_decodes(spark, docs):
+    """Concatenating a doc's subwords and stripping EOW reproduces its
+    token stream (the EOW marker makes decoding unambiguous)."""
+    from vbb_data_pipeline_spark.operators.bpe import bpe_encode_corpus
+
+    merges, _ = bpe_train(docs, "text", n_merges=10)
+    encoded, vocab = bpe_encode_corpus(docs, merges)
+    inv = {r["token_id"]: r["subword"] for r in vocab.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in encoded.collect():
+        decoded = "".join(inv[i] for i in r["token_ids"]).split(EOW)
+        decoded = [w for w in decoded if w]
+        assert decoded == _py_tokens(texts[r["doc_id"]])
+
+
+def test_encode_corpus_empty_doc_row_kept(spark):
+    from vbb_data_pipeline_spark.operators.bpe import bpe_encode_corpus
+
+    d = spark.createDataFrame(
+        [(1, "aa ab"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    merges = [("a", "a")]
+    encoded, _ = bpe_encode_corpus(d, merges)
+    got = {r["doc_id"]: (list(r["token_ids"]), r["n_tokens"]) for r in encoded.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == ([], 0) and got[3] == ([], 0)
+    assert got[1][1] == len(got[1][0]) > 0
+
+
+def test_encode_feeds_pack_sequences(spark, docs):
+    """End-to-end tokenizer -> packing: n_tokens from the encoder
+    drives pack_sequences; spans partition the shard streams exactly."""
+    from vbb_data_pipeline_spark.operators.bpe import bpe_encode_corpus
+    from vbb_data_pipeline_spark.operators.sampling import pack_sequences
+
+    merges, _ = bpe_train(docs, "text", n_merges=6)
+    encoded, _ = bpe_encode_corpus(docs, merges)
+    plan = pack_sequences(
+        encoded, "doc_id", "n_tokens", seq_len=128, n_shards=4, seed="t"
+    )
+    rows = plan.collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        off = 0
+        for r in rs:
+            assert r["start_off"] == off
+            off = r["end_off"]

@@ -45,6 +45,8 @@ __all__ = [
     "pair_counts",
     "bpe_train",
     "bpe_encode_words",
+    "bpe_vocab",
+    "bpe_encode_corpus",
 ]
 
 # End-of-word marker (Sennrich et al. §3.2): distinguishes "est" in
@@ -205,3 +207,123 @@ def bpe_encode_words(
         return col.map(one)
 
     return words.withColumn("subwords", encode(F.col("word")))
+
+
+def bpe_vocab(encoded_words: DataFrame) -> DataFrame:
+    """Deterministic ``(subword, token_id)`` table from encoded words.
+
+    Ids are dense ranks over the lexicographically sorted distinct
+    subwords — engine- and partitioning-independent, so two clusters
+    (or a sequential replay) assign identical ids. Vocab-scale rows
+    only; the single-partition window is a few-thousand-row ranking,
+    not corpus data.
+    """
+    from pyspark.sql.window import Window
+
+    return (
+        encoded_words.select(F.explode("subwords").alias("subword"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy("subword")).cast("long") - 1,
+        )
+    )
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: bool = True,
+    vocab: DataFrame | None = None,
+    broadcast_words: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Tokenize a corpus into integer token ids with a trained merge
+    table: returns ``(encoded, vocab)`` where ``encoded`` is
+    ``(id_col, token_ids array<bigint>, n_tokens)`` and ``vocab`` is
+    the ``(subword, token_id)`` table actually used.
+
+    This is the corpus half the trainer deliberately never does
+    (``bpe_train`` touches only the distinct-word table); together
+    they complete the tokenizer plane: train → encode → feed
+    ``operators/sampling.pack_sequences`` with real token counts.
+
+    Scale design (100 TB posture):
+
+    * The merge loop runs ONCE per distinct word
+      (:func:`bpe_encode_words` on the vocab-scale word table), never
+      per occurrence — by Heaps' law the Arrow stage sees ~√corpus
+      rows. Documents then broadcast-join the tiny word→ids table.
+    * Document order is preserved without re-milling text: the corpus
+      explodes to ``(doc, word_pos, word)`` ints + word, joins the
+      broadcast lookup, and re-assembles with one groupBy(doc) whose
+      rows are ``(pos, ids)`` pairs — ``array_sort`` on the collected
+      structs restores order deterministically regardless of
+      partitioning (no window over the corpus, no global sort).
+    * ``vocab`` ids are dense lexicographic ranks (vocab-scale
+      window), so the id space is stable across engines and runs; a
+      precomputed ``vocab`` can be passed to pin ids across corpus
+      batches (new subwords would otherwise reshuffle ranks —
+      incremental batches should reuse the training vocab).
+    * ``broadcast_words`` hints the word→ids join. Default True
+      (distinct words comfortably broadcast at any tested scale);
+      flip to False when the distinct-word table outgrows executor
+      memory (billions of distinct "words" — CJK or noisy bytes) and
+      the join becomes a word-keyed shuffle instead, still never
+      re-running the merge loop per occurrence.
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+    )
+    distinct_words = toks.select("word").distinct()
+    encoded_words = bpe_encode_words(distinct_words, merges, eow=eow)
+    if vocab is None:
+        vocab = bpe_vocab(encoded_words)
+    # word -> ordered id list, via the (vocab-scale) subword table
+    word_ids = (
+        encoded_words.select(
+            "word", F.posexplode("subwords").alias("sp", "subword")
+        )
+        .join(F.broadcast(vocab), "subword")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sp"), F.col("token_id")))
+                ),
+                lambda s: s["token_id"],
+            ).alias("ids")
+        )
+    )
+    wi = F.broadcast(word_ids) if broadcast_words else word_ids
+    encoded = (
+        toks.join(wi, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("ids")))
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+    )
+    # empty documents keep a row (zero tokens), like token_count
+    encoded = (
+        docs.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("token_ids"), F.array().cast("array<bigint>")
+            ).alias("token_ids"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    return encoded, vocab
