@@ -1,0 +1,154 @@
+"""E5 continuous corpus ingestion (streaming/ingest.py): REAL
+Structured Streaming (file source → foreachBatch) composing the
+quality gate, intra-batch dedup and the at-rest incremental dedup
+index; crash-replay idempotency; audit completeness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.streaming.ingest import (
+    corpus_ingest_batch,
+    write_stream_corpus_ingest,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the dog "
+    "chases the fox around the yard while the cat watches from the "
+    "fence and the birds sing in the trees above the garden wall "
+    "until the sun goes down over the hills in the evening light"
+)
+GOOD2 = (
+    "a steady rain fell on the old town square where the market "
+    "stalls stood in rows and the vendors called out their wares to "
+    "the people passing by with umbrellas and baskets full of bread "
+    "and fruit from the farms beyond the river crossing at dawn"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _paths(tmp_path):
+    return (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        str(tmp_path / "audit"),
+    )
+
+
+@pytest.fixture()
+def kw(tmp_path):
+    corpus, index, audit = _paths(tmp_path)
+    return dict(
+        corpus_path=corpus,
+        index_path=index,
+        audit_path=audit,
+        min_quality=0.3,
+        hash_mode="oracle",
+    )
+
+
+def _statuses(spark, audit_path):
+    return {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(audit_path).collect()
+    }
+
+
+def test_first_batch_all_paths(spark, kw):
+    batch = _docs(
+        spark,
+        [
+            (1, GOOD),
+            (2, GOOD2),
+            (3, GOOD),        # intra-batch exact dup of 1
+            (4, "x!!! ???"),  # junk → low_quality
+        ],
+    )
+    corpus_ingest_batch(batch, 0, **kw)
+    got = _statuses(spark, kw["audit_path"])
+    assert got == {1: "new", 2: "new", 3: "batch_dup", 4: "low_quality"}
+    corpus_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(kw["corpus_path"]).collect()
+    )
+    assert corpus_ids == [1, 2]
+
+
+def test_second_batch_probes_index(spark, kw):
+    corpus_ingest_batch(_docs(spark, [(1, GOOD), (2, GOOD2)]), 0, **kw)
+    # 10: exact dup of 1 (same fingerprint); 11: near dup of 2
+    # (one word changed); 12: genuinely new
+    near = GOOD2.replace("umbrellas", "raincoats")
+    new_text = (
+        "deep in the forest a narrow path wound between tall pines "
+        "and mossy stones toward a clearing where a small cabin "
+        "stood with smoke rising from its chimney into the cold "
+        "morning air as deer grazed quietly near the frozen stream"
+    )
+    corpus_ingest_batch(
+        _docs(spark, [(10, GOOD), (11, near), (12, new_text)]), 1, **kw
+    )
+    got = _statuses(spark, kw["audit_path"])
+    assert got[10] == "exact_dup"
+    assert got[11] == "near_dup"
+    assert got[12] == "new"
+    dup_of = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(kw["audit_path"]).collect()
+    }
+    assert dup_of[10] == 1 and dup_of[11] == 2
+    corpus_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(kw["corpus_path"]).collect()
+    )
+    assert corpus_ids == [1, 2, 12]
+
+
+def test_crash_replay_is_noop(spark, kw):
+    batch = _docs(spark, [(1, GOOD), (2, GOOD2)])
+    corpus_ingest_batch(batch, 0, **kw)
+    before_corpus = spark.read.parquet(kw["corpus_path"]).count()
+    before_audit = spark.read.parquet(kw["audit_path"]).count()
+    # the same batch replays (crash between write and checkpoint)
+    corpus_ingest_batch(batch, 0, **kw)
+    assert spark.read.parquet(kw["corpus_path"]).count() == before_corpus
+    assert spark.read.parquet(kw["audit_path"]).count() == before_audit
+    # index did not grow either: probing a copy still says exact_dup
+    corpus_ingest_batch(_docs(spark, [(50, GOOD)]), 1, **kw)
+    got = _statuses(spark, kw["audit_path"])
+    assert got[50] == "exact_dup"
+
+
+def test_streaming_end_to_end(spark, tmp_path, kw):
+    """Real readStream over a landing directory, two availableNow
+    passes — the second landing dedupes against the first's index."""
+    landing = str(tmp_path / "landing")
+    _docs(spark, [(1, GOOD), (2, GOOD2)]).write.mode("append").parquet(
+        landing
+    )
+    q = write_stream_corpus_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(landing),
+        checkpoint=str(tmp_path / "ckpt"),
+        **kw,
+    )
+    q.awaitTermination(120)
+    # second landing: one dup of an already-ingested doc, one new
+    _docs(spark, [(20, GOOD), (21, GOOD2 + " extra words here")]).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = write_stream_corpus_ingest(
+        spark.readStream.schema("doc_id long, text string").parquet(landing),
+        checkpoint=str(tmp_path / "ckpt"),
+        **kw,
+    )
+    q2.awaitTermination(120)
+    got = _statuses(spark, kw["audit_path"])
+    assert got[1] == "new" and got[2] == "new"
+    assert got[20] == "exact_dup"
+    assert got[21] in ("near_dup", "new")  # one-edit near boundary
+    corpus_ids = {
+        r["doc_id"] for r in spark.read.parquet(kw["corpus_path"]).collect()
+    }
+    assert {1, 2} <= corpus_ids and 20 not in corpus_ids

@@ -1,0 +1,200 @@
+"""E5 — continuous corpus ingestion (Structured Streaming over the
+training-data plane).
+
+The batch pipeline (``pipelines.e4_corpus_prep``) curates a corpus in
+one pass; real corpora GROW — crawls land continuously, and each
+landing must be quality-gated and deduped against EVERYTHING ingested
+so far without re-milling the existing corpus. This module is that
+loop, composed from the already-proven pieces:
+
+* the at-rest, text-free dedup index (``operators/dedup.
+  dedup_index_write`` / ``dedup_incremental``) holds the corpus's
+  dedup state — constant bytes per document;
+* every micro-batch is quality-gated (C4/Gopher-style score), deduped
+  WITHIN the batch (fingerprint keep-lowest-id), probed against the
+  index, and only ``status='new'`` survivors are appended to the
+  corpus + the index;
+* an audit table records every verdict (including replays), so the
+  ingest is explainable after the fact.
+
+Effectively-once under crash-replay: a micro-batch replayed after a
+crash between write and checkpoint commit re-probes ids already in
+the index; the ``id_col`` anti-join guard filters them out FIRST, so
+the corpus, index and audit gain zero rows on replay — the streaming
+twin of the reference's conflict-ignoring INSERT
+(``utils/__init__.py:55-56``), like ``sinks.write_stream_idempotent``.
+
+Scale posture: per micro-batch work is (batch × index-probe) joins —
+the index read prunes to the batch's band buckets, the corpus text is
+never read, and appends are plain parquet file adds. State lives in
+storage, not executor memory, so the stream survives restarts and
+scales with the index, not the stream history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _existing_ids(spark, index_path: str, id_col: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_path}/fps").select(id_col)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def corpus_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    *,
+    corpus_path: str,
+    index_path: str,
+    audit_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+    hash_mode: str = "fast",
+) -> None:
+    """Ingest ONE micro-batch (also usable for plain batch loads).
+
+    Verdicts appended to ``audit_path`` per input doc:
+    ``low_quality`` / ``batch_dup`` / ``exact_dup`` / ``near_dup`` /
+    ``new`` (with ``dup_of`` and ``similarity`` where applicable).
+    Only ``new`` docs reach ``corpus_path`` and the index.
+    """
+    from vbb_data_pipeline_spark.functions.text import (
+        fingerprint,
+        quality_score,
+    )
+    from vbb_data_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+
+    spark = batch.sparkSession
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+
+    # 0. replay guard: ids already ingested contribute nothing
+    seen = _existing_ids(spark, index_path, id_col)
+    if seen is not None:
+        batch = batch.join(seen, id_col, "left_anti")
+    # the batch is re-read by several branches below; localCheckpoint
+    # keeps the file-source lineage from re-running per branch
+    batch = batch.localCheckpoint(eager=True)
+
+    # 1. quality gate
+    scored = batch.withColumn("_q", quality_score(text_col))
+    low = scored.filter(F.col("_q") < F.lit(float(min_quality)))
+    ok = scored.filter(F.col("_q") >= F.lit(float(min_quality))).drop("_q")
+
+    # 2. intra-batch exact dedup (fingerprint keep-lowest-id)
+    fped = ok.withColumn("_fp", fingerprint(text_col))
+    keeper = fped.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    fped = fped.join(F.broadcast(keeper), "_fp")
+    batch_dup = fped.filter(F.col(id_col) != F.col("_keep"))
+    uniq = fped.filter(F.col(id_col) == F.col("_keep")).drop("_fp", "_keep")
+
+    # 3. probe the at-rest index (first batch: everything is new)
+    if seen is None:
+        verdicts = uniq.select(
+            F.col(id_col),
+            F.lit("new").alias("status"),
+            null_l.alias("dup_of"),
+            null_d.alias("similarity"),
+        )
+    else:
+        verdicts = dedup_incremental(
+            uniq,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+            bands=bands,
+            threshold=threshold,
+            hash_mode=hash_mode,
+        ).select(id_col, "status", "dup_of", "similarity")
+    verdicts = verdicts.localCheckpoint(eager=True)
+
+    # 4. append survivors to the corpus and the index
+    new_ids = verdicts.filter(F.col("status") == "new").select(id_col)
+    survivors = uniq.join(F.broadcast(new_ids), id_col, "left_semi")
+    survivors.write.mode("append").parquet(corpus_path)
+    dedup_index_write(
+        survivors,
+        index_path,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        hash_mode=hash_mode,
+        mode="append",
+    )
+
+    # 5. audit every verdict (batch-scoped, append-only)
+    audit = (
+        verdicts.unionByName(
+            low.select(
+                F.col(id_col),
+                F.lit("low_quality").alias("status"),
+                null_l.alias("dup_of"),
+                null_d.alias("similarity"),
+            )
+        )
+        .unionByName(
+            batch_dup.select(
+                F.col(id_col),
+                F.lit("batch_dup").alias("status"),
+                F.col("_keep").cast("long").alias("dup_of"),
+                F.lit(1.0).alias("similarity"),
+            )
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    )
+    audit.write.mode("append").parquet(audit_path)
+
+
+def write_stream_corpus_ingest(
+    stream_df: DataFrame,
+    *,
+    corpus_path: str,
+    index_path: str,
+    audit_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    **opts,
+):
+    """Start the E5 ingestion stream: ``readStream`` of landing docs →
+    per-batch quality gate + corpus-wide incremental dedup →
+    idempotent appends. Returns the started query; ``opts`` forward to
+    :func:`corpus_ingest_batch`."""
+
+    def _on_batch(batch: DataFrame, batch_id: int) -> None:
+        corpus_ingest_batch(
+            batch,
+            batch_id,
+            corpus_path=corpus_path,
+            index_path=index_path,
+            audit_path=audit_path,
+            **opts,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_on_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
