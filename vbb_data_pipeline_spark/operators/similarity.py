@@ -1158,6 +1158,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     round_digits: int = 5,
     max_cell_size: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication") — cluster-scoped
@@ -1248,6 +1249,13 @@ def semantic_dedup(
     ranked = assigned.withColumn("rnk", F.row_number().over(w)).withColumn(
         "_vn", l2_norm(F.col("_v"), dim)
     )
+    if checkpoint:
+        # the ranked assignment feeds BOTH self-join sides and the
+        # final report; materialize it once so the broadcast-centroid
+        # scoring pass doesn't re-execute per consumer (at rest this
+        # is the ivf_write_index pattern — assignment persisted, pair
+        # stage reads it)
+        ranked = ranked.localCheckpoint(eager=True)
     a = ranked.alias("a")  # candidate under test
     b = ranked.alias("b")  # better keep-priority docs in the same cell
     pair_cos = F.round(

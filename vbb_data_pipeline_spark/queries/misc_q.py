@@ -947,7 +947,8 @@ def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
         n_buckets=_DSIR_BUCKETS,
-    )
+    ).localCheckpoint(eager=True)  # (doc_id, logw_u) — one scalar per
+    # doc, consumed by both the weights leg and the selection leg
     dsir_w = weights.select(
         F.lit("dsir").alias("report"),
         F.col("doc_id").cast("string").alias("key"),
