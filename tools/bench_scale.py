@@ -60,6 +60,8 @@ EXTRA_REGISTRY = [
     "text_token_stats",
     "quality_reports",
     "layout_export_battery",
+    # round-5 late additions: SemDeDup leg + DSIR legs ride these
+    "sim_embedding_neardup",
 ]
 
 
@@ -119,6 +121,33 @@ def q_e4_spangate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the PRODUCTION knob: cell count scales with the
+    corpus (~128 vectors/cell, BLAS trainer) so the within-cell pair
+    stage stays constant-sized per cell — the paper's construction
+    (110k cells for LAION-440M). The registry leg deliberately pins
+    n_cells=16 for bit-level SQL replayability, which is quadratic
+    past gate scales; THIS entry is the scale path and should track
+    ~linear across decades."""
+    from vbb_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids_numpy,
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    cells = max(16, n // 128)
+    cent = kmeans_centroids_numpy(
+        e,
+        n_cells=cells,
+        iters=3,
+        cache_key=f"{sf_dir}|semdedup|{cells}",
+    )
+    return semantic_dedup(
+        e, cent, dim=64, threshold=0.35, max_cell_size=4096
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1]
     out_path = sys.argv[2]
@@ -137,6 +166,7 @@ def main() -> None:
         ("pagerank_lineitem", q_pagerank),
         ("e4_corpus_prep", q_e4),
         ("e4_corpus_prep_spangate", q_e4_spangate),
+        ("semdedup_scaled", q_semdedup_scaled),
     ]
     if only:
         runs = [(n, f) for n, f in runs if n in only]
@@ -156,6 +186,15 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"  {name}: steady {times[name]}s first {first_run[name]}s",
               file=sys.stderr)
+
+    # subset runs MERGE into an existing same-sf artifact (new names
+    # win) instead of clobbering the full battery
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f)
+        if old.get("sf_dir") == sf_dir:
+            times = {**old.get("queries", {}), **times}
+            first_run = {**old.get("first_run", {}), **first_run}
 
     result = {
         "sf_dir": sf_dir,
