@@ -244,3 +244,157 @@ def test_write_zordered_rejects_all_null_column(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="all-NULL"):
         write_zordered(df, str(tmp_path / "z"), ["x", "y"], num_files=2)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering (sources/layout.hilbert_key_2d +
+# write_hilbert_clustered) — exactness vs the classic xy2d reference,
+# curve properties, and the measured file-stat spread vs Z-order.
+# ---------------------------------------------------------------------------
+def _rot(n, x, y, rx, ry):
+    if ry == 0:
+        if rx == 1:
+            x, y = n - 1 - x, n - 1 - y
+        x, y = y, x
+    return x, y
+
+
+def _xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        x, y = _rot(n, x, y, rx, ry)
+        s //= 2
+    return d
+
+
+def _d2xy(n, d):
+    x = y = 0
+    t, s = d, 1
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        x, y = _rot(s, x, y, rx, ry)
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def test_hilbert_key_matches_reference_and_is_bijection(spark):
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.sources.layout import hilbert_key_2d
+
+    bits = 5
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.withColumn(
+            "d", hilbert_key_2d(F.col("x"), F.col("y"), bits)
+        ).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == _xy2d(n, x, y)
+    assert sorted(got.values()) == list(range(n * n))
+
+
+def test_hilbert_consecutive_keys_are_adjacent_cells():
+    # the locality property z-order lacks: |Δx|+|Δy| == 1 between
+    # consecutive curve positions (checked on the python twin the
+    # Spark fold was proven equal to above)
+    n = 1 << 5
+    prev = _d2xy(n, 0)
+    for d in range(1, n * n):
+        cur = _d2xy(n, d)
+        assert abs(cur[0] - prev[0]) + abs(cur[1] - prev[1]) == 1, d
+        prev = cur
+
+
+def test_hilbert_key_rejects_bad_bits():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.sources.layout import hilbert_key_2d
+
+    with pytest.raises(ValueError):
+        hilbert_key_2d(F.col("x"), F.col("y"), bits=32)
+    with pytest.raises(ValueError):
+        hilbert_key_2d(F.col("x"), F.col("y"), bits=0)
+
+
+def test_write_hilbert_clusters_both_dimensions(spark, tmp_path):
+    """Same harness as the z-order spread test; Hilbert must cluster
+    the second dimension at least as well (its selling point)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        write_hilbert_clustered,
+        write_range_sorted,
+        write_zordered,
+    )
+
+    n = 1 << 12
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") * 2654435761 % n).alias("x"),
+            (F.col("id") * 40503 % n).alias("y"),
+        )
+        .localCheckpoint()
+    )
+
+    def total_spread(path: str, col: str) -> int:
+        spread = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq_.read_metadata(f)
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            idx = names.index(col)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spread += hi - lo
+        return spread
+
+    p_sorted = str(tmp_path / "xsorted")
+    p_h = str(tmp_path / "hilbert")
+    p_z = str(tmp_path / "zordered")
+    write_range_sorted(df, p_sorted, ["x"], num_files=16)
+    write_hilbert_clustered(df, p_h, ["x", "y"], num_files=16)
+    write_zordered(df, p_z, ["x", "y"], num_files=16)
+
+    assert total_spread(p_h, "x") < 8 * n
+    y_sorted = total_spread(p_sorted, "y")
+    y_h = total_spread(p_h, "y")
+    y_z = total_spread(p_z, "y")
+    assert y_h < y_sorted * 0.5, (y_h, y_sorted)
+    # hilbert's y-spread should be in z-order's league or tighter
+    assert y_h <= y_z * 1.25, (y_h, y_z)
+
+
+def test_write_hilbert_rejects_non_2d(spark, tmp_path):
+    import pytest
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        write_hilbert_clustered,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    with pytest.raises(ValueError):
+        write_hilbert_clustered(
+            df, str(tmp_path / "h3"), ["a", "b", "c"], num_files=2
+        )

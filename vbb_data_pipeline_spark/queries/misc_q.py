@@ -582,6 +582,94 @@ def _zorder_oracle() -> str:
     """
 
 
+def _hilbert_oracle() -> str:
+    """DuckDB twin of sources/layout.hilbert_key_2d over the same
+    bucketized (user_id, epoch-seconds) inputs as the zorder leg: the
+    per-bit quadrant/rotate state machine unrolled as one chained CTE
+    per bit level — identical int64 arithmetic to the Spark fold."""
+    m = (1 << _Z_BITS) - 1
+    n = 1 << _Z_BITS
+
+    def bucket_sql(v: str, lo: str, hi: str) -> str:
+        clamped = f"greatest(least({v}, {hi}), {lo})"
+        num = f"(({clamped} - {lo}) * {m})"
+        span = f"greatest({hi} - {lo}, 1)"
+        return f"CAST((({num} - {num} % {span}) / {span}) AS BIGINT)"
+
+    levels = []
+    prev = "h0"
+    for k, b in enumerate(range(_Z_BITS - 1, -1, -1)):
+        s = 1 << b
+        cur = f"h{k + 1}"
+        levels.append(f"""
+    {cur} AS (
+        SELECT event_id, hx, hy,
+               CASE WHEN ry = 1 THEN x
+                    WHEN rx = 1 THEN {n - 1} - y ELSE y END AS x,
+               CASE WHEN ry = 1 THEN y
+                    WHEN rx = 1 THEN {n - 1} - x ELSE x END AS y,
+               d + {s * s} * xor(3 * rx, ry) AS d
+        FROM (
+            SELECT event_id, hx, hy, x, y, d,
+                   CAST(((x - x % {s}) / {s}) AS BIGINT) % 2 AS rx,
+                   CAST(((y - y % {s}) / {s}) AS BIGINT) % 2 AS ry
+            FROM {prev}
+        )
+    )""")
+        prev = cur
+    return f"""
+    WITH src AS (
+        SELECT event_id, CAST(user_id AS BIGINT) AS u,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    mm AS (
+        SELECT min(u) AS lo1, max(u) AS hi1,
+               min(es) AS lo2, max(es) AS hi2
+        FROM src
+    ),
+    h0 AS (
+        SELECT event_id,
+               {bucket_sql("u", "mm.lo1", "mm.hi1")} AS hx,
+               {bucket_sql("es", "mm.lo2", "mm.hi2")} AS hy,
+               {bucket_sql("u", "mm.lo1", "mm.hi1")} AS x,
+               {bucket_sql("es", "mm.lo2", "mm.hi2")} AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM src CROSS JOIN mm
+    ),{",".join(levels)}
+    SELECT event_id, hx, hy, CAST(d AS BIGINT) AS hkey
+    FROM {prev}
+    """
+
+
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.sources.layout import (
+        hilbert_key_2d,
+        int_bucket,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("u"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    mm = e.agg(
+        F.min("u").alias("lo1"),
+        F.max("u").alias("hi1"),
+        F.min("es").alias("lo2"),
+        F.max("es").alias("hi2"),
+    ).collect()[0]
+    hx = int_bucket(F.col("u"), mm.lo1, mm.hi1, _Z_BITS)
+    hy = int_bucket(F.col("es"), mm.lo2, mm.hi2, _Z_BITS)
+    out = e.select("event_id", hx.alias("hx"), hy.alias("hy"))
+    return out.select(
+        "event_id",
+        "hx",
+        "hy",
+        hilbert_key_2d(F.col("hx"), F.col("hy"), _Z_BITS).alias("hkey"),
+    )
+
+
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.sources.layout import int_bucket, zorder_key
 
@@ -661,6 +749,9 @@ def domain_mix_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
            zx AS v1, zy AS v2, zkey AS v3, CAST(NULL AS BIGINT) AS v4
     FROM ({_zorder_oracle()}) t
     UNION ALL
+    SELECT 'hilbert', event_id, hx, hy, hkey, CAST(NULL AS BIGINT)
+    FROM ({_hilbert_oracle()}) t
+    UNION ALL
     SELECT 'export_shuffle', doc_id, shard, pos, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT)
     FROM ({_EXPORT_ORACLE}) t
@@ -680,6 +771,13 @@ def domain_mix_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tight on EVERY participating dimension so filters on any of "
     "them skip files (the Delta/Iceberg OPTIMIZE ZORDER "
     "construction; sources/layout.write_zordered is the writer); "
+    "[hilbert] Hilbert-curve clustering key over the same bucketized "
+    "pair (sources/layout.hilbert_key_2d, the Iceberg-style "
+    "locality-stronger curve): the per-bit quadrant state machine as "
+    "ONE aggregate-fold codegen expression (constant plan size — "
+    "nested CASE columns would double per bit under CollapseProject); "
+    "consecutive keys are spatially adjacent cells, so contiguous "
+    "files cover connected blobs instead of Z's quadrant jumps; "
     "[export_shuffle] deterministic global shuffle + sharding for "
     "training export — shard = hash(seed|key) % N, within-shard "
     "order by (hash, key); reproducible pseudo-random corpus order "
@@ -703,6 +801,14 @@ def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zx").alias("v1"),
         F.col("zy").alias("v2"),
         F.col("zkey").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+    )
+    h = layout_hilbert_key(spark, sf_dir).select(
+        F.lit("hilbert").alias("variant"),
+        F.col("event_id").alias("id"),
+        F.col("hx").alias("v1"),
+        F.col("hy").alias("v2"),
+        F.col("hkey").alias("v3"),
         F.lit(None).cast("long").alias("v4"),
     )
     ex = export_shuffle_shards(spark, sf_dir).select(
@@ -730,7 +836,7 @@ def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("v3"),
         null_l.alias("v4"),
     )
-    return z.unionByName(ex).unionByName(pk).unionByName(dm)
+    return z.unionByName(h).unionByName(ex).unionByName(pk).unionByName(dm)
 
 
 # CCNet-style unigram LM scores as fixed-point 1e-4 units (the

@@ -193,6 +193,119 @@ def zorder_key(cols: Sequence[Column], bits: int = 12) -> Column:
     return reduce(lambda a, t: a.bitwiseOR(t), terms).cast("long")
 
 
+def hilbert_key_2d(x: Column, y: Column, bits: int = 12) -> Column:
+    """Hilbert-curve distance for two (already-bucketized,
+    non-negative, ``< 2^bits``) integer columns — the
+    locality-stronger sibling of :func:`zorder_key` (the construction
+    behind Iceberg's Hilbert clustering): consecutive key values are
+    ADJACENT cells in (x, y) space, so a file covering a contiguous
+    key range covers one connected blob, not Z-order's split quadrant
+    jumps — tighter parquet min/max on both dimensions at file
+    boundaries.
+
+    The classic per-bit state machine (quadrant index + rotate/flip;
+    public-domain construction, e.g. Wikipedia "Hilbert curve"
+    ``xy2d``), expressed as ONE ``aggregate`` fold over the bit
+    levels with a ``(x, y, d)`` struct accumulator: runtime-iterative,
+    so the plan stays a single codegen expression of constant size —
+    building it as nested CASE columns would double the expression
+    tree per bit level once CollapseProject inlines the aliases.
+
+    All arithmetic is int64-exact: the only division is by a power of
+    two on values ``< 2^bits`` (``bits <= 31`` enforced; the key needs
+    ``2·bits`` bits). The DuckDB oracle replays the identical fold as
+    one chained CTE per bit level.
+    """
+    from pyspark.sql import functions as F
+
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(
+            f"hilbert_key_2d: bits={bits} out of range (need 1 <= "
+            "bits and 2*bits <= 62 for a signed int64 key)"
+        )
+    n = 1 << bits
+    # element list: s = 2^(bits-1) .. 1 (top bit first)
+    svals = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        ax, ay, ad = acc["x"], acc["y"], acc["d"]
+        # bit test via exact power-of-two division (values < 2^53)
+        rx = ((ax - ax % s) / s).cast("long") % 2
+        ry = ((ay - ay % s) / s).cast("long") % 2
+        d2 = ad + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        flip_x = F.lit(n - 1) - ax
+        flip_y = F.lit(n - 1) - ay
+        nx = F.when(ry == 1, ax).otherwise(
+            F.when(rx == 1, flip_y).otherwise(ay)
+        )
+        ny = F.when(ry == 1, ay).otherwise(
+            F.when(rx == 1, flip_x).otherwise(ax)
+        )
+        return F.struct(
+            nx.cast("long").alias("x"),
+            ny.cast("long").alias("y"),
+            d2.cast("long").alias("d"),
+        )
+
+    return F.aggregate(svals, init, step, lambda acc: acc["d"])
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Hilbert-clustered on exactly TWO integer-ish
+    columns (the dominant layout case: id × event-time). Same
+    metadata-aggregate + range-partition + sortWithinPartitions shape
+    as :func:`write_zordered`; only the space-filling curve differs.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError(
+            "write_hilbert_clustered handles exactly 2 columns; for "
+            "3+ dimensions use write_zordered (Morton generalizes "
+            "trivially; N-D Hilbert state tables don't pay for "
+            "themselves at bits<=12)"
+        )
+    stats = df.agg(
+        *[
+            f(F.col(c).cast("long")).alias(f"{agg}_{c}")
+            for c in cols
+            for agg, f in (("min", F.min), ("max", F.max))
+        ]
+    ).collect()[0]
+    for c in cols:
+        if stats[f"min_{c}"] is None or stats[f"max_{c}"] is None:
+            raise ValueError(
+                f"write_hilbert_clustered: column {c!r} is all-NULL "
+                "(no min/max); clustering on it is meaningless"
+            )
+    bx, by = (
+        int_bucket(F.col(c), stats[f"min_{c}"], stats[f"max_{c}"], bits)
+        for c in cols
+    )
+    keyed = df.withColumn("_hkey", hilbert_key_2d(bx, by, bits))
+    (
+        keyed.repartitionByRange(num_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
