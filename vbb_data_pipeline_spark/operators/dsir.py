@@ -44,7 +44,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vbb_data_pipeline_spark.functions.hashing import hash_long
+from vbb_data_pipeline_spark.functions.hashing import (
+    default_hash_mode,
+    hash_long,
+)
 from vbb_data_pipeline_spark.functions.text import tokens
 
 __all__ = [
@@ -62,14 +65,20 @@ def hashed_ngram_features(
     text_col: str,
     id_col: str,
     n_buckets: int,
-    hash_mode: str = "oracle",
+    hash_mode: str | None = None,
 ) -> DataFrame:
     """Per-document hashed n-gram bag: ``(id_col, bucket, c)``.
 
     Unigrams and bigrams (joined with ``_``) share one bucket space,
     as in the paper's ``hashed n-gram`` featurization. One explode +
-    one map-side-combinable groupBy per corpus scan.
+    one map-side-combinable groupBy per corpus scan. ``hash_mode``
+    defaults to the repo-wide switch (oracle md5 for driver parity;
+    ``SPARK_GRAFT_FAST_HASH=1`` flips to JVM xxhash64 — any hash
+    family yields valid DSIR features, only the oracle replay needs
+    md5).
     """
+    if hash_mode is None:
+        hash_mode = default_hash_mode()
     toks = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
     grams = toks.select(
         id_col,
@@ -107,7 +116,7 @@ def dsir_logweights(
     id_col: str,
     n_buckets: int = 10_000,
     alpha: float = 1.0,
-    hash_mode: str = "oracle",
+    hash_mode: str | None = None,
 ) -> DataFrame:
     """Importance log-weights for every raw document:
     ``(id_col, logw_u)`` in integer micro-units.
@@ -172,7 +181,7 @@ def gumbel_topk(
     id_col: str,
     logw_col: str = "logw_u",
     round_digits: int = 6,
-    hash_mode: str = "oracle",
+    hash_mode: str | None = None,
 ) -> DataFrame:
     """Gumbel-top-k resampling WITHOUT replacement from the importance
     distribution: ``(id_col, key, rank)`` for the ``n`` winners.
@@ -188,11 +197,16 @@ def gumbel_topk(
     ids break ties. The top-n is a TakeOrdered (limit), never a global
     sort materialization.
     """
+    if hash_mode is None:
+        hash_mode = default_hash_mode()
     h = hash_long(
         F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")), hash_mode
     )
-    # md5 path yields 60-bit hashes; map to (0, 1) strictly
-    u = (h + 1).cast("double") / float((1 << 60) + 1)
+    # map to (0, 1) strictly: fold into [0, 2^60) first — a no-op for
+    # the 60-bit md5 oracle path (so the SQL replay is unchanged), a
+    # range reduction for 63-bit fast-mode xxhash64 (u > 1 would make
+    # -ln(-ln u) NaN)
+    u = (h % (1 << 60) + 1).cast("double") / float((1 << 60) + 1)
     g = -F.log(-F.log(u))
     key = F.round(F.col(logw_col).cast("double") / LOGW_SCALE + g, round_digits)
     ranked = (

@@ -1033,6 +1033,122 @@ def ivf_topk_from_index(
     )
 
 
+def semdedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Incremental SemDeDup: classify a NEW batch of embeddings
+    against the corpus's at-rest IVF index (:func:`ivf_write_index`)
+    — the embedding twin of ``operators/dedup.dedup_incremental``.
+
+    Every batch row comes back with a verdict: ``status`` is
+    ``'near_dup'`` (cosine ≥ ``threshold`` to some already-ingested
+    vector in its cell) or ``'new'``; ``dup_of`` is the matched
+    corpus id (highest cosine, then smallest id — deterministic),
+    ``similarity`` the rounded cosine (NULL for ``'new'``).
+
+    This is the streaming/growing-corpus form of
+    :func:`semantic_dedup`: the batch assigns to cells against the
+    SAME broadcast centroids the corpus was indexed with (the cell is
+    the candidate block, per the paper), the index read prunes to the
+    batch's cells via the hive partitioning, and the per-row argmax
+    is a map-side-combinable ``max(struct)`` — the corpus is never
+    re-scanned, and per-batch cost is batch × matched-cell rows.
+    Callers append survivors with ``ivf_write_index(..., mode=
+    'append')`` (partition-aligned file adds) so the next batch
+    dedupes against them too. NULL vectors are passed through as
+    ``'new'`` with NULL similarity (no evidence — same posture as
+    the text-side probe's unmatched tier).
+    """
+    spark = new_df.sparkSession
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    vecs = new_df.filter(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col
+    )
+    assigned = ivf_assign(
+        vecs, centroids, dim, id_col, vec_col, round_digits,
+        cell_col="cell_id",
+    )
+    batch_cells = sorted(
+        r.cell_id
+        for r in assigned.select("cell_id").distinct().collect()
+    )
+    index = spark.read.parquet(index_path).filter(
+        F.col("cell_id").isin(batch_cells)
+    )
+    b = assigned.select(
+        "cell_id", F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("_n", l2_norm(F.col("_v"), dim))
+    idx = index.select(
+        "cell_id",
+        F.col(id_col).alias("_old"),
+        F.col(vec_col).alias("_ov"),
+    ).withColumn("_on", l2_norm(F.col("_ov"), dim))
+    cos = F.round(
+        dot(F.col("_v"), F.col("_ov"), dim)
+        / F.greatest(F.col("_n") * F.col("_on"), F.lit(1e-12)),
+        round_digits,
+    )
+    best = (
+        b.join(idx, "cell_id")
+        .select(
+            id_col,
+            cos.alias("_cos"),
+            F.col("_old"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_cos").alias("c"),
+                    (-F.col("_old")).alias("negid"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            id_col,
+            F.col("_m.c").alias("_cos"),
+            (-F.col("_m.negid")).alias("_old"),
+        )
+    )
+    verdicts = (
+        new_df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.coalesce(F.col("_cos"), F.lit(-2.0))
+                >= F.lit(float(threshold)),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.when(
+                F.coalesce(F.col("_cos"), F.lit(-2.0))
+                >= F.lit(float(threshold)),
+                F.col("_old").cast("long"),
+            )
+            .otherwise(null_l)
+            .alias("dup_of"),
+            F.when(
+                F.coalesce(F.col("_cos"), F.lit(-2.0))
+                >= F.lit(float(threshold)),
+                F.col("_cos"),
+            )
+            .otherwise(null_d)
+            .alias("similarity"),
+        )
+    )
+    return verdicts
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int,
