@@ -152,3 +152,67 @@ def test_streaming_end_to_end(spark, tmp_path, kw):
         r["doc_id"] for r in spark.read.parquet(kw["corpus_path"]).collect()
     }
     assert {1, 2} <= corpus_ids and 20 not in corpus_ids
+
+
+def test_semantic_tier_catches_paraphrase(spark, tmp_path):
+    """Docs sharing NO shingles but near-identical embeddings: the
+    text tiers pass them, the semantic tier flags the second."""
+    corpus, index, audit = _paths(tmp_path)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "cell_id long, embedding array<double>",
+    )
+    kw = dict(
+        corpus_path=corpus,
+        index_path=index,
+        audit_path=audit,
+        min_quality=0.0,
+        hash_mode="oracle",
+        vec_col="embedding",
+        embedding_index_path=str(tmp_path / "ivf"),
+        centroids=cents,
+        dim=4,
+        semantic_threshold=0.98,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<double>"
+        )
+
+    corpus_ingest_batch(
+        batch([(1, GOOD, [1.0, 0.0, 0.0, 0.0]),
+               (2, GOOD2, [0.0, 0.0, 0.0, 1.0])]),
+        0,
+        **kw,
+    )
+    # paraphrase of doc 1: disjoint vocabulary, same embedding; and a
+    # genuinely new doc in embedding space
+    para = (
+        "swift auburn vulpine leaps above idle canine thereafter "
+        "pursuing circles within grassy enclosure whilst feline "
+        "observes perched upon wooden railing birdsong echoing "
+        "overhead branches toward dusk descending beyond ridgeline"
+    )
+    fresh = (
+        "numbers matrices gradients tensors layers attention heads "
+        "optimizer schedules checkpoints shards tokens batches "
+        "sequences losses metrics evaluations baselines ablations "
+        "hyperparameters seeds runs clusters accelerators memory"
+    )
+    corpus_ingest_batch(
+        batch([(20, para, [0.999, 0.001, 0.0, 0.0]),
+               (21, fresh, [0.0, 0.0, 1.0, 0.0])]),
+        1,
+        **kw,
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert got[20] == ("semantic_dup", 1)
+    assert got[21][0] == "new"
+    corpus_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    )
+    assert corpus_ids == [1, 2, 21]

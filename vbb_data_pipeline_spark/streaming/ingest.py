@@ -63,13 +63,26 @@ def corpus_ingest_batch(
     bands: int = 4,
     threshold: float = 0.7,
     hash_mode: str = "fast",
+    vec_col: str | None = None,
+    embedding_index_path: str | None = None,
+    centroids=None,
+    dim: int | None = None,
+    semantic_threshold: float = 0.9,
 ) -> None:
     """Ingest ONE micro-batch (also usable for plain batch loads).
 
     Verdicts appended to ``audit_path`` per input doc:
     ``low_quality`` / ``batch_dup`` / ``exact_dup`` / ``near_dup`` /
-    ``new`` (with ``dup_of`` and ``similarity`` where applicable).
-    Only ``new`` docs reach ``corpus_path`` and the index.
+    ``semantic_dup`` / ``new`` (with ``dup_of`` and ``similarity``
+    where applicable). Only ``new`` docs reach ``corpus_path`` and
+    the index(es).
+
+    Semantic tier (optional): pass ``vec_col`` + ``embedding_index_
+    path`` + ``centroids`` + ``dim`` and docs surviving the text
+    tiers are additionally probed against the corpus's at-rest IVF
+    index (``operators/similarity.semdedup_incremental`` — catches
+    paraphrases/translations that share no shingles); survivors'
+    vectors append to that index partition-aligned.
     """
     from vbb_data_pipeline_spark.functions.text import (
         fingerprint,
@@ -126,10 +139,68 @@ def corpus_ingest_batch(
         ).select(id_col, "status", "dup_of", "similarity")
     verdicts = verdicts.localCheckpoint(eager=True)
 
-    # 4. append survivors to the corpus and the index
+    # 3b. semantic tier: probe the at-rest IVF index with the
+    # text-tier survivors' embeddings
+    semantic = embedding_index_path is not None and vec_col is not None
+    if semantic:
+        import os
+
+        from vbb_data_pipeline_spark.operators.similarity import (
+            semdedup_incremental,
+        )
+
+        text_new = verdicts.filter(F.col("status") == "new").select(id_col)
+        cand = uniq.join(F.broadcast(text_new), id_col, "left_semi")
+        if os.path.exists(embedding_index_path):
+            sem = semdedup_incremental(
+                cand.select(id_col, vec_col),
+                embedding_index_path,
+                centroids,
+                dim=dim,
+                threshold=semantic_threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).select(
+                id_col,
+                F.when(
+                    F.col("status") == "near_dup", F.lit("semantic_dup")
+                )
+                .otherwise(F.lit("new"))
+                .alias("status"),
+                "dup_of",
+                "similarity",
+            )
+        else:
+            sem = cand.select(
+                F.col(id_col),
+                F.lit("new").alias("status"),
+                null_l.alias("dup_of"),
+                null_d.alias("similarity"),
+            )
+        sem = sem.localCheckpoint(eager=True)
+        verdicts = verdicts.filter(F.col("status") != "new").unionByName(
+            sem
+        )
+
+    # 4. append survivors to the corpus and the index(es)
     new_ids = verdicts.filter(F.col("status") == "new").select(id_col)
     survivors = uniq.join(F.broadcast(new_ids), id_col, "left_semi")
     survivors.write.mode("append").parquet(corpus_path)
+    if semantic:
+        from vbb_data_pipeline_spark.operators.similarity import (
+            ivf_write_index,
+        )
+
+        vec_survivors = survivors.filter(F.col(vec_col).isNotNull())
+        ivf_write_index(
+            vec_survivors.select(id_col, vec_col),
+            centroids,
+            embedding_index_path,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            mode="append",
+        )
     dedup_index_write(
         survivors,
         index_path,
