@@ -140,3 +140,26 @@ def test_null_vectors_excluded(spark):
         _df(spark, rows), _cents(spark, cents), dim=DIM, threshold=0.9
     )
     assert [r["vec_id"] for r in out.collect()] == [0]
+
+
+def test_arrow_assignment_parity(spark):
+    """assign='arrow' (BLAS batch matmul) must produce the identical
+    report to the expression path — same cells, ranks, cosines and
+    verdicts (the rounding parity contract of ivf_assign_arrow)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(DIM)]) for i in range(80)
+    ]
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(DIM)]) for c in range(5)]
+    kw = dict(dim=DIM, threshold=0.6)
+    a = semantic_dedup(
+        _df(spark, rows), _cents(spark, cents), assign="expr", **kw
+    ).collect()
+    b = semantic_dedup(
+        _df(spark, rows), _cents(spark, cents), assign="arrow", **kw
+    ).collect()
+    ka = {r["vec_id"]: (r["cell_id"], r["rnk"], r["max_cos_better"], r["dropped"]) for r in a}
+    kb = {r["vec_id"]: (r["cell_id"], r["rnk"], r["max_cos_better"], r["dropped"]) for r in b}
+    assert ka == kb

@@ -144,7 +144,8 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=f"{sf_dir}|semdedup|{cells}",
     )
     return semantic_dedup(
-        e, cent, dim=64, threshold=0.35, max_cell_size=4096
+        e, cent, dim=64, threshold=0.35, max_cell_size=4096,
+        assign="arrow",
     )
 
 

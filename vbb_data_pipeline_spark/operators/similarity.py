@@ -346,10 +346,13 @@ def ivf_assign_arrow(
     vec_col: str = "embedding",
     round_digits: int = 5,
     cell_col: str | None = None,
+    keep_cos: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment on the Arrow/numpy path — the
     index-BUILD formulation of :func:`ivf_assign` (same recipe as
-    :func:`pq_encode_arrow`).
+    :func:`pq_encode_arrow`). ``keep_cos=True`` adds the winning
+    (rounded) centroid cosine as ``_ccos`` — the keep-priority input
+    :func:`semantic_dedup` ranks on.
 
     The expression form scores O(N·C) candidate rows through the
     codegen dot expression — fine per query at small C, but the
@@ -393,6 +396,8 @@ def ivf_assign_arrow(
     out_schema = (
         f"{id_col} long, cell_id long, {vec_col} array<{elem}>"
     )
+    if keep_cos:
+        out_schema += ", _ccos double"
 
     def assign(batches):
         import numpy as np
@@ -411,14 +416,16 @@ def ivf_assign_arrow(
             denom = np.maximum(xn[:, None] * cnorm_[None, :], 1e-12)
             cos = (x @ cmat_.T) / denom
             cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
-            best = cells_[np.argmax(cos, axis=1)]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype="int64"),
-                    "cell_id": best,
-                    vec_col: pdf[vec_col],
-                }
-            )
+            arg = np.argmax(cos, axis=1)
+            best = cells_[arg]
+            out = {
+                id_col: pdf[id_col].to_numpy(dtype="int64"),
+                "cell_id": best,
+                vec_col: pdf[vec_col],
+            }
+            if keep_cos:
+                out["_ccos"] = cos[np.arange(len(arg)), arg]
+            yield pd.DataFrame(out)
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         assign, schema=out_schema
@@ -1275,6 +1282,7 @@ def semantic_dedup(
     round_digits: int = 5,
     max_cell_size: int | None = None,
     checkpoint: bool = True,
+    assign: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication") — cluster-scoped
@@ -1319,38 +1327,60 @@ def semantic_dedup(
     corpus, so the keep/drop decision itself is the checked artifact;
     callers filter ``~dropped`` and join back by id (wide doc columns
     never enter the pair stage).
+
+    ``assign``: ``"expr"`` (default) scores cells through the codegen
+    dot expression — right for the oracle-replayable small-cell-count
+    gate; ``"arrow"`` runs :func:`ivf_assign_arrow`'s per-batch BLAS
+    matmul — the index-build formulation, mandatory once cells number
+    in the hundreds+ (the O(N·C·dim) expression pass dominates
+    otherwise; cell- and cosine-identical by the rounding parity
+    contract).
     """
-    cent = centroids.select(
-        F.col("cell_id").cast("long").alias("cell_id"),
-        F.col(vec_col).alias("_mv"),
-    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
-    v = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), F.col(vec_col).alias("_v")
-    ).withColumn("_n", l2_norm(F.col("_v"), dim))
-    scored = v.join(F.broadcast(cent)).select(
-        id_col,
-        "_v",
-        "cell_id",
-        F.round(
-            dot(F.col("_v"), F.col("_mv"), dim)
-            / F.greatest(F.col("_n") * F.col("_mn"), F.lit(1e-12)),
+    if assign == "arrow":
+        assigned = ivf_assign_arrow(
+            embeddings,
+            centroids,
+            dim,
+            id_col,
+            vec_col,
             round_digits,
-        ).alias("_ccos"),
-    )
-    assigned = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("_ccos").alias("c"),
-                (-F.col("cell_id")).cast("long").alias("negid"),
-                F.col("_v").alias("v"),
-            )
-        ).alias("_m")
-    ).select(
-        id_col,
-        (-F.col("_m.negid")).alias("cell_id"),
-        F.col("_m.c").alias("_ccos"),
-        F.col("_m.v").alias("_v"),
-    )
+            cell_col="cell_id",
+            keep_cos=True,
+        ).select(
+            id_col, "cell_id", "_ccos", F.col(vec_col).alias("_v")
+        )
+    else:
+        cent = centroids.select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col(vec_col).alias("_mv"),
+        ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+        v = embeddings.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col), F.col(vec_col).alias("_v")
+        ).withColumn("_n", l2_norm(F.col("_v"), dim))
+        scored = v.join(F.broadcast(cent)).select(
+            id_col,
+            "_v",
+            "cell_id",
+            F.round(
+                dot(F.col("_v"), F.col("_mv"), dim)
+                / F.greatest(F.col("_n") * F.col("_mn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("_ccos"),
+        )
+        assigned = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("_ccos").alias("c"),
+                    (-F.col("cell_id")).cast("long").alias("negid"),
+                    F.col("_v").alias("v"),
+                )
+            ).alias("_m")
+        ).select(
+            id_col,
+            (-F.col("_m.negid")).alias("cell_id"),
+            F.col("_m.c").alias("_ccos"),
+            F.col("_m.v").alias("_v"),
+        )
     if max_cell_size is not None:
         ok = (
             assigned.groupBy("cell_id")
