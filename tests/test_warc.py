@@ -1,0 +1,167 @@
+"""WARC crawl ingestion (sources/warc.py): exact Content-Length
+framing, gzip-member archives, HTTP payload parsing, malformed-record
+posture, the HTML text baseline, and the records→documents bridge
+into the corpus pipeline."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from vbb_data_pipeline_spark.sources.warc import (
+    html_text,
+    parse_warc_bytes,
+    read_warc,
+    warc_to_documents,
+)
+
+HTML = (
+    b"<html><head><title>T</title><style>p{}</style>"
+    b"<script>var x=1;</script></head>"
+    b"<body><h1>Heading</h1><p>First  para</p><p>Second para</p>"
+    b"</body></html>"
+)
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _record(
+    payload: bytes,
+    rtype: str = "response",
+    uri: str = "http://example.com/",
+) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _archive(*records: bytes) -> bytes:
+    return b"".join(records)
+
+
+def test_plain_parse_framing():
+    # payload CONTAINS header-like bytes — length framing must win
+    tricky = _http(b"WARC/1.0\r\nWARC-Type: fake\r\n\r\nbody " + HTML)
+    data = _archive(
+        _record(b"warcinfo-ish", rtype="warcinfo", uri="meta"),
+        _record(tricky, uri="http://a.example/x"),
+        _record(_http(b"hi", ctype="text/plain"), uri="http://b.example/y"),
+    )
+    recs = parse_warc_bytes(data, "f.warc")
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "response", "response",
+    ]
+    assert recs[1]["target_uri"] == "http://a.example/x"
+    assert recs[1]["http_status"] == 200
+    assert recs[1]["payload"].startswith(b"WARC/1.0\r\nWARC-Type: fake")
+    assert recs[2]["content_type"] == "text/plain"
+    assert recs[2]["payload"] == b"hi"
+
+
+def test_gzip_member_archive():
+    members = [
+        gzip.compress(_record(_http(HTML), uri=f"http://e.com/{i}"))
+        for i in range(3)
+    ]
+    recs = parse_warc_bytes(b"".join(members), "f.warc.gz")
+    assert len(recs) == 3
+    assert [r["record_idx"] for r in recs] == [0, 1, 2]
+
+
+def test_truncated_and_malformed_stop_cleanly():
+    good = _record(_http(b"ok", ctype="text/plain"))
+    truncated = good[: len(good) - 12]
+    recs = parse_warc_bytes(_archive(good, truncated))
+    assert len(recs) == 1  # the whole record survives, the stub stops
+    assert parse_warc_bytes(b"not a warc at all") == []
+    bad_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: xx\r\n\r\npayload"
+    )
+    assert parse_warc_bytes(bad_len) == []
+
+
+def test_html_text_baseline():
+    t = html_text(HTML.decode())
+    assert "Heading" in t and "First para" in t and "Second para" in t
+    assert "var x" not in t and "p{}" not in t
+    assert t.splitlines()[0] == "T"
+
+
+def test_read_warc_and_documents(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        _archive(
+            _record(b"info", rtype="warcinfo", uri="meta"),
+            _record(_http(HTML), uri="http://a.example/page"),
+            _record(
+                _http(b"{}", ctype="application/json"),
+                uri="http://a.example/api",
+            ),
+            _record(_http(HTML, status=404), uri="http://a.example/404"),
+        )
+    )
+    (d / "b.warc.gz").write_bytes(
+        gzip.compress(_record(_http(HTML), uri="http://b.example/"))
+    )
+    recs = read_warc(spark, str(d), types=("response",))
+    got = recs.collect()
+    assert len(got) == 4  # warcinfo filtered out
+    assert {r["warc_type"] for r in got} == {"response"}
+
+    docs = warc_to_documents(recs).collect()
+    # only 200-status text/html survive: one from a.warc, one from b
+    assert len(docs) == 2
+    urls = sorted(r["url"] for r in docs)
+    assert urls == ["http://a.example/page", "http://b.example/"]
+    for r in docs:
+        assert "Heading" in r["text"]
+        assert r["doc_id"] is not None and r["doc_id"] >= 0
+    # deterministic ids across re-reads
+    docs2 = warc_to_documents(read_warc(spark, str(d))).collect()
+    assert {r["doc_id"] for r in docs2} == {r["doc_id"] for r in docs}
+
+
+def test_documents_feed_the_corpus_pipeline(spark, tmp_path):
+    """WARC → documents → E4-style quality/fingerprint ops compose."""
+    from vbb_data_pipeline_spark.functions.text import (
+        fingerprint,
+        quality_score,
+    )
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    body = (
+        "<html><body><p>"
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while the sun sets slowly behind the old stone bridge"
+        "</p></body></html>"
+    ).encode()
+    (d / "c.warc").write_bytes(
+        _archive(
+            _record(_http(body), uri="http://c.example/1"),
+            _record(_http(body), uri="http://c.example/2"),  # dup
+        )
+    )
+    docs = warc_to_documents(read_warc(spark, str(d)))
+    from pyspark.sql import functions as F
+
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    ).collect()
+    assert len(scored) == 2
+    assert all(r["q"] > 0 for r in scored)
+    assert scored[0]["fp"] == scored[1]["fp"]  # exact-dup detectable

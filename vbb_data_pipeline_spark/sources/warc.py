@@ -1,0 +1,279 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the raw-crawl source a
+pretraining corpus starts from (Common Crawl publishes WARC; the
+C4/CCNet/RefinedWeb pipelines all begin here).
+
+The reference pipeline ingests zipped CSV (GTFS); this extends the
+same landing-zone pattern (``sources/gtfs.py``'s executor-side tier)
+to crawl archives, with ONLY the stdlib: WARC framing is
+Content-Length-delimited text headers (parsed exactly, never
+regex-split — payloads may contain ``WARC/1.0`` bytes), gzip WARCs
+are per-record gzip MEMBERS concatenated (the Common Crawl layout),
+which ``zlib.decompressobj`` iterates without any external package.
+
+Scale design (100 TB posture):
+
+* One WARC file = one task (``binaryFile`` source). That is the
+  standard crawl-processing parallelism model: Common Crawl ships
+  ~1 GB files in the tens of thousands per snapshot, so the file
+  count — not intra-file splitting — provides the cluster's
+  parallelism, and record parsing is a single sequential pass per
+  file (framing makes random splits impossible anyway for .gz).
+* Parsing runs in ONE Arrow-batched ``mapInPandas`` stage (justified
+  Python: binary framing is not SQL); downstream filters/projections
+  are plain columns, so Catalyst prunes and pushes as usual.
+* HTML → text here is a deliberately naive stdlib ``HTMLParser``
+  baseline (script/style dropped, block tags break lines). The
+  extraction-quality knob (readability/trafilatura-class extractors)
+  is a deployment swap inside the same Arrow stage — the plumbing,
+  schema and tests don't change.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_warc_bytes",
+    "read_warc",
+    "html_text",
+    "warc_to_documents",
+]
+
+#: record schema produced by read_warc
+WARC_SCHEMA = (
+    "warc_file string, record_idx long, warc_type string, "
+    "target_uri string, warc_date string, http_status int, "
+    "content_type string, payload binary"
+)
+
+
+def _gzip_members(data: bytes):
+    """Yield decompressed gzip members from concatenated-member data
+    (the Common Crawl WARC layout: one member per record)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            return  # trailing garbage: stop at the last whole member
+        yield chunk
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def _parse_http_payload(payload: bytes):
+    """Split an HTTP response payload into (status, content_type,
+    body). Non-HTTP payloads come back as (None, None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0:
+        return None, None, payload
+    head = payload[:head_end].decode("latin-1", "replace")
+    lines = head.split("\r\n")
+    status = None
+    parts = lines[0].split(" ", 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+            break
+    return status, ctype, payload[head_end + 4 :]
+
+
+def parse_warc_bytes(data: bytes, warc_file: str = ""):
+    """Sequential WARC record parser over one (possibly .gz-member)
+    archive's bytes → list of record dicts matching WARC_SCHEMA.
+
+    Exact Content-Length framing: each record's payload is read as a
+    byte count from its header, so payloads containing ``WARC/1.0``
+    or header-like text can never split a record. Malformed records
+    (bad header block, missing/invalid Content-Length, truncated
+    payload) end the current stream segment — matching the
+    corrupt-member-skip posture of the zip ingest tier.
+    """
+    if data[:2] == b"\x1f\x8b":
+        stream = b"".join(_gzip_members(data))
+    else:
+        stream = data
+    out = []
+    pos = 0
+    idx = 0
+    n = len(stream)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and stream[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not stream[pos:].startswith(b"WARC/"):
+            break  # framing lost: stop rather than guess
+        head_end = stream.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        head_lines = stream[pos:head_end].decode("latin-1", "replace")
+        for ln in head_lines.split("\r\n")[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = head_end + 4
+        if body_start + clen > n:
+            break  # truncated record
+        payload = stream[body_start : body_start + clen]
+        status, ctype, body = _parse_http_payload(payload)
+        out.append(
+            {
+                "warc_file": warc_file,
+                "record_idx": idx,
+                "warc_type": headers.get("warc-type", ""),
+                "target_uri": headers.get("warc-target-uri") or None,
+                "warc_date": headers.get("warc-date") or None,
+                "http_status": status,
+                "content_type": ctype
+                or headers.get("content-type") or None,
+                "payload": body,
+            }
+        )
+        idx += 1
+        pos = body_start + clen
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """Read a directory/glob of ``.warc`` / ``.warc.gz`` files into a
+    record DataFrame (WARC_SCHEMA), keeping ``types`` record types
+    (default: HTTP responses — what corpus building consumes).
+
+    ``binaryFile`` source → one Arrow stage; the per-file sequential
+    parse is the format's requirement (gzip members + length framing
+    admit no mid-file splits), and file count provides parallelism.
+    """
+    types_set = set(types)
+    binf = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(content), fpath):
+                    if not types_set or rec["warc_type"] in types_set:
+                        rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return binf.select("path", "content").mapInPandas(
+        parse, schema=WARC_SCHEMA
+    )
+
+
+class _TextExtractor(HTMLParser):
+    _SKIP = {"script", "style", "noscript", "template"}
+    _BLOCK = {
+        "p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5",
+        "h6", "section", "article", "header", "footer", "table",
+        "blockquote", "pre",
+    }
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        elif tag in self._BLOCK:
+            self._chunks.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+        elif tag in self._BLOCK:
+            self._chunks.append("\n")
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            self._chunks.append(data)
+
+    def text(self) -> str:
+        lines = "".join(self._chunks).split("\n")
+        return "\n".join(
+            " ".join(ln.split()) for ln in lines if ln.strip()
+        )
+
+
+def html_text(html: str) -> str:
+    """Naive stdlib HTML → text: scripts/styles dropped, block tags
+    become line breaks, whitespace normalized. The documented baseline
+    extractor — swap a readability-class library here in deployment.
+    """
+    p = _TextExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return ""
+    return p.text()
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """HTTP-response records → document rows ``(doc_id, url, fetched,
+    text)`` ready for the corpus pipeline (E4/E5): keep 200-status
+    HTML responses, decode UTF-8 (replace), extract text.
+
+    ``doc_id`` is a deterministic 60-bit hash of (file, record index)
+    — stable across reruns and engines, the id convention the dedup
+    operators key on. One Arrow stage for the extraction; everything
+    else is native columns.
+    """
+    from vbb_data_pipeline_spark.functions.hashing import md5_long
+
+    html = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").rlike("(?i)text/html")
+    )
+
+    @F.pandas_udf("string")
+    def extract(payload):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                html_text(
+                    bytes(b).decode("utf-8", "replace") if b is not None else ""
+                )
+                for b in payload
+            ]
+        )
+
+    return html.select(
+        md5_long(
+            F.concat_ws("|", F.col("warc_file"), F.col("record_idx"))
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched"),
+        extract(F.col("payload")).alias("text"),
+    )
