@@ -1,0 +1,118 @@
+"""URL hygiene toolkit (functions/urls.py): normalization cases,
+host extraction, deterministic per-host caps, and per-site
+boilerplate line removal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vbb_data_pipeline_spark.functions.urls import (
+    host_cap,
+    normalize_url,
+    site_boilerplate_removal,
+    url_host,
+)
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(normalize_url("u").alias("n")).collect()[0]["n"]
+
+
+CASES = [
+    # scheme+host lower, path case preserved
+    ("HTTPS://ExAmPlE.com/Path/File.HTML", "https://example.com/Path/File.HTML"),
+    # default ports stripped, non-default kept
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("http://example.com:80/x", "http://example.com/x"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    # fragment dropped
+    ("https://a.com/p#section-2", "https://a.com/p"),
+    # tracking params removed in every position
+    ("https://a.com/p?utm_source=x", "https://a.com/p"),
+    ("https://a.com/p?utm_source=x&id=7", "https://a.com/p?id=7"),
+    ("https://a.com/p?id=7&utm_medium=m", "https://a.com/p?id=7"),
+    ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+    ("https://a.com/p?utm_a=1&fbclid=z&id=7&gclid=q", "https://a.com/p?id=7"),
+    # real params untouched
+    ("https://a.com/p?q=utm_source", "https://a.com/p?q=utm_source"),
+    # port stripping only applies to the authority, not the path
+    ("https://a.com/x:443/y", "https://a.com/x:443/y"),
+]
+
+
+@pytest.mark.parametrize("url,want", CASES)
+def test_normalize_cases(spark, url, want):
+    assert _norm(spark, url) == want
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Example.COM:8080/a?b=1",), ("not a url",)],
+        "u string",
+    )
+    got = [r["h"] for r in df.select(url_host("u").alias("h")).collect()]
+    assert got[0] == "www.example.com"
+    assert got[1] is None
+
+
+def test_host_cap_deterministic_and_capped(spark):
+    rows = [
+        (i, f"https://big.example/page{i}") for i in range(20)
+    ] + [(100, "https://small.example/only")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    a = sorted(r["doc_id"] for r in host_cap(df, "url", 5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in host_cap(df.repartition(7), "url", 5).collect()
+    )
+    assert a == b  # partitioning-invariant
+    assert len(a) == 6 and 100 in a  # 5 capped + the small host
+    # a different seed may keep a different 5 — still exactly 5
+    c = host_cap(df, "url", 5, seed="other").collect()
+    assert len(c) == 6
+
+
+def test_site_boilerplate_removed_body_kept(spark):
+    nav = "Home | About | Contact"
+    cookie = "We use cookies to improve your experience"
+    rows = [
+        (i, f"https://site-a.com/p{i}", f"{nav}\nArticle body {i}\n{cookie}")
+        for i in range(4)
+    ] + [
+        # same furniture text on ANOTHER host, below its min_docs
+        (50, "https://site-b.com/x", f"{nav}\nDifferent body\nUnique footer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in site_boilerplate_removal(
+            df, "url", min_docs=3
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i] == f"Article body {i}"  # furniture stripped
+    # site-b keeps everything: its lines never hit min_docs there
+    assert out[50] == f"{nav}\nDifferent body\nUnique footer"
+
+
+def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    # one doc repeating a line 5 times must NOT make it boilerplate
+    rows = [
+        (1, "https://h.com/a", "echo\necho\necho\necho\necho\nbody one"),
+        (2, "https://h.com/b", "body two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in site_boilerplate_removal(df, "url", min_docs=3).collect()
+    }
+    assert "echo" in out[1] and out[2] == "body two"
+
+
+def test_boilerplate_empty_doc_survives(spark):
+    rows = [(1, "https://h.com/a", "")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = site_boilerplate_removal(df, "url", min_docs=2).collect()
+    assert len(out) == 1 and out[0]["text"] == ""

@@ -1,0 +1,166 @@
+"""URL hygiene for crawl curation (north-star extension; composes
+with sources/warc.py's document bridge).
+
+Everything here is native column expressions (``parse_url`` is a
+Spark SQL builtin; normalization is a regexp chain inside whole-stage
+codegen) except the two corpus-level operators, which are one-shuffle
+DataFrame plans keyed on the host — the natural partition key for
+site-scoped curation at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_host",
+    "normalize_url",
+    "host_cap",
+    "site_boilerplate_removal",
+]
+
+#: query parameters that never change content (tracking/session ids)
+TRACKING_PARAMS = (
+    "utm_[a-z]+", "fbclid", "gclid", "msclkid", "mc_eid", "sessionid",
+    "phpsessid", "sid",
+)
+
+
+def url_host(col: Column | str) -> Column:
+    """Lower-cased host of a URL (NULL when unparseable — Spark 4's
+    strict ``parse_url`` THROWS on bad input, so the try_ variant is
+    the only crawl-safe choice)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL for dedup keys: lower-cased scheme+host, default
+    ports stripped, fragment dropped, tracking query parameters
+    removed (``utm_*`` and friends), trailing ``?``/``&`` tidied.
+
+    A pure regexp/codegen chain — no UDF — so it runs inside the scan
+    stage; two URLs differing only in tracking noise normalize to one
+    key (the C4-style URL dedup key).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    auth_re = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    # lower-case ONLY scheme://host (paths are case-sensitive):
+    # extract the authority prefix, lower it, re-attach the rest
+    prefix = F.regexp_extract(c, auth_re, 1)
+    rest = c.substr(F.length(prefix) + 1, F.length(c))
+    u = F.concat(F.lower(prefix), rest)
+    # strip default ports
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#]|$)", r"$1$2")
+    # drop fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # drop tracking params with their values, preserving separator
+    # structure: mid/tail "&p=v" vanish, a leading "?p=v&" hands the
+    # "?" to the next param, a lone "?p=v" disappears entirely
+    p = "|".join(TRACKING_PARAMS)
+    u = F.regexp_replace(u, rf"&(?:{p})=[^&#]*", "")
+    u = F.regexp_replace(u, rf"\?(?:{p})=[^&#]*&", "?")
+    u = F.regexp_replace(u, rf"\?(?:{p})=[^&#]*$", "")
+    return u
+
+
+def host_cap(
+    df: DataFrame,
+    url_col: str,
+    max_per_host: int,
+    seed: str = "hostcap",
+    id_col: str = "doc_id",
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_per_host`` documents per host, chosen by a
+    deterministic seeded hash order (not arrival order — a crawl
+    frontier's ordering is an artifact, and hash order makes the kept
+    subset reproducible across engines and reruns).
+
+    One exchange keyed on the host; the window ranks
+    ``(hash(seed|id), id)`` within each host partition. Per-host caps
+    are the standard guard against a single boilerplate-heavy domain
+    dominating the corpus (C4 and successors all apply one).
+    """
+    from pyspark.sql.window import Window
+
+    from vbb_data_pipeline_spark.functions.hashing import (
+        default_hash_mode,
+        hash_long,
+    )
+
+    if hash_mode is None:
+        hash_mode = default_hash_mode()
+    h = hash_long(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")), hash_mode
+    )
+    w = Window.partitionBy(url_host(url_col)).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_hc_rn", F.row_number().over(w))
+        .filter(F.col("_hc_rn") <= max_per_host)
+        .drop("_hc_rn")
+    )
+
+
+def site_boilerplate_removal(
+    df: DataFrame,
+    url_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove lines that repeat across ≥ ``min_docs`` DISTINCT
+    documents of the same host — per-site boilerplate (nav bars,
+    footers, cookie banners) that survives document-level dedup
+    because every page differs in its body.
+
+    The site-scoped sibling of the C4 corpus-wide line dedup
+    (``operators/dedup.line_dedup``): corpus-wide election removes a
+    line EVERYWHERE but its first occurrence; this keeps body text
+    intact and strips only what is provably site-furniture. Plan:
+    lines explode map-side with positions, one ``(host, line-hash)``
+    aggregate counts distinct docs (map-side combinable), flagged
+    lines anti-join back, and each document reassembles with one
+    groupBy — text never shuffles except as its own (doc, line) rows.
+    Short lines below ``min_chars`` are always kept (empty-ish lines
+    would count as boilerplate everywhere).
+    """
+    lines = df.select(
+        F.col(id_col),
+        url_host(url_col).alias("_host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    )
+    flagged = (
+        lines.filter(F.length("_line") >= min_chars)
+        .groupBy("_host", "_line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_host", "_line")
+    )
+    kept = lines.join(flagged, ["_host", "_line"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_ln", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("_new_text")
+        )
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(
+            text_col, F.coalesce(F.col("_new_text"), F.lit(""))
+        )
+        .drop("_new_text")
+    )
