@@ -597,3 +597,143 @@ def test_e4_sequence_packing_plan(spark):
             assert r.start_off == off
             assert r.end_off - r.start_off == r.n_tokens
             off = r.end_off
+
+
+# --------------------------------------------------------------- E6
+
+
+def test_lang_guess_argmax(spark):
+    """Stopword-argmax language ID: highest hit count wins; ties
+    (including all-zero) break toward declaration order (en first)."""
+    from vbb_data_pipeline_spark.functions.text import lang_guess
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of it is here", "en"),
+            ("der hund und die katze ist ein tier", "de"),
+            ("el perro y la casa es un sitio", "es"),
+            ("le chien est le chat et il dort", "fr"),
+            ("zzz qqq 123", "en"),  # zero hits everywhere -> en
+        ],
+        "text string, want string",
+    )
+    got = df.select("want", lang_guess("text").alias("got")).collect()
+    assert all(r.got == r.want for r in got), [
+        (r.want, r.got) for r in got
+    ]
+
+
+def _e6_http(body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _e6_record(payload: bytes, uri: str) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-05-06T07:08:09Z\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+NAV = "Home About Contact Privacy the site navigation"
+
+EN_BODIES = [
+    "the quick brown fox jumps over the lazy dog and runs to the river",
+    "a tale of two cities is the best of times and the worst of times",
+    "it is a truth universally acknowledged that a man of fortune is in want",
+]
+DE_BODIES = [
+    "der schnelle braune fuchs springt und der hund ist mit dem ball zu haus",
+    "die sonne ist ein stern und der mond ist ein trabant mit licht zu sehen",
+    "das wetter ist heute schoen und die kinder spielen mit einem ball zu zweit",
+    "ein zug ist mit der bahn zu spaet und die leute warten auf das gleis dort",
+    "die katze und der hund sind ein team und das ist zu schoen mit ihnen allen",
+]
+
+
+def test_e6_crawl_corpus_end_to_end(spark, tmp_path):
+    """WARC dir -> curated, language-tagged, deduped, packed shards:
+    URL dedup drops the tracking-param re-crawl, junk URLs drop, the
+    host cap bounds b.example, site boilerplate strips the nav line
+    (the nav-only page empties out and is dropped), lang/source land
+    per document, and E4 packs what survives."""
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    records = []
+    # a.example: 3 pages sharing a nav line + 1 nav-only page
+    for i, body in enumerate(EN_BODIES):
+        html = f"<html><body><p>{NAV}</p><p>{body}</p></body></html>"
+        records.append(
+            _e6_record(_e6_http(html.encode()), f"http://a.example/p{i}")
+        )
+    records.append(
+        _e6_record(
+            _e6_http(f"<html><body><p>{NAV}</p></body></html>".encode()),
+            "http://a.example/navonly",
+        )
+    )
+    # re-crawl of p0 with tracking noise -> same canonical URL
+    records.append(
+        _e6_record(
+            _e6_http(
+                f"<html><body><p>{NAV}</p><p>{EN_BODIES[0]}</p></body>"
+                "</html>".encode()
+            ),
+            "http://a.example/p0?utm_source=feed",
+        )
+    )
+    # b.example: 5 German pages, host-capped to 4
+    for i, body in enumerate(DE_BODIES):
+        html = f"<html><body><p>{body}</p></body></html>"
+        records.append(
+            _e6_record(_e6_http(html.encode()), f"http://b.example/g{i}")
+        )
+    # junk URI: no parseable host -> dropped
+    records.append(
+        _e6_record(_e6_http(b"<html><body><p>x</p></body></html>"), "junk:")
+    )
+    (d / "a.warc").write_bytes(b"".join(records))
+
+    out = e6_crawl_corpus(
+        spark,
+        str(d),
+        max_per_host=4,
+        boilerplate_min_docs=3,
+        langs=("en", "de"),
+        min_quality=0.0,
+        split_weights={"train": 1.0},
+    )
+    rows = out.collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.source, []).append(r)
+    # a.example: 3 body pages (nav-only page emptied by boilerplate
+    # removal and dropped; the utm re-crawl deduped by URL)
+    assert len(by_host["a.example"]) == 3
+    assert {r.lang for r in by_host["a.example"]} == {"en"}
+    # b.example: 5 capped to 4 (the cap runs before boilerplate, so
+    # it must not be tight enough to eat a.example body pages)
+    assert len(by_host["b.example"]) == 4
+    assert {r.lang for r in by_host["b.example"]} == {"de"}
+    assert set(by_host) == {"a.example", "b.example"}
+    urls = {r.url for r in rows}
+    assert "http://a.example/navonly" not in urls
+    # deterministic across reruns (seeded hashes end-to-end)
+    rows2 = e6_crawl_corpus(
+        spark,
+        str(d),
+        max_per_host=4,
+        boilerplate_min_docs=3,
+        langs=("en", "de"),
+        min_quality=0.0,
+        split_weights={"train": 1.0},
+    ).collect()
+    key = lambda r: (r.doc_id, r.shard_id, r.split)  # noqa: E731
+    assert sorted(map(key, rows2)) == sorted(map(key, rows))

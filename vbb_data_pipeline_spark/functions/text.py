@@ -139,6 +139,23 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def lang_guess(col: Column | str) -> Column:
+    """Stopword-hits argmax language ID over the ``STOPWORDS``
+    languages (the text_doc_profile heuristic as a reusable column):
+    highest hit count wins, ties break toward the earlier language in
+    declaration order. One ``greatest`` over (hits, -index, lang)
+    structs — each language's regex runs once, all codegen."""
+    pairs = [
+        F.struct(
+            stopword_hits(col, lg).alias("h"),
+            F.lit(-i).alias("ni"),
+            F.lit(lg).alias("lg"),
+        )
+        for i, lg in enumerate(STOPWORDS)
+    ]
+    return F.greatest(*pairs).getField("lg")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set. Near-identical docs that differ only in token order or

@@ -20,6 +20,11 @@ DataFrames so the "DAG" is the Catalyst plan. Orchestration concerns
   documents → profile → quality gate → exact + near dedup → split →
   mix → token-budget shards — the end-to-end training-data assembly
   flow composed from the extension operators.
+* **E6 crawl corpus** (north-star extension): raw WARC archives →
+  documents → URL hygiene (normalize / URL dedup / host cap / site
+  boilerplate) → language ID → E4 — crawl-to-training-shards in one
+  call, the C4/RefinedWeb construction shape over this engine's
+  operators.
 """
 
 from __future__ import annotations
@@ -486,3 +491,110 @@ def e4_corpus_prep(
         if mix_factors:
             packed = packed.drop("_seq_key")
     return packed.drop(text_col)
+
+
+def e6_crawl_corpus(
+    spark: SparkSession,
+    warc_path: str,
+    *,
+    url_dedup: bool = True,
+    max_per_host: int | None = None,
+    boilerplate_min_docs: int | None = None,
+    langs: tuple[str, ...] | None = None,
+    min_chars: int = 1,
+    seed: str | int = 0,
+    hash_mode: str | None = None,
+    **e4_kwargs,
+) -> DataFrame:
+    """E6: raw crawl archives → training shards, the full C4/RefinedWeb
+    construction shape (URL-level curation BEFORE content-level
+    curation) composed from this engine's operators:
+
+    1. **Ingest** — ``sources/warc.read_warc`` (one file = one task,
+       the crawl parallelism model) → ``warc_to_documents`` (200-status
+       HTML → text, deterministic 60-bit doc ids).
+    2. **URL normalize** — ``functions/urls.normalize_url`` canonical
+       form (tracking params, fragments, default ports stripped);
+       documents whose URL has no parseable host are dropped (crawl
+       junk — non-http schemes, mangled URIs).
+    3. **URL dedup** (``url_dedup=True``) — keep the min-doc-id fetch
+       per canonical URL: re-crawls of the same page are the single
+       biggest duplicate class in a multi-snapshot crawl, and URL
+       identity removes them for the price of one window exchange
+       before any text ever hashes.
+    4. **Host cap** (``max_per_host``) — at most N documents per host,
+       seeded-hash-chosen (``functions/urls.host_cap``), so no single
+       domain dominates the corpus.
+    5. **Site boilerplate** (``boilerplate_min_docs``) — lines
+       repeating across ≥ k documents of the same host are stripped
+       (``functions/urls.site_boilerplate_removal``); documents left
+       with fewer than ``min_chars`` text characters drop out.
+    6. **Language ID** — ``lang`` column via the stopword-argmax
+       heuristic (``functions/text.lang_guess``); ``langs`` keeps only
+       those languages. ``source`` is the URL host — the natural
+       domain key for E4's ``mix_factors`` re-weighting.
+    7. **E4** — everything else (quality gates, exact/near/semantic
+       dedup, decontamination, split/mix/pack) is a pass-through to
+       :func:`e4_corpus_prep` via ``**e4_kwargs``.
+
+    The document set is ``localCheckpoint``-ed once after curation:
+    the WARC parse + HTML extraction is the most expensive Arrow stage
+    in the whole flow and E4 branches its input repeatedly (span
+    stats, LM scores, decontamination, MinHash all fan out from the
+    same frame) — without truncation the crawl would re-parse once per
+    branch (the measured E4 lineage lesson, 275→120 s at sf1).
+
+    Returns E4's packed rows, with ``url`` riding along for
+    traceability. Deterministic end-to-end: ids, URL winners, host
+    caps and every E4 decision are seeded hashes, so two runs — or a
+    resumed run — produce identical shards.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from vbb_data_pipeline_spark.functions.text import lang_guess
+    from vbb_data_pipeline_spark.functions.urls import (
+        host_cap,
+        normalize_url,
+        site_boilerplate_removal,
+        url_host,
+    )
+    from vbb_data_pipeline_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+
+    docs = warc_to_documents(read_warc(spark, warc_path))
+    docs = docs.withColumn("url", normalize_url("url")).filter(
+        url_host("url").isNotNull()
+    )
+    if url_dedup:
+        w = Window.partitionBy("url").orderBy(F.col("doc_id").asc())
+        docs = (
+            docs.withColumn("_u_rn", F.row_number().over(w))
+            .filter(F.col("_u_rn") == 1)
+            .drop("_u_rn")
+        )
+    if max_per_host is not None:
+        docs = host_cap(
+            docs, "url", max_per_host, seed=f"e6hostcap|{seed}",
+            hash_mode=hash_mode,
+        )
+    if boilerplate_min_docs is not None:
+        docs = site_boilerplate_removal(
+            docs, "url", "text", "doc_id", min_docs=boilerplate_min_docs
+        )
+    docs = docs.filter(F.length("text") >= F.lit(min_chars))
+    docs = docs.select(
+        "doc_id",
+        "url",
+        lang_guess("text").alias("lang"),
+        F.coalesce(url_host("url"), F.lit("unknown")).alias("source"),
+        "text",
+    )
+    if langs is not None:
+        docs = docs.filter(F.col("lang").isin(list(langs)))
+    docs = docs.localCheckpoint()
+    return e4_corpus_prep(
+        docs, seed=seed, hash_mode=hash_mode, **e4_kwargs
+    )
