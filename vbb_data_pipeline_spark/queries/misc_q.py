@@ -26,9 +26,45 @@ from vbb_data_pipeline_spark.queries import (
 )
 
 
+#: the synthetic crawl URL each string_battery row normalizes — mixed
+#: case, default port, tracking params, fragment; built identically in
+#: both engines so the normalize_url chain is replayed end-to-end
+_URL_TRACK = "utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|sessionid|phpsessid|sid"
+_URL_AUTH_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+_URL_ORACLE_CHAIN = f"""
+        SELECT *,
+               lower(regexp_extract(u0, '{_URL_AUTH_RE}', 1))
+                 || substr(u0, length(regexp_extract(u0, '{_URL_AUTH_RE}', 1)) + 1)
+                 AS u1
+        FROM urls0
+    ), urls2 AS (
+        SELECT *, regexp_replace(regexp_replace(u1,
+                    '^(https://[^/?#:]*):443([/?#]|$)', '\\1\\2', 'g'),
+                    '^(http://[^/?#:]*):80([/?#]|$)', '\\1\\2', 'g') AS u2
+        FROM urls1
+    ), urls3 AS (
+        SELECT *, regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(u2, '#.*$', '', 'g'),
+                        '&(?:{_URL_TRACK})=[^&#]*', '', 'g'),
+                      '\\?(?:{_URL_TRACK})=[^&#]*&', '?', 'g'),
+                    '\\?(?:{_URL_TRACK})=[^&#]*$', '', 'g') AS url_norm
+        FROM urls2
+    )"""
+
+
 @register(
     "string_battery",
-    oracle="""
+    oracle=f"""
+    WITH urls0 AS (
+        SELECT *,
+               'HTTPS://WWW.Ex' || CAST(c_custkey % 7 AS VARCHAR)
+                 || '.COM:443/Path/' || CAST(c_custkey AS VARCHAR)
+                 || '?utm_source=t&q=' || CAST(c_custkey AS VARCHAR)
+                 || '&fbclid=z#sec' AS u0
+        FROM customer
+    ), urls1 AS ({_URL_ORACLE_CHAIN}
     SELECT c_custkey,
            upper(c_name)                                   AS up,
            lower(c_mktsegment)                             AS lo,
@@ -41,16 +77,33 @@ from vbb_data_pipeline_spark.queries import (
            reverse(c_mktsegment)                           AS rev,
            trim(concat(' ', c_mktsegment, ' '))            AS trimmed,
            CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS name_num,
-           regexp_replace(c_name, '[^a-z]', '', 'g')       AS name_alpha
-    FROM customer
+           regexp_replace(c_name, '[^a-z]', '', 'g')       AS name_alpha,
+           url_norm,
+           lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS uhost
+    FROM urls3
     """,
     survey="§2.7 scalar-function battery (string) + §2.7 F5 (regex "
     "URL extraction, extract_dag.py:21-54) + F6 (header sanitization "
-    "regexp_replace, database_loader/operators.py:162)",
+    "regexp_replace, database_loader/operators.py:162) + ext: URL "
+    "canonicalization (functions/urls.normalize_url codegen chain + "
+    "url_host) — the crawl-curation dedup key, oracle-replayed "
+    "regexp-for-regexp",
 )
 def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.urls import normalize_url, url_host
+
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
+    k = F.col("c_custkey").cast("string")
+    u0 = F.concat(
+        F.lit("HTTPS://WWW.Ex"),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".COM:443/Path/"),
+        k,
+        F.lit("?utm_source=t&q="),
+        k,
+        F.lit("&fbclid=z#sec"),
+    )
+    return c.withColumn("u0", u0).select(
         "c_custkey",
         F.upper("c_name").alias("up"),
         F.lower("c_mktsegment").alias("lo"),
@@ -64,6 +117,8 @@ def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
         F.regexp_extract("c_name", r"Customer#([0-9]+)", 1).cast("long").alias("name_num"),
         F.regexp_replace("c_name", "[^a-z]", "").alias("name_alpha"),
+        normalize_url("u0").alias("url_norm"),
+        url_host("u0").alias("uhost"),
     )
 
 
