@@ -139,19 +139,22 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
-def lang_guess(col: Column | str) -> Column:
+def lang_guess(col: Column | str, langs: list[str] | None = None) -> Column:
     """Stopword-hits argmax language ID over the ``STOPWORDS``
     languages (the text_doc_profile heuristic as a reusable column):
-    highest hit count wins, ties break toward the earlier language in
-    declaration order. One ``greatest`` over (hits, -index, lang)
-    structs — each language's regex runs once, all codegen."""
+    highest hit count wins, ties break toward the EARLIER language in
+    ``langs`` (default: STOPWORDS declaration order — pass
+    ``sorted(STOPWORDS)`` for the alphabetical tie-break the
+    text_doc_profile oracle uses). One ``greatest`` over
+    (hits, -index, lang) structs — each language's regex runs once,
+    all codegen."""
     pairs = [
         F.struct(
             stopword_hits(col, lg).alias("h"),
             F.lit(-i).alias("ni"),
             F.lit(lg).alias("lg"),
         )
-        for i, lg in enumerate(STOPWORDS)
+        for i, lg in enumerate(langs if langs is not None else STOPWORDS)
     ]
     return F.greatest(*pairs).getField("lg")
 

@@ -190,26 +190,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    hits = [tx.stopword_hits("text", lg).alias(f"h_{lg}") for lg in _LANGS]
     base = d.select(
         "doc_id",
         "lang",
         tx.quality_score("text").alias("quality"),
-        *hits,
+        # the reusable argmax form (functions/text.lang_guess) ≡ the
+        # oracle's CASE chain: both pick the highest hit count with
+        # ties breaking toward the earlier language in _LANGS
+        tx.lang_guess("text", _LANGS).alias("pred"),
         tx.fingerprint("text").alias("fp"),
         tx.tokens("text").alias("toks"),
     )
-    pred = None
-    for lg in _LANGS:
-        cond = None
-        for other in _LANGS:
-            if other == lg:
-                continue
-            c = F.col(f"h_{lg}") >= F.col(f"h_{other}")
-            cond = c if cond is None else (cond & c)
-        pred = (
-            F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
-        )
+    pred = F.col("pred")
     return base.select(
         "doc_id",
         "lang",
