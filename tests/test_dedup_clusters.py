@@ -79,3 +79,20 @@ def test_cc_leaves_no_cache_entry(spark):
     assert mgr.isEmpty(), "cache dirty before test"
     _cc(spark, [(1, 2), (2, 3), (4, 5), (5, 6), (6, 4)])
     assert mgr.isEmpty(), "connected_components left a CacheManager entry"
+
+
+def test_cc_converges_with_60bit_ids(spark):
+    """Convergence check must not int64-overflow when node ids are
+    60-bit md5 keys (ANSI mode makes the old raw-label sum throw with
+    as few as ~8 such nodes)."""
+    from vbb_data_pipeline_spark.operators.dedup import connected_components
+
+    base = (1 << 59)
+    pairs = spark.createDataFrame(
+        [(base + 2 * i, base + 2 * i + 1) for i in range(20)],
+        "id_a long, id_b long",
+    )
+    got = connected_components(pairs).collect()
+    assert len(got) == 40
+    for r in got:
+        assert r.cluster_id == (r.node // 2) * 2  # pair root = even id

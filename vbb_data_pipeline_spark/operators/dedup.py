@@ -397,7 +397,13 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        s = labels.agg(F.sum("label")).collect()[0][0]
+        # decimal(38,0) sum: labels are ids (60-bit md5 keys reach
+        # ~1.15e18), so an int64 sum overflows under ANSI mode with as
+        # few as ~8 nodes; the decimal accumulator is exact at any
+        # corpus size and stays map-side combinable
+        s = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         # s is None iff the label frame is empty (no input pairs) —
         # nothing can ever change, so stop instead of burning the
         # remaining rounds on empty joins
