@@ -307,9 +307,7 @@ def dedup_pairs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINE_MIN_CHARS = 6
 
 
-@register(
-    "line_dedup_corpus",
-    oracle=f"""
+_CORPUS_LINE_ORACLE = f"""
     WITH lines AS (
         SELECT doc_id,
                CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS line_no,
@@ -339,18 +337,121 @@ LINE_MIN_CHARS = 6
     SELECT d.doc_id, coalesce(r.text, '') AS text
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN rebuilt r USING (doc_id)
-    """,
+    """
+
+#: synthetic per-document crawl URL, built identically in both engines
+#: (documents has no URL column; source is the natural host key)
+_DOC_URL_SQL = "'http://' || source || '.example/p/' || CAST(doc_id AS VARCHAR)"
+
+_SITE_BOILER_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, source || '.example' AS host,
+               regexp_replace(text, ' ', chr(10), 'g') AS t
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, host,
+               CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS ln,
+               unnest(parts) AS line
+        FROM (SELECT doc_id, host, string_split(t, chr(10)) AS parts
+              FROM docs)
+    ),
+    flagged AS (
+        SELECT host, line FROM (
+            SELECT host, line, count(DISTINCT doc_id) AS nd
+            FROM lines WHERE length(line) >= 1
+            GROUP BY host, line
+        ) WHERE nd >= 3
+    ),
+    keep AS (
+        SELECT l.* FROM lines l ANTI JOIN flagged f
+          ON l.host = f.host AND l.line = f.line
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+        FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.text, '') AS text
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+_HOST_CAP_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, source || '.example' AS host,
+               {_DOC_URL_SQL} AS url,
+               CAST('0x' || substr(md5('e6cap|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id, url AS text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY host ORDER BY h, doc_id
+        ) AS rn FROM docs
+    ) WHERE rn <= 3
+    """
+
+
+@register(
+    "line_dedup_corpus",
+    oracle=tag_union_sql(
+        [
+            ("corpus_line", _CORPUS_LINE_ORACLE),
+            ("site_boilerplate", _SITE_BOILER_ORACLE),
+            ("host_cap", _HOST_CAP_ORACLE),
+        ],
+        tag="variant",
+    ),
     survey="extension: corpus-WIDE line-level dedup (C4, Raffel et al. "
     "2020 §2.2) — every line kept only at its first (doc_id, line_no) "
     "occurrence; winner election is a map-side-combinable min(struct) "
     "on the line hash, so a billion-copy boilerplate line combines to "
-    "one row per task (never a windowed sort)",
-    note="lines shorter than {} chars pass through (blank lines / "
-    "separators are structure, not boilerplate)".format(LINE_MIN_CHARS),
+    "one row per task (never a windowed sort) + ext: site-scoped "
+    "boilerplate removal (functions/urls.site_boilerplate_removal — "
+    "lines repeating across >=3 distinct docs of the SAME host "
+    "stripped, body text kept; folded r5) + ext: per-host document "
+    "cap (functions/urls.host_cap — seeded-md5 top-3 per host, the "
+    "C4 single-domain guard; folded r5)",
+    note="lines shorter than {} chars pass through the corpus leg; "
+    "the site legs derive host/url from the source column "
+    "(documents has no URL) and the boilerplate leg lineates text by "
+    "space->newline so line structure exists in both engines".format(
+        LINE_MIN_CHARS
+    ),
 )
 def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dd.line_dedup_corpus(d, "text", "doc_id", min_chars=LINE_MIN_CHARS)
+    from vbb_data_pipeline_spark.functions.urls import (
+        host_cap,
+        site_boilerplate_removal,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = dd.line_dedup_corpus(
+        d.select("doc_id", "text"), "text", "doc_id",
+        min_chars=LINE_MIN_CHARS,
+    )
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = d.withColumn("url", url)
+    liney = with_url.withColumn(
+        "text", F.regexp_replace("text", " ", "\n")
+    )
+    boiler = site_boilerplate_removal(
+        liney, "url", "text", "doc_id", min_docs=3, min_chars=1
+    ).select("doc_id", "text")
+    capped = host_cap(
+        with_url, "url", 3, seed="e6cap", id_col="doc_id",
+        hash_mode="oracle",
+    ).select("doc_id", F.col("url").alias("text"))
+    return tag_union(
+        [
+            ("corpus_line", corpus),
+            ("site_boilerplate", boiler),
+            ("host_cap", capped),
+        ],
+        tag="variant",
+    )
 
 
 # ---------------------------------------------------------------------------
