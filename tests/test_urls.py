@@ -116,3 +116,56 @@ def test_boilerplate_empty_doc_survives(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string, text string")
     out = site_boilerplate_removal(df, "url", min_docs=2).collect()
     assert len(out) == 1 and out[0]["text"] == ""
+
+
+# ------------------------------------------------------ host_cap_approx
+
+
+def test_host_cap_approx_under_cap_exact_passthrough(spark):
+    from vbb_data_pipeline_spark.functions.urls import host_cap_approx
+
+    rows = [(i, f"https://small.com/{i}", "t") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = host_cap_approx(df, "url", 10, hash_mode="oracle").collect()
+    assert len(out) == 5  # below the cap: every row survives
+
+
+def test_host_cap_approx_binomial_bound_and_determinism(spark):
+    from vbb_data_pipeline_spark.functions.urls import host_cap_approx
+
+    n, cap = 2000, 100
+    rows = [(i, f"https://mega.com/{i}", "t") for i in range(n)] + [
+        (10_000 + i, f"https://tiny.com/{i}", "t") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in host_cap_approx(df, "url", cap, hash_mode="oracle").collect()
+    )
+    mega = [i for i in kept if i < 10_000]
+    # Binomial(2000, 0.05): mean 100, sd ~9.7 — 5 sd covers any seed
+    assert cap - 50 <= len(mega) <= cap + 50
+    assert sum(1 for i in kept if i >= 10_000) == 3  # tiny passes whole
+    # deterministic under repartitioning (pure function of seed|id)
+    kept2 = sorted(
+        r["doc_id"]
+        for r in host_cap_approx(
+            df.repartition(13), "url", cap, hash_mode="oracle"
+        ).collect()
+    )
+    assert kept == kept2
+
+
+def test_host_cap_approx_no_window_in_plan(spark):
+    """The scale rationale: no per-host window (AQE can split a
+    skewed JOIN partition, never a window partition)."""
+    from vbb_data_pipeline_spark.functions.urls import host_cap_approx
+
+    df = spark.createDataFrame(
+        [(1, "https://h.com/a", "t")], "doc_id long, url string, text string"
+    )
+    plan = (
+        host_cap_approx(df, "url", 3, hash_mode="fast")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan

@@ -69,7 +69,7 @@ NON_QUERY_ROWS = [
     ("T3/T5 backoff, shutdown", "Structured Streaming trigger/checkpoint internals (engine lifecycle)", "—"),
     ("§3 E1/E2/E3 end-to-end pipelines", "pipelines.e1_extract / e2_load / e3_arrivals (scan→dedup→load→expand→wire)", "tests/test_pipelines.py (E2E incl. double-load idempotency)"),
     ("ext: WARC crawl ingestion", "sources/warc.read_warc / parse_warc_bytes / warc_to_documents (stdlib-only: exact Content-Length framing, concatenated gzip members, HTTP payload split, HTMLParser text baseline; one file = one task via binaryFile, one Arrow parse stage, deterministic 60-bit doc ids; measured tools/crawl_throughput.py → CRAWL_throughput.json)", "tests/test_warc.py (framing incl. WARC-bytes-in-payload, gzip members, truncation posture, corpus-pipeline bridge)"),
-    ("ext: URL hygiene", "functions/urls.normalize_url (codegen regexp canonicalization: tracking params, fragments, default ports) + url_host (try_parse_url — crawl-safe) + host_cap (seeded-hash top-N per host, one host-keyed exchange) + site_boilerplate_removal (lines repeating across ≥k distinct docs of the SAME host stripped — the site-scoped sibling of C4 line dedup)", "tests/test_urls.py + driver-gated r5: normalize_url/url_host as string_battery legs, host_cap/site_boilerplate_removal as line_dedup_corpus legs"),
+    ("ext: URL hygiene", "functions/urls.normalize_url (codegen regexp canonicalization: tracking params, fragments, default ports) + url_host (try_parse_url — crawl-safe) + host_cap (seeded-hash top-N per host, one host-keyed exchange) + host_cap_approx (windowless binomial cap — count-join-filter, AQE-splittable where a window partition is not; the mega-host straggler escape hatch, e6 host_cap_mode='approx') + site_boilerplate_removal (lines repeating across ≥k distinct docs of the SAME host stripped — the site-scoped sibling of C4 line dedup)", "tests/test_urls.py + driver-gated r5: normalize_url/url_host as string_battery legs, host_cap/site_boilerplate_removal as line_dedup_corpus legs"),
     ("ext: E6 crawl→corpus pipeline", "pipelines.e6_crawl_corpus (WARC → documents → URL normalize → min-id URL dedup → host cap → site boilerplate removal → stopword-argmax language ID (functions/text.lang_guess) → E4 pass-through; crawl parse localCheckpoint-ed once before E4's branching)", "tests/test_pipelines.py (end-to-end: tracking-param re-crawl deduped, junk URLs dropped, host cap bound, nav-only page emptied + dropped, lang/source per doc, run-to-run identity)"),
     ("ext: E4 corpus-prep pipeline", "pipelines.e4_corpus_prep (profile → hygiene (PII redact, repetition cap) → quality gate → decontaminate → fingerprint + MinHash/LSH text dedup ∪ optional embedding-cosine SEMANTIC dedup (operators/similarity.embedding_neardup_pairs) → split → train-only mix → token shards → optional per-split sequence-packing plan (pack_seq_len); fully deterministic composition)", "tests/test_pipelines.py (stage invariants, no surviving near-dup pair, paraphrase collapse via embeddings, run-to-run identity)"),
     ("ext: corpus hygiene (PII, repetition)", "functions/text.redact_pii / pii_counts / dup_line_fraction (scalar regexp/array passes, zero shuffle) + top_bigram_fraction (per-doc mode, two map-side-combinable shuffles) + udfs.compression_signals (zlib ratio + char entropy, Arrow-batched — no Catalyst expression exists) — Gopher-style repetition/garbage filters and pre-training PII redaction", "tests/test_hygiene.py (DuckDB differentials incl. corpus-scale; PII fixtures)"),

@@ -17,6 +17,7 @@ __all__ = [
     "url_host",
     "normalize_url",
     "host_cap",
+    "host_cap_approx",
     "site_boilerplate_removal",
 ]
 
@@ -103,6 +104,73 @@ def host_cap(
         df.withColumn("_hc_rn", F.row_number().over(w))
         .filter(F.col("_hc_rn") <= max_per_host)
         .drop("_hc_rn")
+    )
+
+
+def host_cap_approx(
+    df: DataFrame,
+    url_col: str,
+    max_per_host: int,
+    seed: str = "hostcap",
+    id_col: str = "doc_id",
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """Approximately ``max_per_host`` documents per host WITHOUT a
+    per-host window — the skew-proof sibling of :func:`host_cap` for
+    hosts that dominate a crawl.
+
+    :func:`host_cap`'s ``row_number`` window is exact but puts every
+    row of a host on ONE task; a mega-host holding 10% of a 100 TB
+    crawl becomes a straggler, and AQE cannot split a window
+    partition. This variant keeps a row iff its seeded hash falls
+    below ``max_per_host / n_host`` of the hash space (under-cap
+    hosts pass through exactly, over-cap hosts keep a Binomial(n, N/n)
+    sample — expected N, spread ~±2√N):
+
+    * one map-side-combinable ``count`` per host (a billion-copy host
+      combines to one row per task);
+    * one equi-join of the counts back on the host key — a JOIN, so
+      AQE's skew-join splitting applies where a window could not be
+      split;
+    * one codegen threshold filter.
+
+    Deterministic: the kept set is a pure function of (seed, id), so
+    reruns, engines, and partitionings agree row-for-row. Use the
+    exact window variant when the cap must be exact and hosts are
+    bounded; use this at crawl scale.
+    """
+    from vbb_data_pipeline_spark.functions.hashing import (
+        default_hash_mode,
+        hash_long,
+    )
+
+    if hash_mode is None:
+        hash_mode = default_hash_mode()
+    host = url_host(url_col)
+    counts = (
+        df.select(host.alias("_hca_host"))
+        .groupBy("_hca_host")
+        .agg(F.count(F.lit(1)).alias("_hca_n"))
+    )
+    h = hash_long(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")), hash_mode
+    )
+    # hash ranges differ by mode (md5_long is 60-bit, xxhash64 masked
+    # is 63-bit); the LOW 52 bits are uniform in both, and 52 bits fit
+    # a double exactly — keep iff low52/2^52 < N/n. Double comparison
+    # is engine-identical (exact integers both sides of the divide);
+    # boundary behavior is a pure function of (seed, id).
+    frac = h.bitwiseAND(F.lit((1 << 52) - 1)).cast("double") / F.lit(
+        float(1 << 52)
+    )
+    lim = F.lit(float(max_per_host)) / F.col("_hca_n")
+    return (
+        df.withColumn("_hca_host", host)
+        .join(counts, "_hca_host")
+        .filter(
+            (F.col("_hca_n") <= F.lit(int(max_per_host))) | (frac < lim)
+        )
+        .drop("_hca_host", "_hca_n")
     )
 
 

@@ -499,6 +499,7 @@ def e6_crawl_corpus(
     *,
     url_dedup: bool = True,
     max_per_host: int | None = None,
+    host_cap_mode: str = "exact",
     boilerplate_min_docs: int | None = None,
     langs: tuple[str, ...] | None = None,
     min_chars: int = 1,
@@ -524,7 +525,11 @@ def e6_crawl_corpus(
        before any text ever hashes.
     4. **Host cap** (``max_per_host``) — at most N documents per host,
        seeded-hash-chosen (``functions/urls.host_cap``), so no single
-       domain dominates the corpus.
+       domain dominates the corpus. ``host_cap_mode="approx"`` swaps
+       in the windowless :func:`~vbb_data_pipeline_spark.functions.
+       urls.host_cap_approx` (expected-N binomial cap) — the right
+       choice when a mega-host would make the exact window's
+       single-task partition a straggler.
     5. **Site boilerplate** (``boilerplate_min_docs``) — lines
        repeating across ≥ k documents of the same host are stripped
        (``functions/urls.site_boilerplate_removal``); documents left
@@ -555,6 +560,7 @@ def e6_crawl_corpus(
     from vbb_data_pipeline_spark.functions.text import lang_guess
     from vbb_data_pipeline_spark.functions.urls import (
         host_cap,
+        host_cap_approx,
         normalize_url,
         site_boilerplate_removal,
         url_host,
@@ -576,7 +582,13 @@ def e6_crawl_corpus(
             .drop("_u_rn")
         )
     if max_per_host is not None:
-        docs = host_cap(
+        if host_cap_mode not in ("exact", "approx"):
+            raise ValueError(
+                f"host_cap_mode must be 'exact' or 'approx', "
+                f"got {host_cap_mode!r}"
+            )
+        capper = host_cap if host_cap_mode == "exact" else host_cap_approx
+        docs = capper(
             docs, "url", max_per_host, seed=f"e6hostcap|{seed}",
             hash_mode=hash_mode,
         )
