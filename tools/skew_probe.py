@@ -184,16 +184,84 @@ def run_case(spark, name: str, make_df) -> dict:
     return rep
 
 
+def build_url_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
+    """n_docs (doc_id, url, text) rows where ONE host holds 50% of the
+    corpus (distinct paths) and the rest spread over ~n/100 small
+    hosts of ~50 docs each — the mega-host crawl shape host_cap_approx
+    exists for."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    return base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("https://mega.example/p"), F.col("doc_id")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 2000).cast("string"),
+                F.lit(".example/p"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("url"),
+        F.lit("body text").alias("text"),
+    )
+
+
+def hostcap_cases(spark: SparkSession, n_docs: int) -> None:
+    """Contrast the exact window host_cap against host_cap_approx on
+    the mega-host corpus. Spark >=3.5's WindowGroupLimit rescues the
+    rn<=N pattern map-side (cap rows per key per map partition reach
+    the exchange), so the window is measured BOTH rescued and
+    unrescued — the unrescued run is the shape for any per-host logic
+    the rewrite cannot cover, and the approx cap needs no rescue at
+    all (no window anywhere in its plan)."""
+    from vbb_data_pipeline_spark.functions.urls import (
+        host_cap,
+        host_cap_approx,
+    )
+
+    corpus = build_url_corpus(spark, n_docs).localCheckpoint()
+    cap = 100
+    run_case(
+        spark,
+        "host_cap_window_rescued/mega-host",
+        lambda: host_cap(corpus, "url", cap, hash_mode="fast"),
+    )
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    spark.conf.set(key, "-1")
+    try:
+        run_case(
+            spark,
+            "host_cap_window_unrescued/mega-host",
+            lambda: host_cap(corpus, "url", cap, hash_mode="fast"),
+        )
+    finally:
+        spark.conf.unset(key)
+    run_case(
+        spark,
+        "host_cap_approx/mega-host",
+        lambda: host_cap_approx(corpus, "url", cap, hash_mode="fast"),
+    )
+    corpus.unpersist()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--contrast", action="store_true")
+    ap.add_argument("--hostcap", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(
         app_name="skew-probe", extra_conf={"spark.ui.enabled": "true"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.hostcap:
+        hostcap_cases(spark, args.docs * 10)
+        return
 
     for skewed in (False, True):
         tag = "skewed" if skewed else "uniform"
