@@ -737,3 +737,44 @@ def test_e6_crawl_corpus_end_to_end(spark, tmp_path):
     ).collect()
     key = lambda r: (r.doc_id, r.shard_id, r.split)  # noqa: E731
     assert sorted(map(key, rows2)) == sorted(map(key, rows))
+
+
+def test_e6_host_cap_mode_approx(spark, tmp_path):
+    """host_cap_mode='approx' plugs host_cap_approx into E6: under-cap
+    hosts pass through EXACTLY (the threshold filter only engages past
+    the cap), so with every host under the cap the approx run keeps
+    the identical document set as the exact window run. An unknown
+    mode raises."""
+    import pytest
+
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    records = []
+    for i, body in enumerate(EN_BODIES):
+        html = f"<html><body><p>{body}</p></body></html>"
+        records.append(
+            _e6_record(_e6_http(html.encode()), f"http://a.example/p{i}")
+        )
+    for i, body in enumerate(DE_BODIES):
+        html = f"<html><body><p>{body}</p></body></html>"
+        records.append(
+            _e6_record(_e6_http(html.encode()), f"http://b.example/g{i}")
+        )
+    (d / "a.warc").write_bytes(b"".join(records))
+
+    kw = dict(
+        max_per_host=50,
+        langs=("en", "de"),
+        min_quality=0.0,
+        split_weights={"train": 1.0},
+    )
+    exact = e6_crawl_corpus(spark, str(d), host_cap_mode="exact", **kw)
+    approx = e6_crawl_corpus(spark, str(d), host_cap_mode="approx", **kw)
+    key = lambda r: (r.url, r.doc_id)  # noqa: E731
+    assert sorted(map(key, approx.collect())) == sorted(
+        map(key, exact.collect())
+    )
+    with pytest.raises(ValueError, match="host_cap_mode"):
+        e6_crawl_corpus(spark, str(d), host_cap_mode="binomial", **kw)
