@@ -390,6 +390,36 @@ _HOST_CAP_ORACLE = f"""
     ) WHERE rn <= 3
     """
 
+#: host key for the approx-cap leg: every 4th doc piles onto ONE
+#: mega-host (125 of 500 docs at the gate SF) so the binomial branch
+#: engages; the 20 source hosts drop to <=19 docs and pass through
+#: the n<=cap branch exactly. Replayed identically in both engines.
+_APPROX_HOST_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'mega' ELSE source END"
+)
+HOST_CAP_APPROX_N = 20
+
+# frac < cap/n replay: md5_long is 60-bit; the low 52 bits
+# (h % 2^52 == h & (2^52-1) for h >= 0) cast to DOUBLE are exact, and
+# both divisions are IEEE-correctly-rounded over exact operands, so
+# the kept set is engine-identical (see functions/urls.host_cap_approx)
+_HOST_CAP_APPROX_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               {_APPROX_HOST_SQL} AS host,
+               'http://' || {_APPROX_HOST_SQL}
+                   || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST('0x' || substr(md5('e6capx|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM documents
+    ),
+    counts AS (SELECT host, count(*) AS n FROM docs GROUP BY host)
+    SELECT doc_id, url AS text
+    FROM docs JOIN counts USING (host)
+    WHERE n <= {HOST_CAP_APPROX_N}
+       OR CAST(h % 4503599627370496 AS DOUBLE) / 4503599627370496.0
+          < CAST({HOST_CAP_APPROX_N} AS DOUBLE) / n
+    """
+
 
 @register(
     "line_dedup_corpus",
@@ -398,6 +428,7 @@ _HOST_CAP_ORACLE = f"""
             ("corpus_line", _CORPUS_LINE_ORACLE),
             ("site_boilerplate", _SITE_BOILER_ORACLE),
             ("host_cap", _HOST_CAP_ORACLE),
+            ("host_cap_approx", _HOST_CAP_APPROX_ORACLE),
         ],
         tag="variant",
     ),
@@ -410,7 +441,10 @@ _HOST_CAP_ORACLE = f"""
     "lines repeating across >=3 distinct docs of the SAME host "
     "stripped, body text kept; folded r5) + ext: per-host document "
     "cap (functions/urls.host_cap — seeded-md5 top-3 per host, the "
-    "C4 single-domain guard; folded r5)",
+    "C4 single-domain guard; folded r5) + ext: windowless approx "
+    "host cap (functions/urls.host_cap_approx — count-join-threshold "
+    "binomial cap on a synthetic mega-host, the AQE-splittable "
+    "mega-host path; folded r5)",
     note="lines shorter than {} chars pass through the corpus leg; "
     "the site legs derive host/url from the source column "
     "(documents has no URL) and the boilerplate leg lineates text by "
@@ -421,6 +455,7 @@ _HOST_CAP_ORACLE = f"""
 def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.urls import (
         host_cap,
+        host_cap_approx,
         site_boilerplate_removal,
     )
 
@@ -444,11 +479,23 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_url, "url", 3, seed="e6cap", id_col="doc_id",
         hash_mode="oracle",
     ).select("doc_id", F.col("url").alias("text"))
+    mega_host = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("mega")
+    ).otherwise(F.col("source"))
+    mega_url = F.concat(
+        F.lit("http://"), mega_host, F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    capped_approx = host_cap_approx(
+        d.withColumn("url", mega_url), "url", HOST_CAP_APPROX_N,
+        seed="e6capx", id_col="doc_id", hash_mode="oracle",
+    ).select("doc_id", F.col("url").alias("text"))
     return tag_union(
         [
             ("corpus_line", corpus),
             ("site_boilerplate", boiler),
             ("host_cap", capped),
+            ("host_cap_approx", capped_approx),
         ],
         tag="variant",
     )
