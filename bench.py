@@ -54,7 +54,102 @@ OPTIONAL = [
 
 #: Previous round's per-query times — printed as a stderr delta report
 #: so each round states faster/slower per query (judge request).
-PREV_BENCH = "BENCH_r04.json"
+PREV_BENCH = "BENCH_r05.json"
+
+
+# --------------------------------------------------------------------------
+# Diagnostics — the r5 driver artifact was uniformly ~20-110% slower
+# than same-round in-repo runs with UNCHANGED plans, and nothing in the
+# artifact could say why. Every bench run now emits (a) a machine-load
+# fingerprint (loadavg, /proc/stat busy fraction over the run, memory)
+# and (b) per-query Spark stage metrics (executor run/CPU/GC time,
+# spill, task-time skew) via the REST API, so a slow driver-run
+# artifact is diagnosable after the fact: environment contention shows
+# up as busy-CPU >> executor-CPU with flat GC; a real plan regression
+# shows up in the per-query stage metrics themselves.
+# --------------------------------------------------------------------------
+
+
+def _proc_stat():
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals), idle
+    except OSError:  # pragma: no cover
+        return 0, 0
+
+
+def _machine_snapshot() -> dict:
+    snap = {"loadavg": list(os.getloadavg()), "cpus": os.cpu_count()}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable"):
+                    snap["mem_available_mb"] = int(line.split()[1]) // 1024
+                    break
+    except OSError:  # pragma: no cover
+        pass
+    snap["stat_total"], snap["stat_idle"] = _proc_stat()
+    return snap
+
+
+def _rest_json(url: str):
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def _stage_ids(spark) -> set[int]:
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        return {
+            s["stageId"]
+            for s in _rest_json(f"{ui}/api/v1/applications/{app}/stages")
+        }
+    except Exception:
+        return set()
+
+
+def _stage_delta(spark, before: set[int]) -> dict:
+    """Aggregate executor-side metrics of all stages completed since
+    ``before``: where the time actually went, JVM-side."""
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        stages = _rest_json(
+            f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE"
+        )
+    except Exception:
+        return {}
+    new = [s for s in stages if s["stageId"] not in before]
+    if not new:
+        return {}
+    out = {
+        "run_ms": sum(s.get("executorRunTime", 0) for s in new),
+        "cpu_ms": sum(s.get("executorCpuTime", 0) for s in new) // 1_000_000,
+        "gc_ms": sum(s.get("jvmGcTime", 0) for s in new),
+        "spill_mb": sum(
+            s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+            for s in new
+        )
+        // (1 << 20),
+        "n_stages": len(new),
+    }
+    heavy = max(new, key=lambda s: s.get("executorRunTime", 0))
+    try:
+        q = _rest_json(
+            f"{ui}/api/v1/applications/{app}/stages/{heavy['stageId']}/"
+            f"{heavy['attemptId']}/taskSummary?quantiles=0.5,1.0"
+        )
+        med, mx = q["executorRunTime"]
+        out["heavy_task_skew"] = round(mx / max(med, 1.0), 2)
+    except Exception:
+        pass
+    return out
 
 
 def main() -> None:
@@ -74,7 +169,11 @@ def main() -> None:
         n for n in OPTIONAL if n in registry
     ]
 
-    spark = get_spark("bench")
+    # UI on for this session only: the REST API is the source of the
+    # per-query stage diagnostics (negligible overhead at this scale).
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    machine_before = _machine_snapshot()
+    t_wall0 = time.perf_counter()
 
     # Warm the JVM + file listing so per-query times measure the plan,
     # not first-touch overheads.
@@ -83,6 +182,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    diag_q: dict[str, dict] = {}
     for name in names:
         # Two measurements per query, both reported:
         #  * first_run — single-shot: plan construction + analysis +
@@ -90,19 +190,47 @@ def main() -> None:
         #    actually costs; warm-only timing hid a plan-cost
         #    regression in round 2.
         #  * queries (primary, round-over-round comparable — rounds 1
-        #    and 2 measured this) — steady-state: best of two
+        #    and 2 measured this) — steady-state: best of three
         #    re-executions of the already-built plan, the amortized
-        #    per-query cost of a long-running session.
+        #    per-query cost of a long-running session (best-of-N is
+        #    the transient-load guard: a background spike inflates
+        #    some runs, the minimum survives).
         t0 = time.perf_counter()
         df = registry[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         first_run[name] = round(time.perf_counter() - t0, 3)
+        before_ids = _stage_ids(spark)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        d = _stage_delta(spark, before_ids)
+        if d:
+            d["runs"] = 3  # stage metrics aggregate the 3 steady runs
+            diag_q[name] = d
+
+    wall = time.perf_counter() - t_wall0
+    machine_after = _machine_snapshot()
+    dt = machine_after["stat_total"] - machine_before["stat_total"]
+    di = machine_after["stat_idle"] - machine_before["stat_idle"]
+    busy_frac = round(1.0 - di / dt, 3) if dt > 0 else None
+    diag = {
+        "machine": {
+            "cpus": machine_before["cpus"],
+            "loadavg_start": machine_before["loadavg"],
+            "loadavg_end": machine_after["loadavg"],
+            "mem_available_mb_start": machine_before.get("mem_available_mb"),
+            "mem_available_mb_end": machine_after.get("mem_available_mb"),
+            # machine-wide non-idle CPU fraction over the whole bench:
+            # >> (our executor cpu_ms / wall / cpus) means something
+            # ELSE was eating the machine during the run
+            "busy_cpu_fraction": busy_frac,
+            "wall_sec": round(wall, 1),
+        },
+        "queries": diag_q,
+    }
 
     total = round(sum(times.values()), 3)
     print(
@@ -115,6 +243,7 @@ def main() -> None:
                 "first_run": first_run,
                 "first_run_total_sec": round(sum(first_run.values()), 3),
                 "sf": sf,
+                "diag": diag,
             }
         )
     )

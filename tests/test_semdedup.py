@@ -117,7 +117,8 @@ def test_threshold_is_inclusive(spark):
 
 
 def test_max_cell_size_backstop(spark):
-    # a degenerate cell over the cap is excluded entirely
+    # a degenerate cell over the cap skips the pair stage but its docs
+    # stay in the report as kept pass-through rows (NULL rank/cosine)
     rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)] + [
         (100, [0.0, 0.0, 0.0, 1.0])
     ]
@@ -129,17 +130,26 @@ def test_max_cell_size_backstop(spark):
         threshold=0.9,
         max_cell_size=3,
     )
-    ids = sorted(r["vec_id"] for r in out.collect())
-    assert ids == [100]
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert sorted(got) == [0, 1, 2, 3, 4, 100]
+    for i in range(5):  # the capped cell: all kept, unranked
+        r = got[i]
+        assert r["dropped"] is False
+        assert r["rnk"] is None and r["max_cos_better"] is None
+        assert r["cell_id"] == 0
+    assert got[100]["rnk"] == 1 and got[100]["dropped"] is False
 
 
-def test_null_vectors_excluded(spark):
+def test_null_vectors_pass_through(spark):
     rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None)]
     cents = [(0, [1.0, 0.0, 0.0, 0.0])]
     out = semantic_dedup(
         _df(spark, rows), _cents(spark, cents), dim=DIM, threshold=0.9
     )
-    assert [r["vec_id"] for r in out.collect()] == [0]
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert sorted(got) == [0, 1]
+    assert got[1]["dropped"] is False
+    assert got[1]["cell_id"] is None and got[1]["rnk"] is None
 
 
 def test_arrow_assignment_parity(spark):

@@ -146,7 +146,14 @@ def host_cap_approx(
 
     if hash_mode is None:
         hash_mode = default_hash_mode()
-    host = url_host(url_col)
+    # NULL hosts (unparseable URLs) must survive the counts equi-join —
+    # NULL keys never match, so without this coalesce the approx
+    # variant would silently DROP every unparseable-URL row while the
+    # exact window variant groups them (window partitioning treats
+    # NULL as one group). Coalesce to a sentinel containing NUL, which
+    # no real host can contain, so both variants cap the NULL-host
+    # group identically.
+    host = F.coalesce(url_host(url_col), F.lit("\x00<no-host>"))
     counts = (
         df.select(host.alias("_hca_host"))
         .groupBy("_hca_host")

@@ -238,6 +238,7 @@ def bpe_encode_corpus(
     eow: bool = True,
     vocab: DataFrame | None = None,
     broadcast_words: bool = True,
+    unk_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Tokenize a corpus into integer token ids with a trained merge
     table: returns ``(encoded, vocab)`` where ``encoded`` is
@@ -265,7 +266,11 @@ def bpe_encode_corpus(
       window), so the id space is stable across engines and runs; a
       precomputed ``vocab`` can be passed to pin ids across corpus
       batches (new subwords would otherwise reshuffle ranks —
-      incremental batches should reuse the training vocab).
+      incremental batches should reuse the training vocab). Subwords
+      NOT in a supplied vocab (new characters in an incremental batch)
+      are never silently dropped: they map to ``unk_id`` when given,
+      else the encode RAISES at execution time naming the unseen
+      subword — silent data loss is not an option either way.
     * ``broadcast_words`` hints the word→ids join. Default True
       (distinct words comfortably broadcast at any tested scale);
       flip to False when the distinct-word table outgrows executor
@@ -278,14 +283,39 @@ def bpe_encode_corpus(
     )
     distinct_words = toks.select("word").distinct()
     encoded_words = bpe_encode_words(distinct_words, merges, eow=eow)
+    supplied_vocab = vocab is not None
     if vocab is None:
         vocab = bpe_vocab(encoded_words)
-    # word -> ordered id list, via the (vocab-scale) subword table
+    # word -> ordered id list, via the (vocab-scale) subword table.
+    # With a SUPPLIED vocab an inner join would silently drop subwords
+    # the vocab has never seen (and with them whole word occurrences
+    # downstream) — so join LEFT and either route misses to unk_id or
+    # raise inside the plan (no extra validation scan; the error
+    # surfaces the first time the encode actually executes).
+    tid = F.col("token_id")
+    if supplied_vocab:
+        if unk_id is not None:
+            tid = F.coalesce(tid, F.lit(int(unk_id)).cast("long"))
+        else:
+            tid = F.when(
+                tid.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bpe_encode_corpus: subword not in supplied"
+                            " vocab (pass unk_id to route unseen"
+                            " subwords): "
+                        ),
+                        F.col("subword"),
+                    )
+                ),
+            ).otherwise(tid)
     word_ids = (
         encoded_words.select(
             "word", F.posexplode("subwords").alias("sp", "subword")
         )
-        .join(F.broadcast(vocab), "subword")
+        .join(F.broadcast(vocab), "subword", "left")
+        .withColumn("token_id", tid)
         .groupBy("word")
         .agg(
             F.transform(

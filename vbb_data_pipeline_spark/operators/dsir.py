@@ -129,12 +129,16 @@ def dsir_logweights(
     and broadcasts. Documents with no tokens get weight 0 (they carry
     no evidence either way — never NULL).
     """
+    # the feature frames fan out to several consumers (the totals
+    # collect, the delta join, the per-doc weight agg) — materialize
+    # them once so each corpus is genuinely scanned ONCE for features;
+    # (id, bucket, c) rows are orders of magnitude smaller than text
     feat_raw = hashed_ngram_features(
         raw, text_col, id_col, n_buckets, hash_mode
-    )
+    ).localCheckpoint(eager=True)
     feat_tgt = hashed_ngram_features(
         target, text_col, id_col, n_buckets, hash_mode
-    )
+    ).localCheckpoint(eager=True)
     tgt_b = _bucket_counts(feat_tgt)
     raw_b = _bucket_counts(feat_raw)
     n_t = (tgt_b.agg(F.sum("n")).collect()[0][0]) or 0

@@ -1323,7 +1323,10 @@ def semantic_dedup(
     upper-triangular max bit-for-bit.
 
     Returns ``(id, cell_id, rnk, max_cos_better, dropped)`` — an
-    auditable report (one row per input doc) rather than the filtered
+    auditable report (one row per input doc — INCLUDING docs the pair
+    stage skips: NULL-vector docs and docs in cells over
+    ``max_cell_size`` come back as kept pass-through rows with NULL
+    rank/cosine, never silently absent) rather than the filtered
     corpus, so the keep/drop decision itself is the checked artifact;
     callers filter ``~dropped`` and join back by id (wide doc columns
     never enter the pair stage).
@@ -1381,6 +1384,17 @@ def semantic_dedup(
             F.col("_m.c").alias("_ccos"),
             F.col("_m.v").alias("_v"),
         )
+    # pass-through rows keep the "one row per input doc" contract:
+    # NULL-vector docs and docs in oversized (capped) cells are KEPT
+    # (dropped=false) with NULL rank/cosine — a caller who filters
+    # ~dropped never silently loses documents the pair stage skipped.
+    skipped = embeddings.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("cell_id"),
+        F.lit(None).cast("int").alias("rnk"),
+        F.lit(None).cast("double").alias("max_cos_better"),
+        F.lit(False).alias("dropped"),
+    )
     if max_cell_size is not None:
         ok = (
             assigned.groupBy("cell_id")
@@ -1388,6 +1402,14 @@ def semantic_dedup(
             .filter(F.col("_cn") <= max_cell_size)
             .select("cell_id")
         )
+        over = assigned.join(F.broadcast(ok), "cell_id", "left_anti").select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.lit(None).cast("int").alias("rnk"),
+            F.lit(None).cast("double").alias("max_cos_better"),
+            F.lit(False).alias("dropped"),
+        )
+        skipped = skipped.unionByName(over)
         assigned = assigned.join(F.broadcast(ok), "cell_id", "left_semi")
     w = Window.partitionBy("cell_id").orderBy(
         F.col("_ccos").asc(), F.col(id_col).asc()
@@ -1430,6 +1452,7 @@ def semantic_dedup(
                 >= F.lit(threshold)
             ).alias("dropped"),
         )
+        .unionByName(skipped)
     )
 
 

@@ -17,12 +17,20 @@ loop, composed from the already-proven pieces:
 * an audit table records every verdict (including replays), so the
   ingest is explainable after the fact.
 
-Effectively-once under crash-replay: a micro-batch replayed after a
-crash between write and checkpoint commit re-probes ids already in
-the index; the ``id_col`` anti-join guard filters them out FIRST, so
-the corpus, index and audit gain zero rows on replay — the streaming
-twin of the reference's conflict-ignoring INSERT
-(``utils/__init__.py:55-56``), like ``sinks.write_stream_idempotent``.
+Effectively-once under crash-replay, per table: the fps index is the
+replay-guard source (ids already indexed are anti-joined out FIRST),
+and because a crash can land BETWEEN the corpus/ivf/index/audit
+appends, each append carries its own guard — the corpus and audit are
+hive-partitioned by the ingest batch id and a replayed batch
+anti-joins against its OWN partition (partition-pruned read, never
+the whole table), and the ivf append anti-joins the vector index's id
+column. Any crash point therefore converges on replay: no duplicate
+corpus/audit/ivf rows, no lost survivors — the streaming twin of the
+reference's conflict-ignoring INSERT (``utils/__init__.py:55-56``),
+like ``sinks.write_stream_idempotent``. One documented wrinkle: a
+replay after the fps write may re-label an intra-batch duplicate
+``exact_dup`` (probed from the index) instead of ``batch_dup`` — the
+rejection itself is identical.
 
 Scale posture: per micro-batch work is (batch × index-probe) joins —
 the index read prunes to the batch's band buckets, the corpus text is
@@ -42,6 +50,27 @@ def _existing_ids(spark, index_path: str, id_col: str) -> DataFrame | None:
 
     try:
         return spark.read.parquet(f"{index_path}/fps").select(id_col)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def _already_written(
+    spark, path: str, part_col: str, batch_id: int, id_col: str
+) -> DataFrame | None:
+    """Ids already committed to ``path`` for THIS batch partition, or
+    None when the table (or partition) doesn't exist yet. The filter
+    on the hive partition column prunes the read to one directory, so
+    a replay guard costs ∝ batch rows even on a 100 TB table."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col(part_col) == F.lit(int(batch_id)))
+            .select(id_col)
+        )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
@@ -182,16 +211,36 @@ def corpus_ingest_batch(
             sem
         )
 
-    # 4. append survivors to the corpus and the index(es)
+    # 4. append survivors to the corpus and the index(es). Each append
+    # is individually replay-guarded (a crash can land between them):
+    # corpus rows carry ingest_batch_id and a replay anti-joins its own
+    # partition only — partition-pruned, so the guard cost is ∝ batch,
+    # never ∝ corpus.
     new_ids = verdicts.filter(F.col("status") == "new").select(id_col)
     survivors = uniq.join(F.broadcast(new_ids), id_col, "left_semi")
-    survivors.write.mode("append").parquet(corpus_path)
+    corpus_out = survivors.withColumn(
+        "ingest_batch_id", F.lit(int(batch_id)).cast("long")
+    )
+    done = _already_written(
+        spark, corpus_path, "ingest_batch_id", batch_id, id_col
+    )
+    if done is not None:
+        corpus_out = corpus_out.join(done, id_col, "left_anti")
+    corpus_out.write.partitionBy("ingest_batch_id").mode("append").parquet(
+        corpus_path
+    )
     if semantic:
+        import os
+
         from vbb_data_pipeline_spark.operators.similarity import (
             ivf_write_index,
         )
 
         vec_survivors = survivors.filter(F.col(vec_col).isNotNull())
+        if os.path.exists(embedding_index_path):
+            # replay guard for the vector index (narrow id-column read)
+            have = spark.read.parquet(embedding_index_path).select(id_col)
+            vec_survivors = vec_survivors.join(have, id_col, "left_anti")
         ivf_write_index(
             vec_survivors.select(id_col, vec_col),
             centroids,
@@ -213,7 +262,10 @@ def corpus_ingest_batch(
         mode="append",
     )
 
-    # 5. audit every verdict (batch-scoped, append-only)
+    # 5. audit every verdict (batch-scoped, append-only). Rejected
+    # docs never enter the fps index, so the step-0 guard alone would
+    # re-audit them on replay — the batch-partition anti-join below
+    # makes the audit itself effectively-once.
     audit = (
         verdicts.unionByName(
             low.select(
@@ -233,7 +285,10 @@ def corpus_ingest_batch(
         )
         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
     )
-    audit.write.mode("append").parquet(audit_path)
+    audited = _already_written(spark, audit_path, "batch_id", batch_id, id_col)
+    if audited is not None:
+        audit = audit.join(audited, id_col, "left_anti")
+    audit.write.partitionBy("batch_id").mode("append").parquet(audit_path)
 
 
 def write_stream_corpus_ingest(
