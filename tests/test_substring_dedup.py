@@ -398,3 +398,93 @@ def test_span_removal_no_surviving_foreign_duplicate(spark, seed):
     m_before = before.agg(F.sum("dup_spans")).collect()[0][0] or 0
     m_after = after.agg(F.sum("dup_spans")).collect()[0][0] or 0
     assert m_after < m_before
+
+
+# ---------------------------------------------------------------------------
+# span_removal_fixed_point (r6: the closure a single pass cannot give)
+# ---------------------------------------------------------------------------
+def _max_cross_doc_ndocs(spark, df, w):
+    """Max number of distinct docs sharing any w-gram (1 = no
+    cross-document duplication left)."""
+    from vbb_data_pipeline_spark.operators.dedup import substring_span_stats
+
+    stats = substring_span_stats(df, "text", "doc_id", window=w)
+    dup = stats.agg(F.sum("dup_spans")).collect()[0][0] or 0
+    return dup
+
+
+def test_fixed_point_single_pass_insufficient_then_converges(spark):
+    """A corpus engineered so removal CREATES a fresh cross-doc gram:
+    the fixed point must clean it, and the result carries rounds >= 2."""
+    from vbb_data_pipeline_spark.operators.dedup import (
+        span_removal,
+        span_removal_fixed_point,
+    )
+
+    w = 3
+    # doc 0 owns "a b c"; doc 1 = "x a b c y z q" loses "a b c"'s
+    # tokens in round 1 -> "x y z q", which then shares the gram
+    # "x y z" with doc 2 ("x y z k") — a duplicate that EXISTS ONLY
+    # AFTER round 1; round 2 elects doc 1 (lower id) owner and strips
+    # it from doc 2.
+    rows = [
+        (0, "a b c"),
+        (1, "x a b c y z q"),
+        (2, "x y z k"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    single = span_removal(d, "text", "doc_id", window=w)
+    assert _max_cross_doc_ndocs(spark, single.select("doc_id", "text"), w) > 0
+
+    fixed = span_removal_fixed_point(d, "text", "doc_id", window=w)
+    got = {r.doc_id: r for r in fixed.collect()}
+    assert got[0].rounds >= 2
+    cleaned = fixed.select("doc_id", "text")
+    assert _max_cross_doc_ndocs(spark, cleaned, w) == 0
+    # owners kept their copies: doc 0 owns "a b c", doc 1 owns the
+    # round-2 gram "x y z"; doc 2 lost it
+    assert got[0].text == "a b c"
+    assert got[1].text == "x y z q"
+    assert got[2].text == "k" and got[2].removed_tokens == 3
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fixed_point_random_corpus_property(spark, seed):
+    """Property (the r5 verdict's asked-for guarantee): after
+    convergence NO window-gram survives in two distinct documents —
+    every duplicated region exists exactly once in the corpus."""
+    import numpy as np
+
+    from vbb_data_pipeline_spark.operators.dedup import (
+        span_removal_fixed_point,
+    )
+
+    rng = np.random.default_rng(seed)
+    alphabet = [f"w{j}" for j in range(5)]  # tiny alphabet: collisions
+    rows = []
+    for i in range(18):
+        n = int(rng.integers(4, 30))
+        rows.append((i, " ".join(rng.choice(alphabet, size=n))))
+    w = 4
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fixed = span_removal_fixed_point(
+        d, "text", "doc_id", window=w, max_rounds=10
+    )
+    cleaned = fixed.select("doc_id", "text")
+    assert _max_cross_doc_ndocs(spark, cleaned, w) == 0
+    # every input doc keeps a row (empty-text rows included)
+    assert fixed.count() == 18
+
+
+def test_fixed_point_already_clean_is_one_round(spark):
+    from vbb_data_pipeline_spark.operators.dedup import (
+        span_removal_fixed_point,
+    )
+
+    rows = [(0, "a b c d e"), (1, "f g h i j")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_removal_fixed_point(
+        d, "text", "doc_id", window=3
+    ).collect()}
+    assert all(r.rounds == 1 and r.removed_tokens == 0 for r in out.values())
+    assert out[0].text == "a b c d e"

@@ -165,3 +165,83 @@ def test_documents_feed_the_corpus_pipeline(spark, tmp_path):
     assert len(scored) == 2
     assert all(r["q"] > 0 for r in scored)
     assert scored[0]["fp"] == scored[1]["fp"]  # exact-dup detectable
+
+
+# ---------------------------------------------------------------------------
+# density extractor (r6: Kohlschütter-style block word/link-density
+# classification) — differential vs the naive tier on fixture pages
+# with KNOWN body text and known boilerplate
+# ---------------------------------------------------------------------------
+BODY_1 = (
+    "The committee met on Tuesday to review the findings of the "
+    "annual report which covered revenue growth staffing changes "
+    "and the outlook for the coming fiscal year in considerable detail."
+)
+BODY_2 = (
+    "Members raised questions about the methodology used in the "
+    "survey and asked the authors to provide additional context on "
+    "the sampling procedure before the next scheduled meeting in May."
+)
+NAV_HTML = (
+    "<div><a href='/'>Home</a> <a href='/news'>News</a> "
+    "<a href='/about'>About</a> <a href='/contact'>Contact</a></div>"
+)
+FOOTER_HTML = (
+    "<div><a href='/terms'>Terms</a> <a href='/privacy'>Privacy</a> "
+    "<a href='/imprint'>Imprint</a> copyright 2024</div>"
+)
+PAGE = (
+    f"<html><body>{NAV_HTML}"
+    f"<div><p>{BODY_1}</p><p>{BODY_2}</p></div>"
+    f"{FOOTER_HTML}</body></html>"
+)
+
+
+def test_density_keeps_body_drops_nav_footer():
+    from vbb_data_pipeline_spark.sources.warc import html_text_density
+
+    t = html_text_density(PAGE)
+    assert BODY_1 in t and BODY_2 in t
+    assert "Home" not in t and "Privacy" not in t
+    # the naive tier keeps the boilerplate — the measurable recall/
+    # precision difference the density tier exists for
+    naive = html_text(PAGE)
+    assert "Home" in naive and "Privacy" in naive
+
+
+def test_density_short_linkless_neighbor_rule():
+    from vbb_data_pipeline_spark.sources.warc import html_text_density
+
+    # a short linkless block BETWEEN two long content blocks is kept
+    # (the neighbor rules), while an isolated short block is not
+    page = (
+        f"<html><body><p>{BODY_1}</p><p>Short aside here.</p>"
+        f"<p>{BODY_2}</p></body></html>"
+    )
+    t = html_text_density(page)
+    assert "Short aside here." in t
+    lonely = "<html><body><p>Hi.</p></body></html>"
+    assert html_text_density(lonely) == ""
+
+
+def test_density_malformed_html_returns_empty_or_text():
+    from vbb_data_pipeline_spark.sources.warc import html_text_density
+
+    # malformed input never raises
+    assert isinstance(html_text_density("<p><<<>broken &weird;"), str)
+    assert html_text_density("") == ""
+
+
+def test_warc_documents_density_knob(spark, tmp_path):
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "p.warc").write_bytes(
+        _archive(_record(_http(PAGE.encode()), uri="http://e.example/x"))
+    )
+    recs = read_warc(spark, str(d))
+    naive = warc_to_documents(recs, extractor="naive").collect()[0]
+    dense = warc_to_documents(recs, extractor="density").collect()[0]
+    assert BODY_1 in naive["text"] and BODY_1 in dense["text"]
+    assert "Privacy" in naive["text"] and "Privacy" not in dense["text"]
+    # same doc id: the extractor changes text, never identity
+    assert naive["doc_id"] == dense["doc_id"]

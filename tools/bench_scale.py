@@ -122,30 +122,21 @@ def q_e4_spangate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup at the PRODUCTION knob: cell count scales with the
-    corpus (~128 vectors/cell, BLAS trainer) so the within-cell pair
+    """SemDeDup at the OPERATOR DEFAULT (since r6): centroids=None
+    trains cells ∝ corpus (~128 vectors/cell, BLAS trainer, Arrow
+    assignment) inside semantic_dedup itself, so the within-cell pair
     stage stays constant-sized per cell — the paper's construction
     (110k cells for LAION-440M). The registry leg deliberately pins
-    n_cells=16 for bit-level SQL replayability, which is quadratic
-    past gate scales; THIS entry is the scale path and should track
-    ~linear across decades."""
-    from vbb_data_pipeline_spark.operators.similarity import (
-        kmeans_centroids_numpy,
-        semantic_dedup,
-    )
+    n_cells=16 + expression assignment for bit-level SQL
+    replayability, which is quadratic past gate scales; THIS entry
+    measures what a caller gets WITHOUT tuning anything and should
+    track ~linear across decades."""
+    from vbb_data_pipeline_spark.operators.similarity import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    cells = max(16, n // 128)
-    cent = kmeans_centroids_numpy(
-        e,
-        n_cells=cells,
-        iters=3,
-        cache_key=f"{sf_dir}|semdedup|{cells}",
-    )
     return semantic_dedup(
-        e, cent, dim=64, threshold=0.35, max_cell_size=4096,
-        assign="arrow",
+        e, None, dim=64, threshold=0.35, max_cell_size=4096,
+        train_cache_key=f"{sf_dir}|semdedup|default",
     )
 
 

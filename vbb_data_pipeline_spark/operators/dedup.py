@@ -559,18 +559,19 @@ def span_removal(
 
     Single pass: removal can create new token adjacencies that form
     fresh ``window``-grams; Lee et al. accept the same (their
-    removals also splice suffixes). Iterate the operator for a
-    fixed-point if required.
+    removals also splice suffixes). :func:`span_removal_fixed_point`
+    iterates this operator until no cross-document span survives.
 
     Scale shape: span strings never shuffle — the exchange carries
     (hash, id, pos) triples; ownership stats are one map-side
     combinable aggregation (billion-copy boilerplate spans combine
     per task); covered positions come back to documents via ONE
-    id-keyed join of int arrays. The per-document token filter is an
-    O(n_tokens · n_covered) codegen expression — documents are
-    bounded (chunked) in training corpora; for pathological
-    million-token documents route through a Pandas-UDF interval
-    merge instead.
+    id-keyed join of int arrays. The per-document token excision is
+    ``array_except`` of the position range against the covered set —
+    a hash-based O(n_tokens + n_covered) codegen expression (NOT the
+    O(n·m) per-token ``array_contains`` scan an earlier draft used),
+    so million-token pathological documents stay linear with no
+    Python escape hatch needed.
     """
     from vbb_data_pipeline_spark.functions.hashing import hash_long
 
@@ -613,9 +614,16 @@ def span_removal(
         .agg(F.array_sort(F.collect_list("_ci")).alias("_cov"))
     )
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("_tk"), lambda t, i: ~F.array_contains(cov, i + F.lit(1))
+    # linear excision: surviving positions = range \ covered (hash
+    # set difference, order-preserving), then index back into the
+    # token array — O(n + m) per document
+    kept_pos = F.array_except(
+        F.when(
+            F.size("_tk") > 0, F.sequence(F.lit(1), F.size("_tk"))
+        ).otherwise(F.array().cast("array<int>")),
+        cov,
     )
+    kept = F.transform(kept_pos, lambda i: F.element_at(F.col("_tk"), i))
     return (
         base.join(covered, id_col, "left")
         .select(
@@ -623,6 +631,66 @@ def span_removal(
             F.concat_ws(" ", kept).alias("text"),
             F.size(cov).cast("long").alias("removed_tokens"),
         )
+    )
+
+
+def span_removal_fixed_point(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 15,
+    hash_mode: str = "fast",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Iterate :func:`span_removal` to a FIXED POINT: after
+    convergence no ``window``-token span occurs in more than one
+    document (each duplicated region survives exactly once, in its
+    owner) — the closure a single pass cannot promise, because every
+    excision splices new token adjacencies that may themselves form
+    fresh cross-document grams.
+
+    Returns ``(id_col, text, removed_tokens, rounds)`` — cumulative
+    tokens removed per document and the number of passes executed.
+    Convergence test is the round's TOTAL removed count hitting zero
+    (one tiny aggregate per round, same driver-loop shape as the CC /
+    PageRank operators); ``max_rounds`` bounds the loop — corpora
+    converge in 2–3 rounds in practice because round k only re-matches
+    text adjacent to round k−1's cuts. Each round's output is
+    ``localCheckpoint``-ed: without truncation round k would re-run
+    every earlier round's full span plan per consumer.
+    """
+    cur = df.select(F.col(id_col), F.col(text_col).alias("text"))
+    acc = df.select(
+        F.col(id_col), F.lit(0).cast("long").alias("removed_tokens")
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        out = span_removal(
+            cur, "text", id_col, window=window, hash_mode=hash_mode
+        ).localCheckpoint(eager=True)
+        rounds += 1
+        acc = (
+            acc.join(
+                out.select(F.col(id_col), F.col("removed_tokens").alias("_r")),
+                id_col,
+            )
+            .select(
+                F.col(id_col),
+                (F.col("removed_tokens") + F.col("_r")).alias(
+                    "removed_tokens"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = out.select(F.col(id_col), "text")
+        step = out.agg(F.sum("removed_tokens")).first()[0] or 0
+        if step == 0:
+            break
+    return cur.join(acc, id_col).select(
+        F.col(id_col),
+        "text",
+        "removed_tokens",
+        F.lit(rounds).cast("int").alias("rounds"),
     )
 
 

@@ -1274,7 +1274,7 @@ def embedding_neardup_pairs(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     dim: int,
     threshold: float,
     id_col: str = "vec_id",
@@ -1282,7 +1282,10 @@ def semantic_dedup(
     round_digits: int = 5,
     max_cell_size: int | None = None,
     checkpoint: bool = True,
-    assign: str = "expr",
+    assign: str = "arrow",
+    vecs_per_cell: int = 128,
+    train_iters: int = 3,
+    train_cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication") — cluster-scoped
@@ -1331,14 +1334,35 @@ def semantic_dedup(
     callers filter ``~dropped`` and join back by id (wide doc columns
     never enter the pair stage).
 
-    ``assign``: ``"expr"`` (default) scores cells through the codegen
-    dot expression — right for the oracle-replayable small-cell-count
-    gate; ``"arrow"`` runs :func:`ivf_assign_arrow`'s per-batch BLAS
-    matmul — the index-build formulation, mandatory once cells number
-    in the hundreds+ (the O(N·C·dim) expression pass dominates
-    otherwise; cell- and cosine-identical by the rounding parity
-    contract).
+    ``assign``: ``"arrow"`` (default) runs :func:`ivf_assign_arrow`'s
+    per-batch BLAS matmul — the index-build formulation, mandatory
+    once cells number in the hundreds+ (the O(N·C·dim) expression pass
+    dominates otherwise); ``"expr"`` scores cells through the codegen
+    dot expression — kept for the oracle-replayable small-cell-count
+    gate (the two are cell- and cosine-identical by the rounding
+    parity contract, pinned by ``tests/test_semdedup.py``).
+
+    ``centroids=None`` (the PRODUCTION default) trains them here with
+    cells ∝ corpus — ``max(16, N/vecs_per_cell)`` cells via the BLAS
+    trainer (:func:`kmeans_centroids_numpy`) — the paper's recipe
+    (110k cells for LAION-440M ≈ 4k vec/cell; 128 is this engine's
+    measured 2–3×/decade knob, SCALE_sf*.json). A FIXED cell count
+    makes the per-cell pair stage quadratic in the corpus (the r5
+    registry leg measured 26×/decade at its pinned n_cells=16) — pass
+    explicit ``centroids`` only when replaying an oracle or reusing a
+    trained quantizer.
     """
+    if centroids is None:
+        n = embeddings.count()
+        n_cells = max(16, int(n // max(1, int(vecs_per_cell))))
+        centroids = kmeans_centroids_numpy(
+            embeddings,
+            n_cells=n_cells,
+            iters=train_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            cache_key=train_cache_key,
+        )
     if assign == "arrow":
         assigned = ivf_assign_arrow(
             embeddings,

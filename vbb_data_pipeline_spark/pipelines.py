@@ -498,6 +498,7 @@ def e6_crawl_corpus(
     warc_path: str,
     *,
     url_dedup: bool = True,
+    extractor: str = "naive",
     max_per_host: int | None = None,
     host_cap_mode: str = "exact",
     boilerplate_min_docs: int | None = None,
@@ -505,6 +506,7 @@ def e6_crawl_corpus(
     min_chars: int = 1,
     seed: str | int = 0,
     hash_mode: str | None = None,
+    run_e4: bool = True,
     **e4_kwargs,
 ) -> DataFrame:
     """E6: raw crawl archives → training shards, the full C4/RefinedWeb
@@ -513,7 +515,10 @@ def e6_crawl_corpus(
 
     1. **Ingest** — ``sources/warc.read_warc`` (one file = one task,
        the crawl parallelism model) → ``warc_to_documents`` (200-status
-       HTML → text, deterministic 60-bit doc ids).
+       HTML → text, deterministic 60-bit doc ids). ``extractor``
+       selects the HTML tier: ``"naive"`` (all visible text) or
+       ``"density"`` (block word-count/link-density boilerplate
+       classification — higher body-text precision, same Arrow stage).
     2. **URL normalize** — ``functions/urls.normalize_url`` canonical
        form (tracking params, fragments, default ports stripped);
        documents whose URL has no parseable host are dropped (crawl
@@ -570,7 +575,7 @@ def e6_crawl_corpus(
         warc_to_documents,
     )
 
-    docs = warc_to_documents(read_warc(spark, warc_path))
+    docs = warc_to_documents(read_warc(spark, warc_path), extractor=extractor)
     docs = docs.withColumn("url", normalize_url("url")).filter(
         url_host("url").isNotNull()
     )
@@ -606,6 +611,12 @@ def e6_crawl_corpus(
     )
     if langs is not None:
         docs = docs.filter(F.col("lang").isin(list(langs)))
+    if not run_e4:
+        # curated documents only (steps 1-6) — the URL-level plane, a
+        # measurement/inspection surface (tools/crawl_throughput.py)
+        # and the hand-off point for callers running their own corpus
+        # assembly; no checkpoint since nothing fans out from here
+        return docs
     docs = docs.localCheckpoint()
     return e4_corpus_prep(
         docs, seed=seed, hash_mode=hash_mode, **e4_kwargs

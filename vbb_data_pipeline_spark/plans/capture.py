@@ -73,7 +73,14 @@ def enable() -> None:
     """Turn capture on and install the ``localCheckpoint`` wrapper
     (idempotent; the wrapper itself no-ops whenever capture is off)."""
     global _enabled, _orig_lcp
-    from pyspark.sql import DataFrame
+    # patch the CONCRETE runtime class: pyspark 4's public DataFrame is
+    # an abstract facade and classic sessions instantiate
+    # pyspark.sql.classic.dataframe.DataFrame, whose own method would
+    # shadow a base-class patch
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older pyspark
+        from pyspark.sql import DataFrame
 
     with _lock:
         _plans.clear()

@@ -364,8 +364,12 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_KMEANS_ITERS,
         cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
     )
+    # pinned constants (n_cells=16 quantizer, expression assignment)
+    # for bit-for-bit DuckDB replay — the ORACLE configuration only.
+    # The operator's production default (centroids=None) trains cells
+    # ∝ corpus on the BLAS path, the measured 2-3x/decade recipe.
     return sim.semantic_dedup(
-        e, centroids, dim=DIM, threshold=_SD_THRESHOLD
+        e, centroids, dim=DIM, threshold=_SD_THRESHOLD, assign="expr"
     )
 
 

@@ -88,6 +88,8 @@ def dedup_within_watermark(
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming DataFrame to completion into an in-memory
     table (local test harness)."""
+    from vbb_data_pipeline_spark.plans import capture
+
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -95,4 +97,8 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
         .start()
     )
     q.processAllAvailable()
+    # audit hook (no-op in production): the micro-batch plan is the
+    # one this query actually executed — the memory-sink scan a caller
+    # gets back never shows it
+    capture.note_streaming_query(q, name)
     q.stop()
