@@ -114,7 +114,12 @@ def build_crawl(spark, sf_dir: str, out_dir: str, reps: int = 1) -> dict:
     return {"docs": n_docs, "bytes": total, "files": N_FILES, "reps": reps}
 
 
-def measure_decade(spark, tmp: str, meta: dict) -> dict:
+def measure_decade(
+    spark, tmp: str, meta: dict, stages: set[str], sink=None
+) -> dict:
+    """Run the selected measurement stages; ``sink(row)`` persists the
+    decade row after EVERY stage so a wall-clock cap never loses
+    completed measurements (the 1 GB decade spans several minutes)."""
     from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
     from vbb_data_pipeline_spark.sources.warc import (
         read_warc,
@@ -122,43 +127,76 @@ def measure_decade(spark, tmp: str, meta: dict) -> dict:
     )
 
     out: dict = {"input": meta}
+    n_docs = meta["docs"]
 
-    t0 = time.time()
-    n_docs = warc_to_documents(read_warc(spark, tmp)).count()
-    sec = time.time() - t0
-    out["parse"] = {
-        "docs": n_docs,
-        "sec": round(sec, 2),
-        "docs_per_sec": round(n_docs / sec),
-        "mb_per_sec": round(meta["bytes"] / 1e6 / sec, 1),
-    }
+    def emit():
+        if sink is not None:
+            sink(out)
 
-    t0 = time.time()
-    warc_to_documents(read_warc(spark, tmp), extractor="density").count()
-    sec = time.time() - t0
-    out["parse_density"] = {
-        "sec": round(sec, 2),
-        "docs_per_sec": round(n_docs / sec),
-        "mb_per_sec": round(meta["bytes"] / 1e6 / sec, 1),
-    }
+    if "parse" in stages:
+        t0 = time.time()
+        n_docs = warc_to_documents(read_warc(spark, tmp)).count()
+        sec = time.time() - t0
+        out["parse"] = {
+            "docs": n_docs,
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec),
+            "mb_per_sec": round(meta["bytes"] / 1e6 / sec, 1),
+        }
+        emit()
+
+    if "parse_density" in stages:
+        t0 = time.time()
+        warc_to_documents(read_warc(spark, tmp), extractor="density").count()
+        sec = time.time() - t0
+        out["parse_density"] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec),
+            "mb_per_sec": round(meta["bytes"] / 1e6 / sec, 1),
+        }
+        emit()
 
     # curate: E6 steps 2-6 only (run_e4=False) — URL normalize/dedup,
     # host cap, site boilerplate, langid; the exchanges under test
-    t0 = time.time()
-    n_curated = e6_crawl_corpus(
-        spark,
-        tmp,
-        max_per_host=1_000_000,
-        boilerplate_min_docs=3,
-        run_e4=False,
-    ).count()
-    sec = time.time() - t0
-    out["curate_pre_e4"] = {
-        "docs_out": n_curated,
-        "sec": round(sec, 2),
-        "docs_per_sec": round(n_docs / sec),
-    }
+    if "curate" in stages:
+        t0 = time.time()
+        n_curated = e6_crawl_corpus(
+            spark,
+            tmp,
+            max_per_host=1_000_000,
+            boilerplate_min_docs=3,
+            run_e4=False,
+        ).count()
+        sec = time.time() - t0
+        out["curate_pre_e4"] = {
+            "docs_out": n_curated,
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec),
+        }
+        emit()
     return out
+
+
+def _merge_row(out_json: str, sf_dir: str, row: dict) -> None:
+    """Upsert a decade row (keyed by reps) into the artifact — written
+    after every stage, so partial runs persist what they measured."""
+    data = {"sf_dir": sf_dir, "decades": []}
+    if os.path.exists(out_json):
+        try:
+            with open(out_json) as f:
+                data = json.load(f)
+        except ValueError:
+            pass
+    reps = row["input"]["reps"]
+    rows = [
+        r for r in data.get("decades", []) if r["input"]["reps"] != reps
+    ]
+    rows.append(row)
+    rows.sort(key=lambda r: r["input"]["reps"])
+    data["sf_dir"] = sf_dir
+    data["decades"] = rows
+    with open(out_json, "w") as f:
+        json.dump(data, f, indent=1)
 
 
 def main() -> None:
@@ -171,25 +209,65 @@ def main() -> None:
         for x in os.environ.get("CRAWL_TP_DECADES", "1").split(",")
         if x.strip()
     ]
+    stages = {
+        s.strip()
+        for s in os.environ.get(
+            "CRAWL_TP_STAGES", "parse,parse_density,curate"
+        ).split(",")
+        if s.strip()
+    }
+    # CRAWL_TP_DIR: persistent archive dir — generated once, reused by
+    # later stage-subset invocations (the 1 GB decade is run one stage
+    # per invocation under a wall-clock cap)
+    keep_dir = os.environ.get("CRAWL_TP_DIR")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    results = []
     try:
         for reps in decades:
-            tmp = tempfile.mkdtemp(prefix="crawl_tp_")
+            if keep_dir:
+                tmp = os.path.join(keep_dir, f"reps{reps}")
+                os.makedirs(tmp, exist_ok=True)
+            else:
+                tmp = tempfile.mkdtemp(prefix="crawl_tp_")
             try:
-                t0 = time.time()
-                meta = build_crawl(spark, sf_dir, tmp, reps=reps)
-                meta["gen_sec"] = round(time.time() - t0, 1)
-                row = measure_decade(spark, tmp, meta)
-                results.append(row)
-                print(json.dumps(row), file=sys.stderr)
+                meta_path = os.path.join(tmp, "_meta.json")
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        meta = json.load(f)
+                else:
+                    t0 = time.time()
+                    meta = build_crawl(spark, sf_dir, tmp, reps=reps)
+                    meta["gen_sec"] = round(time.time() - t0, 1)
+                    with open(meta_path, "w") as f:
+                        json.dump(meta, f)
+                # carry forward any stages a previous invocation wrote
+                row = {"input": meta}
+                if os.path.exists(out_json):
+                    try:
+                        with open(out_json) as f:
+                            for r in json.load(f).get("decades", []):
+                                if r["input"]["reps"] == reps:
+                                    row = r
+                                    row["input"] = meta
+                    except ValueError:
+                        pass
+                prior = dict(row)
+                prior.pop("input", None)
+                full = measure_decade(
+                    spark,
+                    tmp,
+                    meta,
+                    stages,
+                    sink=lambda r: _merge_row(
+                        out_json, sf_dir, {**prior, **r}
+                    ),
+                )
+                print(json.dumps({**prior, **full}), file=sys.stderr)
             finally:
-                shutil.rmtree(tmp, ignore_errors=True)
-        out = {"sf_dir": sf_dir, "decades": results}
-        print(json.dumps(out))
-        with open(out_json, "w") as f:
-            json.dump(out, f, indent=1)
+                if not keep_dir:
+                    shutil.rmtree(tmp, ignore_errors=True)
+        with open(out_json) as f:
+            print(json.dumps(json.load(f)))
     finally:
         spark.stop()
 

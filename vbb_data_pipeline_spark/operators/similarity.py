@@ -1420,6 +1420,12 @@ def semantic_dedup(
         F.lit(False).alias("dropped"),
     )
     if max_cell_size is not None:
+        # the cap fans the assignment out to THREE consumers (the
+        # occupancy agg, the pass-through anti-join, the semi-join) —
+        # materialize it once or the Arrow/BLAS assignment stage
+        # re-executes per consumer (measured 9x at 200k vectors)
+        if checkpoint:
+            assigned = assigned.localCheckpoint(eager=True)
         ok = (
             assigned.groupBy("cell_id")
             .agg(F.count(F.lit(1)).alias("_cn"))
