@@ -184,7 +184,7 @@ def main() -> None:
     if only and os.path.exists(out_path):
         with open(out_path) as f:
             old = json.load(f)
-        if old.get("sf_dir") == sf_dir:
+        if os.path.abspath(old.get("sf_dir", "")) == os.path.abspath(sf_dir):
             times = {**old.get("queries", {}), **times}
             first_run = {**old.get("first_run", {}), **first_run}
 
