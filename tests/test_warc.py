@@ -245,3 +245,23 @@ def test_warc_documents_density_knob(spark, tmp_path):
     assert "Privacy" in naive["text"] and "Privacy" not in dense["text"]
     # same doc id: the extractor changes text, never identity
     assert naive["doc_id"] == dense["doc_id"]
+
+
+def test_crawl_roundtrip_query_matches_source(spark):
+    """The driver-gated roundtrip entry: documents → in-plan WARC →
+    production parse → extracted text identical to the source table
+    (decoy warcinfo/json/404 records dropped along the way)."""
+    from vbb_data_pipeline_spark.queries.crawl_q import crawl_warc_roundtrip
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r["text"]
+        for r in crawl_warc_roundtrip(spark, sf).collect()
+    }
+    src = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert got == src

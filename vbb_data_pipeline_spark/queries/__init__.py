@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "misc_q",
     "cdc_q",
     "graph_q",
+    "crawl_q",
 ]
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_warc_bytes",
+    "parse_warc_records",
     "read_warc",
     "html_text",
     "html_text_density",
@@ -199,8 +200,19 @@ def read_warc(
     parse is the format's requirement (gzip members + length framing
     admit no mid-file splits), and file count provides parallelism.
     """
-    types_set = set(types)
     binf = spark.read.format("binaryFile").load(path)
+    return parse_warc_records(binf, types)
+
+
+def parse_warc_records(
+    files: DataFrame, types: tuple[str, ...] = ("response",)
+) -> DataFrame:
+    """The parse stage of :func:`read_warc`, over any ``(path,
+    content)`` frame — one archive's bytes per row. Exposed so
+    in-plan-constructed archives (the driver-gated roundtrip query,
+    tests) exercise the production parser without touching disk;
+    ``types=()`` keeps every record type."""
+    types_set = set(types)
 
     def parse(batches):
         import pandas as pd
@@ -214,7 +226,7 @@ def read_warc(
             if rows:
                 yield pd.DataFrame(rows)
 
-    return binf.select("path", "content").mapInPandas(
+    return files.select("path", "content").mapInPandas(
         parse, schema=WARC_SCHEMA
     )
 
