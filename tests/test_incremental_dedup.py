@@ -121,3 +121,22 @@ def test_bucket_cap_bounds_candidate_join(spark, tmp_path):
     # buckets are dropped and the docs come back 'new'
     assert uncapped.filter(F.col("status") == "near_dup").count() > 0
     assert capped.filter(F.col("status") == "new").count() == 20
+
+
+def test_registry_probe_covers_all_statuses(spark):
+    """The driver-gated entry plants fresh / exact-copy / near-dup
+    batch rows — all three verdicts must actually occur (the gate is
+    not vacuous) and every batch row must come back."""
+    from vbb_data_pipeline_spark.queries.dedup_q import (
+        dedup_incremental_probe,
+    )
+
+    out = dedup_incremental_probe(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"new", "exact_dup", "near_dup"}
+    # exact copies must match: every +2M id maps back to its source
+    for r in rows:
+        if 2_000_000 <= r["doc_id"] < 3_000_000:
+            assert r["status"] in ("exact_dup", "near_dup")
+            assert r["dup_of"] is not None

@@ -763,3 +763,181 @@ def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_matches=_DECON_MIN,
         hash_mode=default_hash_mode(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against the at-rest index (operators/dedup.py:
+# dedup_index_write / dedup_incremental) — driver-gated end to end
+# ---------------------------------------------------------------------------
+
+#: batch construction shared by the Spark query and the oracle:
+#: fresh docs (excluded from the corpus), exact copies, and mutated
+#: near-dups, each with a disjoint id offset
+_INC_FRESH_OFF = 1_000_000
+_INC_EXACT_OFF = 2_000_000
+_INC_NEAR_OFF = 3_000_000
+_INC_SUFFIX = " zz9 qq8 vv7"
+_INC_THRESHOLD = 0.7
+
+
+def _inc_sig_cte(src: str, pfx: str) -> str:
+    """Signature CTEs (tokens → shingles → double-hash mins → band
+    buckets) over ``src``, names prefixed — the _minhash_oracle
+    construction, reusable for both the corpus and the batch side."""
+    from vbb_data_pipeline_spark.operators.dedup import MINHASH_MOD
+
+    m = MINHASH_MOD
+    mins = ",\n               ".join(
+        f"min((h1 + {i} * h2) % {m}) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    bands = ", ".join(
+        "md5(concat_ws('_', '{b}', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    {pfx}toks AS (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM {src}
+    ),
+    {pfx}hashed AS (
+        SELECT doc_id,
+               {md5_long_pair_sql('sh')[0]} % {m} AS h1,
+               {md5_long_pair_sql('sh')[1]} % {m} AS h2
+        FROM (
+            SELECT doc_id, unnest(list_distinct({SHINGLE_SQL})) AS sh
+            FROM {pfx}toks
+        )
+    ),
+    {pfx}sigs AS (
+        SELECT doc_id, {mins} FROM {pfx}hashed GROUP BY doc_id
+    ),
+    {pfx}bands AS (
+        SELECT doc_id, unnest([{bands}]) AS bucket FROM {pfx}sigs
+    )"""
+
+
+def _inc_oracle() -> str:
+    fp = (
+        "md5(array_to_string(list_sort(list_distinct("
+        + TOK_SQL.format(c="text")
+        + ")), ' '))"
+    )
+    agree = " + ".join(
+        f"CASE WHEN c.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+        SELECT doc_id + {_INC_FRESH_OFF} AS doc_id, text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + {_INC_EXACT_OFF}, text
+        FROM documents WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT doc_id + {_INC_NEAR_OFF}, text || '{_INC_SUFFIX}'
+        FROM documents WHERE doc_id % 5 = 2
+    ),
+    cfp AS (SELECT doc_id, {fp} AS fp FROM corpus),
+    bfp AS (SELECT doc_id, {fp} AS fp FROM batch),
+    exact AS (
+        SELECT b.doc_id, min(c.doc_id) AS dup_of
+        FROM bfp b JOIN cfp c USING (fp) GROUP BY b.doc_id
+    ),
+    {_inc_sig_cte('corpus', 'c')},
+    {_inc_sig_cte('batch', 'b')},
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+        FROM bbands bb JOIN cbands cb USING (bucket)
+    ),
+    scored AS (
+        SELECT cand.bid, cand.cid,
+               round(CAST({agree} AS DOUBLE) / {NUM_HASHES}, 6) AS sim
+        FROM cand
+        JOIN csigs c ON c.doc_id = cand.cid
+        JOIN bsigs b ON b.doc_id = cand.bid
+    ),
+    near AS (
+        SELECT bid AS doc_id, cid AS dup_of, sim AS similarity
+        FROM (
+            SELECT bid, cid, sim,
+                   row_number() OVER (
+                       PARTITION BY bid ORDER BY sim DESC, cid ASC
+                   ) AS rn
+            FROM scored WHERE sim >= {_INC_THRESHOLD}
+        ) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           CASE WHEN e.doc_id IS NOT NULL THEN e.dup_of
+                ELSE n.dup_of END AS dup_of,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1.0
+                ELSE n.similarity END AS similarity
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_probe",
+    oracle=_inc_oracle(),
+    survey="extension: incremental dedup of a new ingest batch against "
+    "the at-rest index (operators/dedup.dedup_index_write + "
+    "dedup_incremental) — corpus text never re-read at probe time",
+    note="corpus = doc_id %% 5 != 0 indexed to parquet at a "
+    "deterministic tmp path (overwrite — idempotent); batch = fresh "
+    "docs + exact copies + suffix-mutated near-dups at disjoint id "
+    "offsets; every batch row returns a status/dup_of/similarity "
+    "verdict; the oracle replays fingerprint + banded-minhash + "
+    "signature-agreement in DuckDB (max_bucket_size never binds at "
+    "gate scales)",
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    mode = default_hash_mode()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + _INC_FRESH_OFF).alias("doc_id"), "text"
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + _INC_EXACT_OFF).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + _INC_NEAR_OFF).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(_INC_SUFFIX)).alias("text"),
+            )
+        )
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{mode}".encode()
+    ).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"vbb_inc_idx_{key}")
+    dd.dedup_index_write(
+        corpus, idx, num_hashes=NUM_HASHES, bands=BANDS, hash_mode=mode
+    )
+    return dd.dedup_incremental(
+        batch,
+        idx,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        threshold=_INC_THRESHOLD,
+        hash_mode=mode,
+    ).select("doc_id", "status", "dup_of", "similarity")
