@@ -265,3 +265,31 @@ def test_crawl_roundtrip_query_matches_source(spark):
         .collect()
     }
     assert got == src
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    """WET tier: 'conversion' records carry pre-extracted plain text;
+    the bridge decodes payload natively (no HTML stage)."""
+    from vbb_data_pipeline_spark.sources.warc import wet_to_documents
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    body = "Already extracted text.\nSecond line — utf-8 ok."
+    (d / "a.warc.wet.gz").write_bytes(
+        gzip.compress(
+            _record(
+                body.encode("utf-8"),
+                rtype="conversion",
+                uri="http://w.example/page",
+            )
+        )
+        + gzip.compress(
+            _record(b"not text", rtype="warcinfo", uri="meta")
+        )
+    )
+    recs = read_warc(spark, str(d), types=("conversion",))
+    docs = wet_to_documents(recs).collect()
+    assert len(docs) == 1
+    assert docs[0]["text"] == body
+    assert docs[0]["url"] == "http://w.example/page"
+    assert docs[0]["doc_id"] is not None

@@ -44,6 +44,7 @@ __all__ = [
     "html_text",
     "html_text_density",
     "warc_to_documents",
+    "wet_to_documents",
 ]
 
 #: record schema produced by read_warc
@@ -430,4 +431,33 @@ def warc_to_documents(
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetched"),
         extract(F.col("payload")).alias("text"),
+    )
+
+
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """WET records → document rows ``(doc_id, url, fetched, text)``.
+
+    WET is Common Crawl's pre-extracted-text distribution: the same
+    ISO 28500 container as WARC, but records are ``WARC-Type:
+    conversion`` and the payload is already plain UTF-8 text (no HTTP
+    envelope, no HTML). Many corpus pipelines (C4 among them,
+    Raffel et al. 2020) start from WET rather than WARC, so the
+    engine reads both: ``read_warc(spark, path, types=("conversion",))``
+    then this bridge.
+
+    No Python stage at all — the payload-to-text decode is a native
+    binary→string cast (UTF-8, codegen), so the whole bridge stays in
+    whole-stage codegen; ``doc_id`` follows the same deterministic
+    (file, record index) convention as :func:`warc_to_documents`.
+    """
+    from vbb_data_pipeline_spark.functions.hashing import md5_long
+
+    conv = records.filter(F.col("warc_type") == "conversion")
+    return conv.select(
+        md5_long(
+            F.concat_ws("|", F.col("warc_file"), F.col("record_idx"))
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched"),
+        F.col("payload").cast("string").alias("text"),
     )
