@@ -43,6 +43,10 @@ ARROW_OK = {
     # Jaccard verify is the same allowlisted Arrow stage as
     # dedup_pairs_battery; it surfaces here via pre-checkpoint capture
     "graph_cc_pagerank",
+    # WARC framing / gzip member decompression / HTML extraction are
+    # binary formats, not SQL: one archive-build applyInPandas + one
+    # parse mapInPandas + the extract pandas_udf
+    "crawl_warc_roundtrip",
 }
 
 # BroadcastNestedLoopJoin: entries whose plan intentionally crosses a
