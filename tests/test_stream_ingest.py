@@ -216,3 +216,115 @@ def test_semantic_tier_catches_paraphrase(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(corpus).collect()
     )
     assert corpus_ids == [1, 2, 21]
+
+
+def _warc_archive(*docs, rtype="response"):
+    """(uri, text) pairs → one gzip-member WARC archive's bytes."""
+    import gzip
+
+    members = []
+    for uri, text in docs:
+        if rtype == "response":
+            body = f"<html><body><p>{text}</p></body></html>".encode()
+            payload = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+        else:  # conversion (WET): payload is the text itself
+            payload = text.encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        members.append(gzip.compress(head + payload + b"\r\n\r\n"))
+    return b"".join(members)
+
+
+def test_stream_crawl_corpus_ingest_warc(spark, tmp_path, kw):
+    """E6 streaming tier end-to-end: landing .warc.gz files →
+    parse/extract → E5 ingest loop. The second landing contains a
+    re-crawl of an already-ingested page (same content, tracking
+    param on the URL) — it must be rejected by the index probe, and
+    the file-source checkpoint must not re-ingest the first file."""
+    from vbb_data_pipeline_spark.streaming.ingest import (
+        stream_crawl_corpus_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.warc.gz").write_bytes(
+        _warc_archive(
+            ("http://a.example/one", GOOD),
+            ("http://a.example/two", GOOD2),
+        )
+    )
+    ingest_kw = dict(
+        corpus_path=kw["corpus_path"],
+        index_path=kw["index_path"],
+        audit_path=kw["audit_path"],
+        checkpoint=str(tmp_path / "ckpt"),
+        min_quality=0.3,
+        hash_mode="oracle",
+    )
+    q = stream_crawl_corpus_ingest(spark, str(landing), **ingest_kw)
+    q.awaitTermination(120)
+    corpus = spark.read.parquet(kw["corpus_path"])
+    assert corpus.count() == 2
+    urls = {r["url"] for r in corpus.collect()}
+    assert urls == {"http://a.example/one", "http://a.example/two"}
+
+    # second landing: a re-crawl (same text, junk query param) + new
+    fresh_text = (
+        "deep in the winter forest the snow lay thick on the pine "
+        "branches and a lone wolf tracked silent paths between the "
+        "frozen streams while the moon rose pale over the ridge and "
+        "the wind carried the scent of smoke from a distant cabin"
+    )
+    (landing / "b.warc.gz").write_bytes(
+        _warc_archive(
+            ("http://a.example/one?utm_source=feed", GOOD),
+            ("http://b.example/fresh?utm_campaign=x", fresh_text),
+        )
+    )
+    q2 = stream_crawl_corpus_ingest(spark, str(landing), **ingest_kw)
+    q2.awaitTermination(120)
+    corpus2 = spark.read.parquet(kw["corpus_path"]).collect()
+    texts = {r["text"] for r in corpus2}
+    assert GOOD in texts and len(corpus2) == 3  # recrawl rejected
+    audit = spark.read.parquet(kw["audit_path"])
+    assert audit.filter(F.col("status") == "exact_dup").count() == 1
+    # URL normalization ran before ingest: the fresh doc's tracking
+    # param is gone from its corpus row
+    fresh_urls = {r["url"] for r in corpus2 if r["text"] == fresh_text}
+    assert fresh_urls == {"http://b.example/fresh"}
+
+
+def test_stream_crawl_corpus_ingest_wet(spark, tmp_path, kw):
+    """WET variant: conversion records, text ingested with no HTML
+    stage."""
+    from vbb_data_pipeline_spark.streaming.ingest import (
+        stream_crawl_corpus_ingest,
+    )
+
+    landing = tmp_path / "landing_wet"
+    landing.mkdir()
+    (landing / "a.warc.wet.gz").write_bytes(
+        _warc_archive(
+            ("http://w.example/x", GOOD), rtype="conversion"
+        )
+    )
+    q = stream_crawl_corpus_ingest(
+        spark,
+        str(landing),
+        corpus_path=kw["corpus_path"],
+        index_path=kw["index_path"],
+        audit_path=kw["audit_path"],
+        checkpoint=str(tmp_path / "ckpt_wet"),
+        input_format="wet",
+        min_quality=0.3,
+        hash_mode="oracle",
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(kw["corpus_path"]).collect()
+    assert len(rows) == 1 and rows[0]["text"] == GOOD

@@ -41,6 +41,7 @@ __all__ = [
     "parse_warc_bytes",
     "parse_warc_records",
     "read_warc",
+    "read_warc_stream",
     "html_text",
     "html_text_density",
     "warc_to_documents",
@@ -203,6 +204,42 @@ def read_warc(
     """
     binf = spark.read.format("binaryFile").load(path)
     return parse_warc_records(binf, types)
+
+
+#: binaryFile's fixed schema — file stream sources require it spelled
+#: out (spark.readStream refuses schema inference)
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] = ("response",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: watch a LANDING DIRECTORY
+    for crawl archives and parse each new file exactly once — the
+    continuous-crawl front end (Common Crawl-style operations land
+    ``.warc.gz`` files; the stream picks them up as they arrive).
+
+    Same parse stage as the batch tier (:func:`parse_warc_records`),
+    so plan shape, framing posture and extractor knobs are identical;
+    the file-stream source tracks processed files in the query
+    checkpoint, which is what makes per-file exactly-once replay
+    possible downstream. ``max_files_per_trigger`` bounds a
+    micro-batch (one WARC file ≈ 1 GB in production — a trigger's
+    work should be a handful of files per executor, not the backlog).
+    """
+    reader = spark.readStream.format("binaryFile").schema(
+        BINARYFILE_SCHEMA
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return parse_warc_records(reader.load(path), types)
 
 
 def parse_warc_records(

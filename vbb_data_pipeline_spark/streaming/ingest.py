@@ -324,3 +324,80 @@ def write_stream_corpus_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_crawl_corpus_ingest(
+    spark,
+    landing_path: str,
+    *,
+    corpus_path: str,
+    index_path: str,
+    audit_path: str,
+    checkpoint: str,
+    input_format: str = "warc",
+    extractor: str = "naive",
+    url_normalize: bool = True,
+    max_files_per_trigger: int | None = None,
+    trigger_available_now: bool = True,
+    **opts,
+):
+    """E6's streaming tier — continuous crawl-to-corpus ingestion:
+    watch a landing directory for ``.warc(.gz)`` / WET archives, and
+    run every new file through parse → extract → the E5 ingest loop
+    (quality gate + incremental dedup against the at-rest index +
+    idempotent appends).
+
+    ``input_format``: ``"warc"`` (HTTP responses, HTML extracted with
+    ``extractor``) or ``"wet"`` (pre-extracted ``conversion`` records,
+    zero Python in the bridge). URLs are normalized per-row
+    (``functions/urls.normalize_url``) before ingest so the corpus
+    key-space matches the batch E6 pipeline; the CORPUS-level URL
+    stages (host caps, site boilerplate removal) are deliberately NOT
+    applied per micro-batch — they are statistics over the whole
+    corpus, and belong to a periodic batch pass over the corpus at
+    rest (``pipelines.e6_crawl_corpus``), not to a stream that sees
+    one landing file at a time.
+
+    Exactly-once per file: the binaryFile stream source records
+    processed files in ``checkpoint``, and every append inside the
+    batch loop carries its own replay guard (see module docstring) —
+    a crash at any point converges on restart with no duplicate or
+    lost corpus rows (tested).
+    """
+    from vbb_data_pipeline_spark.sources.warc import (
+        read_warc_stream,
+        warc_to_documents,
+        wet_to_documents,
+    )
+
+    if input_format == "warc":
+        recs = read_warc_stream(
+            spark,
+            landing_path,
+            types=("response",),
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        docs = warc_to_documents(recs, extractor=extractor)
+    elif input_format == "wet":
+        recs = read_warc_stream(
+            spark,
+            landing_path,
+            types=("conversion",),
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        docs = wet_to_documents(recs)
+    else:
+        raise ValueError(f"input_format must be warc|wet: {input_format}")
+    if url_normalize:
+        from vbb_data_pipeline_spark.functions.urls import normalize_url
+
+        docs = docs.withColumn("url", normalize_url(F.col("url")))
+    return write_stream_corpus_ingest(
+        docs,
+        corpus_path=corpus_path,
+        index_path=index_path,
+        audit_path=audit_path,
+        checkpoint=checkpoint,
+        trigger_available_now=trigger_available_now,
+        **opts,
+    )
