@@ -778,3 +778,42 @@ def test_e6_host_cap_mode_approx(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="host_cap_mode"):
         e6_crawl_corpus(spark, str(d), host_cap_mode="binomial", **kw)
+
+
+def test_e6_wet_input(spark, tmp_path):
+    """input_format='wet': the pipeline starts from pre-extracted
+    conversion records — same curation chain, no HTML stage."""
+    import gzip
+
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+
+    d = tmp_path / "wet_crawl"
+    d.mkdir()
+
+    def conv(text: str, uri: str) -> bytes:
+        payload = text.encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    members = [
+        gzip.compress(conv(b, f"http://en.example/{i}?utm_source=x"))
+        for i, b in enumerate(EN_BODIES)
+    ]
+    # a re-crawl of page 0 (same canonical URL after normalization)
+    members.append(
+        gzip.compress(conv(EN_BODIES[0], "http://en.example/0"))
+    )
+    (d / "a.warc.wet.gz").write_bytes(b"".join(members))
+
+    out = e6_crawl_corpus(
+        spark, str(d), input_format="wet", run_e4=False
+    ).collect()
+    # URL dedup collapsed the re-crawl; all three bodies survive
+    assert len(out) == 3
+    assert {r["text"] for r in out} == set(EN_BODIES)
+    assert all(r["url"].startswith("http://en.example/") for r in out)
+    assert all("utm" not in r["url"] for r in out)

@@ -498,6 +498,7 @@ def e6_crawl_corpus(
     warc_path: str,
     *,
     url_dedup: bool = True,
+    input_format: str = "warc",
     extractor: str = "naive",
     max_per_host: int | None = None,
     host_cap_mode: str = "exact",
@@ -519,6 +520,9 @@ def e6_crawl_corpus(
        selects the HTML tier: ``"naive"`` (all visible text) or
        ``"density"`` (block word-count/link-density boilerplate
        classification — higher body-text precision, same Arrow stage).
+       ``input_format="wet"`` starts from Common Crawl's pre-extracted
+       text distribution instead (``wet_to_documents`` — conversion
+       records, no HTML stage at all; ``extractor`` is ignored).
     2. **URL normalize** — ``functions/urls.normalize_url`` canonical
        form (tracking params, fragments, default ports stripped);
        documents whose URL has no parseable host are dropped (crawl
@@ -573,9 +577,19 @@ def e6_crawl_corpus(
     from vbb_data_pipeline_spark.sources.warc import (
         read_warc,
         warc_to_documents,
+        wet_to_documents,
     )
 
-    docs = warc_to_documents(read_warc(spark, warc_path), extractor=extractor)
+    if input_format == "warc":
+        docs = warc_to_documents(
+            read_warc(spark, warc_path), extractor=extractor
+        )
+    elif input_format == "wet":
+        docs = wet_to_documents(
+            read_warc(spark, warc_path, types=("conversion",))
+        )
+    else:
+        raise ValueError(f"input_format must be warc|wet: {input_format}")
     docs = docs.withColumn("url", normalize_url("url")).filter(
         url_host("url").isNotNull()
     )
