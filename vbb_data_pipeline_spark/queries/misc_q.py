@@ -1128,3 +1128,84 @@ def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir_w)
         .unionByName(dsir_sel)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: ROLLUP / CUBE / GROUPING SETS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_battery",
+    oracle="""
+    SELECT 'rollup' AS variant,
+           l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube',
+           l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT),
+           CAST(GROUPING(l_linestatus) AS INT),
+           CAST(sum(l_quantity) AS BIGINT),
+           count(*)
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'sets',
+           l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT),
+           CAST(GROUPING(l_linestatus) AS INT),
+           CAST(sum(l_quantity) AS BIGINT),
+           count(*)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    survey="§2.5 extension — multi-dimensional aggregation (ROLLUP / "
+    "CUBE / GROUPING SETS with GROUPING() disambiguation of subtotal "
+    "NULLs); one Expand + one hash-agg exchange per variant, never a "
+    "self-union of per-level scans",
+    note="GROUPING() flags distinguish 'subtotal row' from 'group key "
+    "IS NULL' — required for hash parity since both render as NULL",
+)
+def grouping_sets_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    cols = ["l_returnflag", "l_linestatus"]
+    rollup = li.rollup(*cols).agg(*aggs)
+    cube = li.cube(*cols).agg(*aggs)
+    li.createOrReplaceTempView("_gs_lineitem")
+    sets = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+    tag = lambda df, v: df.select(  # noqa: E731
+        F.lit(v).alias("variant"),
+        "l_returnflag",
+        "l_linestatus",
+        "g_rf",
+        "g_ls",
+        "sum_qty",
+        "n",
+    )
+    return (
+        tag(rollup, "rollup")
+        .unionByName(tag(cube, "cube"))
+        .unionByName(tag(sets, "sets"))
+    )
