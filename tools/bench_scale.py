@@ -62,6 +62,12 @@ EXTRA_REGISTRY = [
     "layout_export_battery",
     # round-5 late additions: SemDeDup leg + DSIR legs ride these
     "sim_embedding_neardup",
+    # round-6 additions: at-rest incremental dedup probe (index build
+    # + batch probe), WARC roundtrip (crawl-plane parse throughput),
+    # multi-dimensional aggregation (Expand + hash agg per variant)
+    "dedup_incremental_probe",
+    "crawl_warc_roundtrip",
+    "grouping_sets_battery",
 ]
 
 
