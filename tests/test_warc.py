@@ -293,3 +293,77 @@ def test_wet_conversion_records(spark, tmp_path):
     assert docs[0]["text"] == body
     assert docs[0]["url"] == "http://w.example/page"
     assert docs[0]["doc_id"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: framing invariants under adversarial payloads
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_payloads = st.binary(min_size=0, max_size=300)
+_adversarial = st.one_of(
+    _payloads,
+    # payloads embedding framing-lookalike bytes
+    st.tuples(_payloads, _payloads).map(
+        lambda t: t[0] + b"WARC/1.0\r\nContent-Length: 7\r\n\r\n" + t[1]
+    ),
+    st.tuples(_payloads, _payloads).map(lambda t: t[0] + b"\r\n\r\n" + t[1]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_adversarial, min_size=1, max_size=8), st.data())
+def test_fuzz_framing_exact_payload_roundtrip(payloads, data):
+    """Content-Length framing must return every payload byte-identical
+    regardless of content — including payloads that CONTAIN 'WARC/1.0'
+    headers or record separators — under plain, whole-archive-gzip and
+    per-record-member-gzip layouts."""
+    recs_bytes = [
+        _record(p, uri=f"http://f.example/{i}")
+        for i, p in enumerate(payloads)
+    ]
+    layout = data.draw(st.sampled_from(["plain", "whole", "members"]))
+    if layout == "plain":
+        archive = b"".join(recs_bytes)
+    elif layout == "whole":
+        archive = gzip.compress(b"".join(recs_bytes))
+    else:
+        archive = b"".join(gzip.compress(r) for r in recs_bytes)
+    out = parse_warc_bytes(archive)
+    assert len(out) == len(payloads)
+    for i, (rec, want) in enumerate(zip(out, payloads)):
+        assert rec["record_idx"] == i
+        assert bytes(rec["payload"]) == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(_payloads, min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_fuzz_truncation_never_yields_partial_payloads(payloads, cut):
+    """Truncating an archive at ANY byte offset yields only complete
+    records — a prefix of the full parse, never a clipped payload."""
+    recs_bytes = [
+        _record(p, uri=f"http://t.example/{i}")
+        for i, p in enumerate(payloads)
+    ]
+    archive = b"".join(recs_bytes)
+    full = parse_warc_bytes(archive)
+    out = parse_warc_bytes(archive[: min(cut, len(archive))])
+    assert len(out) <= len(full)
+    for got, want in zip(out, full):
+        assert bytes(got["payload"]) == bytes(want["payload"])
+        assert got["target_uri"] == want["target_uri"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_fuzz_garbage_never_raises(blob):
+    """Arbitrary bytes (including blobs starting with the gzip magic)
+    must parse to a list — malformed input degrades to fewer records,
+    never to an exception."""
+    assert isinstance(parse_warc_bytes(blob), list)
+    assert isinstance(parse_warc_bytes(b"\x1f\x8b" + blob), list)
