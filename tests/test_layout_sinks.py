@@ -398,3 +398,61 @@ def test_write_hilbert_rejects_non_2d(spark, tmp_path):
         write_hilbert_clustered(
             df, str(tmp_path / "h3"), ["a", "b", "c"], num_files=2
         )
+
+
+def test_file_stats_and_compact_auto_plain(spark, tmp_path):
+    """Size-aware compaction: many tiny append files → file count
+    derived from actual bytes; row set unchanged."""
+    from vbb_data_pipeline_spark.sources.layout import (
+        compact_auto,
+        file_stats,
+    )
+
+    path = str(tmp_path / "tiny")
+    for i in range(12):
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(
+            path
+        )
+    before = file_stats(spark, path)
+    assert before["n_files"] >= 12
+    res = compact_auto(spark, path, target_file_mb=128)
+    assert res["after"]["n_files"] == 1  # ~KBs of data, one file
+    assert res["after"]["total_bytes"] > 0
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == set(range(1200))
+
+
+def test_compact_auto_preserves_hive_partitions(spark, tmp_path):
+    """E5-shaped table: hive-partitioned by ingest batch, several
+    files per partition. Compaction must keep the partition layout
+    (directories, pruning, replay-guard reads) while merging each
+    partition's files into one."""
+    import os
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        compact_auto,
+        file_stats,
+    )
+
+    path = str(tmp_path / "audited")
+    for b in (0, 1, 2):
+        for _ in range(4):  # 4 micro-batch-ish appends per partition
+            (
+                spark.range(b * 1000, b * 1000 + 50)
+                .withColumn("ingest_batch", F.lit(b))
+                .write.mode("append")
+                .partitionBy("ingest_batch")
+                .parquet(path)
+            )
+    before = file_stats(spark, path)
+    assert before["n_files"] >= 12
+    res = compact_auto(spark, path, partition_by=("ingest_batch",))
+    assert res["after"]["n_files"] == 3  # one file per partition
+    # partition DIRECTORIES survive → pruning still works
+    dirs = {d for d in os.listdir(path) if d.startswith("ingest_batch=")}
+    assert dirs == {"ingest_batch=0", "ingest_batch=1", "ingest_batch=2"}
+    pruned = spark.read.parquet(path).filter(F.col("ingest_batch") == 1)
+    assert pruned.count() == 200  # 4 appends x 50 rows
+    assert {r["id"] for r in pruned.collect()} == set(range(1000, 1050))
+    # whole-table row count unchanged
+    assert spark.read.parquet(path).count() == 600

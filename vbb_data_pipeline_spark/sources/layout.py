@@ -122,6 +122,105 @@ def compact(
     shutil.rmtree(backup)
 
 
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (file, bytes) listing of a table directory via the
+    Hadoop FileSystem API — metadata only, driver-side, catalog-scale
+    (one RPC per listing page, no data read)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    it = fs.listFiles(jpath, True)
+    out: list[tuple[str, int]] = []
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS, hidden/temp files
+        out.append((f.getPath().toString(), int(f.getLen())))
+    return out
+
+
+def file_stats(spark: SparkSession, path: str) -> dict:
+    """Small-file observability for a parquet table: file count, total
+    bytes, and the mean/min/max file size. The trigger metric for
+    :func:`compact_auto` — streaming appends (E5 corpus/audit/index)
+    add one file per micro-batch, and at 100 TB the listing + footer
+    overhead of millions of tiny files dominates scan setup."""
+    files = _list_data_files(spark, path)
+    sizes = [b for _, b in files]
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "avg_bytes": total // max(len(sizes), 1),
+        "min_bytes": min(sizes, default=0),
+        "max_bytes": max(sizes, default=0),
+    }
+
+
+def compact_auto(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: Sequence[str] = (),
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Size-aware, PARTITION-PRESERVING small-file compaction; returns
+    ``{"before": file_stats, "after": file_stats}``.
+
+    :func:`compact` takes an explicit file count and flattens the
+    directory — correct for plain tables, WRONG for hive-partitioned
+    ones (E5's corpus/audit are partitioned by ingest batch id: a
+    flattening rewrite would turn the partition directories into data
+    columns and break both partition pruning and the replay guard's
+    partition-pruned anti-join). This variant:
+
+    * unpartitioned: file count = ceil(total_bytes / target_file_mb)
+      from the ACTUAL on-disk listing (optionally range-sorted via
+      ``sort_cols`` to preserve clustering);
+    * ``partition_by``: rows are hash-repartitioned on the partition
+      key, so each hive partition's many per-micro-batch files merge
+      into ONE file inside its own directory — layout, pruning and
+      replay guards all survive. (Per-partition output is one file by
+      design: streaming partitions are micro-batch-sized; a table
+      whose single partition outgrows ``target_file_mb`` should be
+      partitioned on something else, not compacted harder.)
+
+    Same crash posture as :func:`compact`: rewrite into a temp
+    sibling, then swap — a failed compaction never loses the source.
+    """
+    import math
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    before = file_stats(spark, path)
+    df = spark.read.parquet(path)
+    tmp = str(Path(path).parent / f".compact_{uuid.uuid4().hex[:8]}")
+    if partition_by:
+        n = max(32, before["n_files"])
+        (
+            df.repartition(n, *[df[c] for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(tmp)
+        )
+    else:
+        n_files = max(
+            1, math.ceil(before["total_bytes"] / (target_file_mb << 20))
+        )
+        if sort_cols:
+            write_range_sorted(df, tmp, sort_cols, n_files)
+        else:
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    backup = path + ".old"
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
+    return {"before": before, "after": file_stats(spark, path)}
+
+
 def int_bucket(col: Column, lo: int, hi: int, bits: int) -> Column:
     """Map an integer column in ``[lo, hi]`` to ``[0, 2^bits)`` with
     PURE int64 arithmetic — ``((v − lo) · (2^bits − 1)) div (hi − lo)``
