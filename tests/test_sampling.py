@@ -746,3 +746,38 @@ def test_pack_sequences_group_scoped_streams(docs):
             assert r.pos == i + 1
             assert r.start_off == off
             off = r.end_off
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    """Every token appears in some chunk; disjoint chunks partition
+    the token stream; overlap duplicates exactly the stride overlap;
+    empty docs produce no chunks."""
+    from vbb_data_pipeline_spark.operators.sampling import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g"),          # 7 tokens
+        (2, "x y"),                    # shorter than one chunk
+        (3, ""),                       # no tokens -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=3, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == ["a b c", "d e f", "g"]
+    assert [r["start_token"] for r in c1] == [0, 3, 6]
+    assert [r["n_chunk_tokens"] for r in c1] == [3, 3, 1]
+    assert [r["chunk_text"] for r in by_doc[2]] == ["x y"]
+
+    # overlap: stride 2, chunk 3 -> windows 0,2,4,6
+    ov = sorted(
+        chunk_documents(
+            df.filter("doc_id = 1"), chunk_tokens=3, stride=2
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_text"] for r in ov] == [
+        "a b c", "c d e", "e f g", "g",
+    ]

@@ -633,3 +633,58 @@ def pack_sequences(
         "last_seq",
         F.expr(f"greatest(end_off - 1, start_off) div {int(seq_len)}"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split long documents into token-window chunks — the long-doc
+    preprocessing step of both training-data prep (context-length
+    splitting before :func:`pack_token_shards`) and retrieval
+    indexing (RAG passages; chunks are what BM25/ANN index, not whole
+    documents).
+
+    ``stride`` defaults to ``chunk_tokens`` (disjoint windows); a
+    smaller stride overlaps consecutive chunks (the standard RAG
+    recipe, e.g. 128/96). Chunk starts are ``0, stride, 2·stride, …``
+    while ``start < n_tokens``, so every token is covered and the
+    last chunk may be short; zero-token documents produce no chunks.
+
+    Entirely native (100 TB posture): tokenize → ``sequence`` of
+    starts → ``posexplode`` → ``slice`` + ``array_join`` — one
+    codegen projection and one explode, no shuffle, no Python; output
+    rows are ∝ input tokens / stride.
+
+    Returns ``(id_col, chunk_idx, start_token, n_chunk_tokens,
+    chunk_text)``.
+    """
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    step = int(stride if stride is not None else chunk_tokens)
+    if step <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).withColumn("_n", F.size("_tk"))
+    exploded = (
+        toked.filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_tk",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step))
+            ).alias("chunk_idx", "_start"),
+        )
+    )
+    piece = F.slice(F.col("_tk"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_start").cast("long").alias("start_token"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -340,3 +340,55 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         F.when(kind == "raw", F.col("content_digest")).alias("content_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (token windows — long-doc splitting / RAG passages)
+# ---------------------------------------------------------------------------
+
+_CHUNK_VARIANTS = (("disjoint", 24, 24), ("overlap", 24, 16))
+
+
+def _chunk_oracle() -> str:
+    legs = []
+    for tag, chunk, stride in _CHUNK_VARIANTS:
+        legs.append(f"""
+    SELECT '{tag}' AS variant, doc_id,
+           CAST(i AS INT)                  AS chunk_idx,
+           CAST(i * {stride} AS BIGINT)    AS start_token,
+           CAST(len(list_slice(tk, i * {stride} + 1,
+                               i * {stride} + {chunk})) AS INT)
+                                           AS n_chunk_tokens,
+           array_to_string(list_slice(tk, i * {stride} + 1,
+                                      i * {stride} + {chunk}), ' ')
+                                           AS chunk_text
+    FROM (
+        SELECT doc_id, {TOK_SQL.format(c="text")} AS tk FROM documents
+    ), LATERAL unnest(range(0, CAST(ceil(len(tk) / {stride}.0) AS BIGINT)))
+       t(i)
+    WHERE len(tk) > 0""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "text_chunking",
+    oracle=_chunk_oracle(),
+    survey="extension: document chunking into token windows "
+    "(operators/sampling.chunk_documents) — long-doc splitting for "
+    "training prep and RAG passage indexing; native sequence + "
+    "posexplode + slice, one explode, zero shuffle/Python",
+    note="two variants: disjoint 24/24 and overlapping 24/16 windows; "
+    "every token covered, last chunk short, empty docs chunk-free in "
+    "both engines",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.operators.sampling import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    out = None
+    for tag, chunk, stride in _CHUNK_VARIANTS:
+        leg = chunk_documents(
+            d, "text", "doc_id", chunk_tokens=chunk, stride=stride
+        ).select(F.lit(tag).alias("variant"), "*")
+        out = leg if out is None else out.unionByName(leg)
+    return out
