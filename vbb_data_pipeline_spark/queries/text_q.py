@@ -392,3 +392,72 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("variant"), "*")
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII hygiene (functions/text.redact_pii / pii_counts) — driver-gated
+# on synthetic PII injected deterministically from row values
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    inject = (
+        "text || ' contact user' || doc_id || '@example.com or "
+        "10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || "
+        "' call 555-' || (100 + doc_id % 900) || '-' || "
+        "(1000 + doc_id % 9000)"
+    )
+    expr = "t2"
+    for kind, pat in tx.PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{kind}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t2, '{pat}')) AS INT) "
+        f"AS n_{kind.lower()}"
+        for kind, pat in tx.PII_PATTERNS.items()
+    )
+    return f"""
+    SELECT doc_id, {expr} AS redacted, {counts}
+    FROM (SELECT doc_id, {inject} AS t2 FROM documents)
+    """
+
+
+@register(
+    "text_pii_redaction",
+    oracle=_pii_oracle(),
+    survey="extension: PII redaction + per-kind counts "
+    "(functions/text.redact_pii / pii_counts) — codegen regexp chain, "
+    "fixed EMAIL→IP→PHONE order, no Python",
+    note="documents carry no PII, so each row deterministically "
+    "injects an email, an IP and a dashed phone derived from doc_id "
+    "(identically in both engines) — the gate checks real matches, "
+    "not an identity pass",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 10.0."),
+            F.col("doc_id") % 256,
+            F.lit("."),
+            (F.col("doc_id") * 7) % 256,
+            F.lit(" call 555-"),
+            F.lit(100) + F.col("doc_id") % 900,
+            F.lit("-"),
+            F.lit(1000) + F.col("doc_id") % 9000,
+        ).alias("t2"),
+    )
+    counts = tx.pii_counts("t2")
+    return injected.select(
+        "doc_id",
+        tx.redact_pii("t2").alias("redacted"),
+        *[
+            counts.getField(k.lower() + "s")
+            .cast("int")
+            .alias("n_" + k.lower())
+            for k in tx.PII_PATTERNS
+        ],
+    )
