@@ -461,3 +461,99 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in tx.PII_PATTERNS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization + repetition hygiene (clean_text /
+# dup_line_fraction) — driver-gated on deterministically-messed text
+# ---------------------------------------------------------------------------
+
+
+def _class_to_chr_sql(cls: str) -> str:
+    """Render a raw-character regex class (e.g. CONTROL_FORMAT_RE,
+    which embeds literal control/format codepoints) as a DuckDB
+    ``chr()`` concatenation, so the oracle SQL stays pure ASCII while
+    matching the identical character set."""
+    assert cls.startswith("[") and cls.endswith("]")
+    parts = ["'['"]
+    body = cls[1:-1]
+    i = 0
+    while i < len(body):
+        if body[i] == "-" and i not in (0, len(body) - 1):
+            parts.append("'-'")
+        else:
+            parts.append(f"chr({ord(body[i])})")
+        i += 1
+    parts.append("']'")
+    return " || ".join(parts)
+
+
+def _clean_sql(src: str) -> str:
+    ctl = _class_to_chr_sql(tx.CONTROL_FORMAT_RE)
+    return f"""trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace({src},
+        chr(13) || chr(10) || '?', chr(10), 'g'),
+        {ctl}, '', 'g'),
+        '[ ' || chr(9) || ']+', ' ', 'g'),
+        ' ?' || chr(10) || ' ?', chr(10), 'g'),
+        chr(10) || '{{3,}}', chr(10) || chr(10), 'g'))"""
+
+
+@register(
+    "text_normalization_battery",
+    oracle=f"""
+    WITH messed AS (
+        SELECT doc_id,
+               '  ' || substr(text, 1, 40) || chr(9) || 'x' || chr(13)
+               || chr(10) || chr(8203) || 'y' || repeat(chr(10), 4)
+               || ' z  ' AS m,
+               substr(text, 1, 30) || chr(10) || substr(text, 1, 30)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'u' || doc_id ELSE '' END AS ml
+        FROM documents
+    )
+    SELECT doc_id,
+           {_clean_sql('m')} AS cleaned,
+           round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                       / len(lines), 6) AS dup_line_frac
+    FROM (
+        SELECT doc_id, m,
+               list_filter(string_split(ml, chr(10)),
+                           x -> trim(x) <> '') AS lines
+        FROM messed
+    )
+    """,
+    survey="extension: pre-dedup text normalization (functions/text."
+    "clean_text — control/format strip, whitespace collapse, CRLF and "
+    "paragraph-run normalization) + Gopher-style repetition signal "
+    "(dup_line_fraction), both codegen regexp/array chains",
+    note="documents are already clean single-line text, so each row "
+    "deterministically injects control chars / CRLF / tab / space "
+    "runs and duplicate lines (identically in both engines — the "
+    "oracle renders the raw-char control class as chr() concatenation "
+    "to stay ASCII); the gate checks real normalization work",
+)
+def text_normalization_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    messed = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.substring("text", 1, 40),
+            F.lit("\tx\r\n\u200by\n\n\n\n z  "),
+        ).alias("m"),
+        F.concat(
+            F.substring("text", 1, 30),
+            F.lit("\n"),
+            F.substring("text", 1, 30),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("\nu"), F.col("doc_id")),
+            ).otherwise(F.lit("")),
+        ).alias("ml"),
+    )
+    return messed.select(
+        "doc_id",
+        tx.clean_text("m").alias("cleaned"),
+        tx.dup_line_fraction("ml").alias("dup_line_frac"),
+    )
