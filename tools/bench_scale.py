@@ -68,6 +68,9 @@ EXTRA_REGISTRY = [
     "dedup_incremental_probe",
     "crawl_warc_roundtrip",
     "grouping_sets_battery",
+    "text_chunking",
+    "text_pii_redaction",
+    "text_normalization_battery",
 ]
 
 
