@@ -1209,3 +1209,148 @@ def grouping_sets_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(cube, "cube"))
         .unionByName(tag(sets, "sets"))
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics battery — the classic cross-engine hazard class:
+# null-safe equality joins, aggregate NULL skipping, NULL ordering,
+# NULL group keys, scalar null functions
+# ---------------------------------------------------------------------------
+
+#: orders-derived frame with injected NULLs, built identically in both
+#: engines: every 7th key NULLs the price, every 11th the priority
+_NULLS_SRC_SQL = """
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio
+        FROM orders
+"""
+
+
+@register(
+    "null_semantics_battery",
+    oracle=f"""
+    WITH src AS ({_NULLS_SRC_SQL}),
+    agg AS (
+        SELECT 'agg' AS variant, prio AS s1,
+               count(*) AS n1,
+               count(price) AS n2,
+               round(avg(price), 4) AS d1
+        FROM src GROUP BY prio
+    ),
+    nsj AS (
+        SELECT 'null_safe_join' AS variant, a.prio AS s1,
+               count(*) AS n1,
+               CAST(NULL AS BIGINT) AS n2,
+               CAST(NULL AS DOUBLE) AS d1
+        FROM (SELECT DISTINCT prio FROM src) a
+        JOIN (SELECT DISTINCT prio FROM src) b
+          ON a.prio IS NOT DISTINCT FROM b.prio
+        GROUP BY a.prio
+    ),
+    ordered AS (
+        SELECT 'order_nulls_first' AS variant, prio AS s1,
+               k AS n1, CAST(NULL AS BIGINT) AS n2,
+               CAST(NULL AS DOUBLE) AS d1
+        FROM src ORDER BY prio ASC NULLS FIRST, k ASC LIMIT 5
+    ),
+    ordered2 AS (
+        SELECT 'order_nulls_last' AS variant, prio AS s1,
+               k AS n1, CAST(NULL AS BIGINT) AS n2,
+               CAST(NULL AS DOUBLE) AS d1
+        FROM src ORDER BY prio DESC NULLS LAST, k DESC LIMIT 5
+    ),
+    scalars AS (
+        SELECT 'scalars' AS variant,
+               CAST(NULL AS VARCHAR) AS s1,
+               CAST(sum(CASE WHEN coalesce(price, 0.0) = 0.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN nullif(prio, '1-URGENT') IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               round(sum(coalesce(price, 0.0)), 2) AS d1
+        FROM src
+    )
+    SELECT * FROM agg
+    UNION ALL SELECT * FROM nsj
+    UNION ALL SELECT * FROM ordered
+    UNION ALL SELECT * FROM ordered2
+    UNION ALL SELECT * FROM scalars
+    """,
+    survey="§2.3/§2.5 extension — NULL semantics parity: aggregates "
+    "skip NULLs but count(*) doesn't; GROUP BY keeps a NULL key "
+    "group; null-safe equality (<=> / IS NOT DISTINCT FROM) matches "
+    "NULL=NULL in a join; NULLS FIRST/LAST ordering under LIMIT; "
+    "coalesce/nullif",
+    note="every 7th price and 11th priority injected NULL from "
+    "o_orderkey, identically in both engines",
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    agg = src.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count("price").alias("n2"),
+        F.round(F.avg("price"), 4).alias("d1"),
+    ).select(
+        F.lit("agg").alias("variant"), F.col("prio").alias("s1"),
+        "n1", "n2", "d1",
+    )
+    a = src.select("prio").distinct().alias("a")
+    b = src.select("prio").distinct().alias("b")
+    nsj = (
+        a.join(b, F.col("a.prio").eqNullSafe(F.col("b.prio")))
+        .groupBy(F.col("a.prio").alias("s1"))
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .select(
+            F.lit("null_safe_join").alias("variant"), "s1", "n1",
+            null_l.alias("n2"), null_d.alias("d1"),
+        )
+    )
+    o1 = (
+        src.orderBy(F.col("prio").asc_nulls_first(), F.col("k").asc())
+        .limit(5)
+        .select(
+            F.lit("order_nulls_first").alias("variant"),
+            F.col("prio").alias("s1"), F.col("k").alias("n1"),
+            null_l.alias("n2"), null_d.alias("d1"),
+        )
+    )
+    o2 = (
+        src.orderBy(F.col("prio").desc_nulls_last(), F.col("k").desc())
+        .limit(5)
+        .select(
+            F.lit("order_nulls_last").alias("variant"),
+            F.col("prio").alias("s1"), F.col("k").alias("n1"),
+            null_l.alias("n2"), null_d.alias("d1"),
+        )
+    )
+    scalars = src.agg(
+        F.sum(
+            F.when(F.coalesce("price", F.lit(0.0)) == 0.0, 1).otherwise(0)
+        ).cast("long").alias("n1"),
+        F.sum(
+            F.when(
+                F.nullif(F.col("prio"), F.lit("1-URGENT")).isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n2"),
+        F.round(F.sum(F.coalesce("price", F.lit(0.0))), 2).alias("d1"),
+    ).select(
+        F.lit("scalars").alias("variant"),
+        F.lit(None).cast("string").alias("s1"),
+        "n1", "n2", "d1",
+    )
+    return agg.unionByName(nsj).unionByName(o1).unionByName(o2).unionByName(
+        scalars
+    )
