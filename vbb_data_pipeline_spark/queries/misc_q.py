@@ -1354,3 +1354,61 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unionByName(nsj).unionByName(o1).unionByName(o2).unionByName(
         scalars
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal function battery — date_trunc / add_months / last_day /
+# datediff / dow / ISO week parity (with the engine-difference
+# mappings encoded in the oracle, e.g. DuckDB dow 0=Sun vs Spark
+# dayofweek 1=Sun)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_functions_battery",
+    oracle="""
+    SELECT o_orderkey AS k,
+           CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR)    AS trunc_week,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)   AS trunc_month,
+           CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS trunc_quarter,
+           CAST(CAST(o_orderdate + INTERVAL 5 MONTH AS DATE) AS VARCHAR)     AS plus_5m,
+           CAST(last_day(o_orderdate) AS VARCHAR)                            AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)          AS dow_sun1,
+           CAST(weekofyear(o_orderdate) AS INT)             AS iso_week,
+           CAST(quarter(o_orderdate) AS INT)                AS qtr,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INT) AS epoch_days,
+           strftime(o_orderdate, '%Y-%m-%d')                AS iso_str
+    FROM orders
+    """,
+    survey="F1–F3 extension — temporal function parity battery: "
+    "date_trunc week/month/quarter, month arithmetic with month-end "
+    "clamping (add_months), last_day, day diffs, day-of-week "
+    "(DuckDB dow 0=Sunday mapped to Spark's 1=Sunday), ISO week, "
+    "quarter, epoch days, ISO formatting — all codegen, zero shuffle",
+    note="the oracle encodes each engine-semantics mapping explicitly "
+    "(dow offset, interval month clamping, trunc return types); date "
+    "outputs travel as ISO strings — the driver compare normalizes "
+    "engine-native date dtypes differently",
+)
+def temporal_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_trunc("week", d).cast("date").cast("string").alias("trunc_week"),
+        F.date_trunc("month", d).cast("date").cast("string").alias("trunc_month"),
+        F.date_trunc("quarter", d).cast("date").cast("string").alias("trunc_quarter"),
+        F.add_months(d, 5).cast("string").alias("plus_5m"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+        F.dayofweek(d).cast("int").alias("dow_sun1"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.datediff(d, F.lit("1970-01-01").cast("date"))
+        .cast("int")
+        .alias("epoch_days"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_str"),
+    )
