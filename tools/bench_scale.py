@@ -71,6 +71,8 @@ EXTRA_REGISTRY = [
     "text_chunking",
     "text_pii_redaction",
     "text_normalization_battery",
+    "null_semantics_battery",
+    "temporal_functions_battery",
 ]
 
 
