@@ -1081,3 +1081,123 @@ def sim_pq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ivfpq_residual", sim_ivfpq_residual_topk(spark, sf_dir)),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup (operators/similarity.semdedup_incremental) —
+# driver-gated end to end with PINNED centroids so the whole probe is
+# SQL-replayable (the embedding twin of dedup_incremental_probe)
+# ---------------------------------------------------------------------------
+
+_SDI_CELLS = 16
+_SDI_THRESHOLD = 0.8
+_SDI_COPY_OFF = 1_000_000
+
+
+def _sdi_assign_cte(name: str, src: str) -> str:
+    """argmax-cosine cell assignment against the pinned centroids —
+    round(cos, 5) first, smallest cell id on ties (the ivf_assign
+    contract)."""
+    return f"""
+    {name} AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT s.vec_id, s.v, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY round({COS_SQL.format(a="s.v", b="c.mv")}, 5)
+                                DESC, c.cell_id ASC
+                   ) AS rn
+            FROM {src} s CROSS JOIN sdi_cents c
+        ) WHERE rn = 1
+    )"""
+
+
+def _sdi_oracle() -> str:
+    return f"""
+    WITH sdi_cents AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell_id,
+               CAST(embedding AS DOUBLE[]) AS mv
+        FROM embeddings WHERE vec_id < {_SDI_CELLS}
+    ),
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 4 <> 0
+    ),
+    batch AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 4 = 0
+        UNION ALL
+        SELECT vec_id + {_SDI_COPY_OFF}, CAST(embedding AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 4 = 1
+    ),
+    {_sdi_assign_cte("cassign", "corpus")},
+    {_sdi_assign_cte("bassign", "batch")},
+    best AS (
+        SELECT vec_id, c, old FROM (
+            SELECT b.vec_id,
+                   round({COS_SQL.format(a="b.v", b="i.v")}, 5) AS c,
+                   i.vec_id AS old,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({COS_SQL.format(a="b.v", b="i.v")}, 5)
+                                DESC, i.vec_id ASC
+                   ) AS rn
+            FROM bassign b JOIN cassign i USING (cell_id)
+        ) WHERE rn = 1
+    )
+    SELECT b.vec_id,
+           CASE WHEN best.c >= {_SDI_THRESHOLD} THEN 'near_dup'
+                ELSE 'new' END AS status,
+           CASE WHEN best.c >= {_SDI_THRESHOLD} THEN best.old
+                ELSE CAST(NULL AS BIGINT) END AS dup_of,
+           CASE WHEN best.c >= {_SDI_THRESHOLD} THEN best.c
+                ELSE CAST(NULL AS DOUBLE) END AS similarity
+    FROM batch b LEFT JOIN best ON best.vec_id = b.vec_id
+    """
+
+
+@register(
+    "semdedup_incremental_probe",
+    oracle=_sdi_oracle(),
+    survey="extension: incremental SemDeDup — a new embedding batch "
+    "probed against the corpus's at-rest IVF index (operators/"
+    "similarity.ivf_write_index + semdedup_incremental); cell-pruned "
+    "read, corpus never re-scanned",
+    note="centroids PINNED to the first {} corpus vectors so the "
+    "oracle replays assignment + in-cell argmax-cosine bit-for-bit; "
+    "batch = held-out vectors (mostly 'new') + exact copies of "
+    "corpus vectors at +1M ids (near_dup at cosine 1.0); index at a "
+    "deterministic tmp path, overwrite — idempotent".format(_SDI_CELLS),
+)
+def semdedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _SDI_CELLS).select(
+        F.col("vec_id").cast("long").alias("cell_id"),
+        F.col("embedding"),
+    )
+    corpus = e.filter(F.col("vec_id") % 4 != 0).select(
+        "vec_id", "embedding"
+    )
+    batch = (
+        e.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") % 4 == 1).select(
+                (F.col("vec_id") + _SDI_COPY_OFF).alias("vec_id"),
+                "embedding",
+            )
+        )
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"vbb_sdi_idx_{key}")
+    sim.ivf_write_index(
+        corpus, cents, idx, dim=DIM, round_digits=5,
+    )
+    return sim.semdedup_incremental(
+        batch, idx, cents, dim=DIM, threshold=_SDI_THRESHOLD,
+        round_digits=5,
+    )
