@@ -65,6 +65,9 @@ BNLJ_OK = {
     # crossed into every node's rank update (visible since r6 via
     # pre-checkpoint capture of the iteration rounds)
     "graph_cc_pagerank",
+    # ivf_assign's broadcast-centroid cross join (16 pinned cells) —
+    # the same bounded-broadcast shape as sim_ann_battery's ivf leg
+    "semdedup_incremental_probe",
 }
 
 

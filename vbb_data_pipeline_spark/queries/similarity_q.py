@@ -1167,7 +1167,11 @@ def _sdi_oracle() -> str:
     "oracle replays assignment + in-cell argmax-cosine bit-for-bit; "
     "batch = held-out vectors (mostly 'new') + exact copies of "
     "corpus vectors at +1M ids (near_dup at cosine 1.0); index at a "
-    "deterministic tmp path, overwrite — idempotent".format(_SDI_CELLS),
+    "deterministic tmp path, overwrite — idempotent. The pinned "
+    "{}-cell configuration exists ONLY for oracle replay (like "
+    "sim_embedding_neardup's pinned leg); at scale callers pass "
+    "trained cells ∝ corpus — the shape SCALE_ann.json measures"
+    .format(_SDI_CELLS, _SDI_CELLS),
 )
 def semdedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
