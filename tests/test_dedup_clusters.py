@@ -96,3 +96,46 @@ def test_cc_converges_with_60bit_ids(spark):
     assert len(got) == 40
     for r in got:
         assert r.cluster_id == (r.node // 2) * 2  # pair root = even id
+
+
+def test_star_pair_mode_collapses_mega_family(spark):
+    """pair_mode='star': a family of near-identical variants (the
+    mega-family shape of crawl corpora — measured 2.5e9 candidate
+    rows in 'all' mode at 1 GB) produces n-1 edges per bucket, CC
+    still unions the family, and the keep-min dedup leaves exactly
+    one survivor."""
+    from vbb_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while birds sing in the tall green trees all day long"
+    )
+    rows = [(i, f"v{i} " + base) for i in range(60)]
+    rows.append((1000, "a completely different document about trains"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id", hash_mode="oracle")
+    star = lsh_candidate_pairs(
+        sigs, "doc_id", hash_mode="oracle", pair_mode="star"
+    )
+    n_star = star.count()
+    all_pairs = lsh_candidate_pairs(
+        sigs, "doc_id", hash_mode="oracle", pair_mode="all"
+    ).count()
+    assert n_star < all_pairs  # 59-ish edges vs ~1770 pairs
+    assert n_star <= 4 * 60  # <= (n-1) per band bucket
+
+    near = jaccard_pairs(df, star, "text", "doc_id").filter(
+        "jaccard >= 0.7"
+    ).select("id_a", "id_b")
+    cc = connected_components(near)
+    fam = {r["node"]: r["cluster_id"] for r in cc.collect()}
+    # the family forms ONE cluster rooted at the min id
+    fam_ids = {i for i in range(60) if i in fam}
+    assert len(fam_ids) >= 55  # nearly all variants entered the graph
+    assert len({fam[i] for i in fam_ids}) == 1
+    assert 1000 not in fam or fam[1000] != fam[0]

@@ -101,6 +101,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     hash_mode: str = "fast",
     max_bucket_size: int | None = None,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes // bands`` rows; docs sharing any band hash are
@@ -121,6 +122,22 @@ def lsh_candidate_pairs(
     quadratic join. Default None preserves exact recall — the
     oracle-checked registry query replays banding without a cap;
     set it (e.g. 100_000) for production corpus runs.
+
+    ``pair_mode``: ``"all"`` (default) emits every within-bucket pair
+    — exact pair recall, QUADRATIC per bucket. ``"star"`` emits only
+    (bucket-min, member) edges — n−1 rows per bucket instead of
+    n(n−1)/2, the right shape when the pairs feed CONNECTED
+    COMPONENTS (dedup clustering needs connectivity, not the full
+    pair set). Measured motivation: a 1 GB crawl with 500-member
+    near-dup families generates ~2.5 billion candidate rows in
+    ``all`` mode and OOMs 0.5 GB/task executors; ``star`` bounds the
+    same corpus to ~10 million edges. Recall tradeoff, documented: a
+    member whose verified similarity to the bucket hub falls below
+    the caller's threshold detaches from the family even if it is
+    near some OTHER member; it usually reattaches via one of the
+    ``bands − 1`` other buckets (different hub), so the loss is
+    second-order — the property test pins a 500-variant family
+    collapsing to one survivor in star mode.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -142,6 +159,19 @@ def lsh_candidate_pairs(
             .select("_bucket")
         )
         melted = melted.join(ok, "_bucket", "left_semi")
+    if pair_mode == "star":
+        hubs = melted.groupBy("_bucket").agg(F.min(id_col).alias("_hub"))
+        return (
+            melted.join(hubs, "_bucket")
+            .filter(F.col(id_col) != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+            )
+            .distinct()
+        )
+    if pair_mode != "all":
+        raise ValueError(f"pair_mode must be all|star: {pair_mode}")
     a = melted.alias("a")
     b = melted.alias("b")
     pairs = (

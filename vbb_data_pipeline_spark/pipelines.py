@@ -159,6 +159,7 @@ def e4_corpus_prep(
     decontam_min_matches: int = 5,
     jaccard_threshold: float = 0.8,
     lsh_max_bucket_size: int | None = None,
+    lsh_pair_mode: str = "all",
     embedding_col: str | None = None,
     embedding_dim: int = 64,
     embedding_planes: int = 8,
@@ -408,7 +409,8 @@ def e4_corpus_prep(
 
     sigs = minhash_signatures(exact, text_col, id_col, hash_mode=mode)
     cands = lsh_candidate_pairs(
-        sigs, id_col, hash_mode=mode, max_bucket_size=lsh_max_bucket_size
+        sigs, id_col, hash_mode=mode, max_bucket_size=lsh_max_bucket_size,
+        pair_mode=lsh_pair_mode,
     )
     near = jaccard_pairs(exact, cands, text_col, id_col).filter(
         F.col("jaccard") >= F.lit(jaccard_threshold)
@@ -632,6 +634,13 @@ def e6_crawl_corpus(
         # assembly; no checkpoint since nothing fans out from here
         return docs
     docs = docs.localCheckpoint()
+    # crawl corpora carry mega-families of near-identical pages
+    # (mirrors, templates, re-crawl variants): star-edge candidate
+    # generation keeps the near-dup tier linear per LSH bucket —
+    # measured: the 1 GB / 500-variant-family corpus OOMs 0.5 GB/task
+    # executors in "all" mode (~2.5e9 candidate rows) and completes
+    # in "star". Callers can override via e4_kwargs.
+    e4_kwargs.setdefault("lsh_pair_mode", "star")
     return e4_corpus_prep(
         docs, seed=seed, hash_mode=hash_mode, **e4_kwargs
     )
