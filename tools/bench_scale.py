@@ -73,6 +73,7 @@ EXTRA_REGISTRY = [
     "text_normalization_battery",
     "null_semantics_battery",
     "temporal_functions_battery",
+    "dedup_star_clusters",
 ]
 
 
