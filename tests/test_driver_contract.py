@@ -63,9 +63,7 @@ TS_ENTRIES = [
     "q4_q21_exists_battery",
     "q6_q12_q17_q18_battery",
     "stream_window_battery",
-    "stream_dedup_keys",
-    "stream_stateful_counts",
-    "stream_geo_filter",
+    "stream_state_battery",
 ]
 
 

@@ -34,11 +34,11 @@ ARROW_OK = {
     "sim_pq_battery",
     "sim_embedding_neardup",
     "dedup_pairs_battery",
-    "text_doc_profile",
+    "text_profile_battery",
     # custom stateful streaming operator: the micro-batch plan
     # (captured since r6) contains FlatMapGroupsInPandasWithState by
     # design — applyInPandasWithState IS the operator
-    "stream_stateful_counts",
+    "stream_state_battery",
     # CC edges come from the LSH candidate pipeline whose n-gram
     # Jaccard verify is the same allowlisted Arrow stage as
     # dedup_pairs_battery; it surfaces here via pre-checkpoint capture
@@ -67,7 +67,9 @@ BNLJ_OK = {
     "graph_cc_pagerank",
     # ivf_assign's broadcast-centroid cross join (16 pinned cells) —
     # the same bounded-broadcast shape as sim_ann_battery's ivf leg
-    "semdedup_incremental_probe",
+    # r7 fold: the semdedup probe (ivf_assign broadcast-centroid
+    # cross join, 16 pinned cells) now rides the combined probe entry
+    "dedup_incremental_probe",
 }
 
 

@@ -156,7 +156,9 @@ def test_partsupp_battery_dims_broadcast(spark):
 def test_text_scoring_stays_native(spark, reg):
     """Quality scoring must stay in codegen (regexp_count), never
     fall back to Python or interpreted higher-order lambdas."""
-    df = reg["text_doc_profile"].fn(spark, SF)
+    from vbb_data_pipeline_spark.queries.text_q import text_doc_profile
+
+    df = text_doc_profile(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrayFilter" not in plan

@@ -61,6 +61,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write a CORRECTNESS-style JSON artifact (per-entry "
+        "rows/schema/values match flags) to this path",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -79,28 +85,45 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows=None, schema=None, values=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": values,  # exact value compare, the hash twin
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name in names:
         spec = registry[name]
         try:
             sdf = spec.fn(spark, args.sf)
             spark_pd = sdf.toPandas()
-        except Exception:
+        except Exception as e:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc(limit=3)
             n_fail += 1
             failures.append(name)
+            record(name, err=f"spark: {type(e).__name__}: {e}"[:300])
             continue
         if spec.oracle is None:
             print(f"rows  {name}: rows-only check, {len(spark_pd)} rows")
             n_rows_only += 1
+            record(name, spark_rows=len(spark_pd))
             continue
         try:
             oracle_pd = con.sql(spec.oracle).df()
-        except Exception:
+        except Exception as e:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc(limit=3)
             n_fail += 1
             failures.append(name)
+            record(name, spark_rows=len(spark_pd),
+                   err=f"duckdb: {type(e).__name__}: {e}"[:300])
             continue
 
         problems = []
@@ -124,6 +147,16 @@ def main() -> int:
                 for c in bad_cols[:3]:
                     idx = neq[c].idxmax()
                     problems.append(f"  e.g. {c}[{idx}]: {a[c][idx]!r} vs {b[c][idx]!r}")
+        rows_ok = len(spark_pd) == len(oracle_pd)
+        schema_ok = sorted(spark_pd.columns) == sorted(oracle_pd.columns)
+        record(
+            name,
+            rows=rows_ok,
+            schema=schema_ok and not any("dtypes" in p for p in problems),
+            values=not problems,
+            spark_rows=len(spark_pd),
+            oracle_rows=len(oracle_pd),
+        )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
@@ -135,6 +168,12 @@ def main() -> int:
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} failed")
     if failures:
         print("failed:", " ".join(failures))
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 

@@ -32,6 +32,23 @@ R5_FOLDS = [
 ]
 
 
+#: r7 registry consolidation: 60 → 50 entries so the driver's
+#: 50-entry CORRECTNESS window covers the WHOLE registry again (the
+#: r6 verdict's top item). Legs stay importable + benched via
+#: legacy_queries().
+R7_FOLDS = [
+    ("w1_topk_per_group", "window_functions_battery (LEFT JOIN leg, topk_rnk)"),
+    ("text_token_stats + text_doc_profile", "text_profile_battery (variant tag)"),
+    ("text_pii_redaction + text_normalization_battery", "text_cleaning_battery (join on doc_id)"),
+    ("dedup_incremental_probe + semdedup_incremental_probe", "dedup_incremental_probe (variant tag: minhash/semdedup)"),
+    ("dedup_span_removal + dedup_substring_spans", "dedup_span_battery (LEFT JOIN on doc_id)"),
+    ("stream_dedup_keys + stream_stateful_counts + stream_geo_filter", "stream_state_battery (variant tag)"),
+    ("grouping_analytics + grouping_sets_battery", "grouping_analytics (variant tag: o_*/li_*)"),
+    ("null_semantics_battery + f3_day_enumeration", "engine_semantics_battery (variant tag)"),
+    ("temporal_functions_battery + orders_scalar_battery", "orders_scalar_battery (LEFT JOIN, sc_* columns on the hash sample)"),
+]
+
+
 def driver_rows() -> dict[str, str]:
     """Per registry entry: the latest round whose driver CORRECTNESS
     artifact contains a fully-green row under the entry's name."""
@@ -118,9 +135,9 @@ R1_RENAMES = [
     ("w3_sessionize", "t_session_window (same result via session_window)"),
     ("t_tumbling_window / t_sliding_window", "stream_tumbling_window / stream_sliding_window (identical oracles, REAL streaming)"),
     ("string_functions + conditional_functions + datetime_functions + deterministic_sample", "string_battery / orders_scalar_battery (battery folds; sample = battery predicate)"),
-    ("array_functions", "text_doc_profile (array columns)"),
+    ("array_functions", "text_profile_battery (doc_profile array columns)"),
     ("stats_functions + percentiles_exact", "stats_battery (one groupBy)"),
-    ("text_quality_stats + text_langid + text_fingerprint", "text_doc_profile (per-doc profile)"),
+    ("text_quality_stats + text_langid + text_fingerprint", "text_profile_battery (per-doc profile leg)"),
     ("multimodal_binary_meta + multimodal_decode_dims", "multimodal_decode (real header parse added)"),
     ("dedup_exact + dedup_fingerprint", "dedup_exact_fingerprint (method tag)"),
     ("dedup_simhash", "dedup_exact_fingerprint (method tag: simhash collision groups, folded r4)"),
@@ -175,6 +192,13 @@ def main() -> None:
     print("| folded legs | battery entry |")
     print("|---|---|")
     for old, new in R5_FOLDS:
+        print(f"| {old} | {new} |")
+    print()
+    print("## Round-7 folds (registry 60 -> 50: every entry back inside the driver window)")
+    print()
+    print("| folded legs | battery entry |")
+    print("|---|---|")
+    for old, new in R7_FOLDS:
         print(f"| {old} | {new} |")
 
 

@@ -1286,6 +1286,7 @@ def semantic_dedup(
     vecs_per_cell: int = 128,
     train_iters: int = 3,
     train_cache_key: str | None = None,
+    train_sample_n: int = 1 << 18,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication") — cluster-scoped
@@ -1353,14 +1354,23 @@ def semantic_dedup(
     trained quantizer.
     """
     if centroids is None:
-        n = embeddings.count()
+        # size cells from NON-NULL vectors only (NULL-vector docs skip
+        # assignment entirely and would otherwise inflate n_cells),
+        # and cap n_cells so each cell trains on >= 4 sample vectors —
+        # the uncapped N/vecs_per_cell would exceed the trainer sample
+        # past ~sample_n*vecs_per_cell/4 corpus vectors and raise.
+        # For genuinely huge corpora raise ``train_sample_n`` with the
+        # corpus (FAISS guidance: ~100-1000 training points per cell).
+        n = embeddings.filter(F.col(vec_col).isNotNull()).count()
         n_cells = max(16, int(n // max(1, int(vecs_per_cell))))
+        n_cells = min(n_cells, max(16, int(train_sample_n) // 4))
         centroids = kmeans_centroids_numpy(
             embeddings,
             n_cells=n_cells,
             iters=train_iters,
             id_col=id_col,
             vec_col=vec_col,
+            sample_n=int(train_sample_n),
             cache_key=train_cache_key,
         )
     if assign == "arrow":

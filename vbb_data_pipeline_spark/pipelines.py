@@ -510,6 +510,7 @@ def e6_crawl_corpus(
     seed: str | int = 0,
     hash_mode: str | None = None,
     run_e4: bool = True,
+    lsh_pair_mode: str = "star",
     **e4_kwargs,
 ) -> DataFrame:
     """E6: raw crawl archives → training shards, the full C4/RefinedWeb
@@ -636,11 +637,18 @@ def e6_crawl_corpus(
     docs = docs.localCheckpoint()
     # crawl corpora carry mega-families of near-identical pages
     # (mirrors, templates, re-crawl variants): star-edge candidate
-    # generation keeps the near-dup tier linear per LSH bucket —
-    # measured: the 1 GB / 500-variant-family corpus OOMs 0.5 GB/task
-    # executors in "all" mode (~2.5e9 candidate rows) and completes
-    # in "star". Callers can override via e4_kwargs.
-    e4_kwargs.setdefault("lsh_pair_mode", "star")
+    # generation (lsh_pair_mode="star", an explicit E6 parameter
+    # because it trades recall — a member below-threshold vs its
+    # bucket hub detaches even if near another member) keeps the
+    # near-dup tier linear per LSH bucket — measured: the 1 GB /
+    # 500-variant-family corpus OOMs 0.5 GB/task executors in "all"
+    # mode (~2.5e9 candidate rows) and completes in "star"; the
+    # measured recall delta on a mixed near-threshold corpus is in
+    # PERF.md (star-mode recall table).
     return e4_corpus_prep(
-        docs, seed=seed, hash_mode=hash_mode, **e4_kwargs
+        docs,
+        seed=seed,
+        hash_mode=hash_mode,
+        lsh_pair_mode=lsh_pair_mode,
+        **e4_kwargs,
     )

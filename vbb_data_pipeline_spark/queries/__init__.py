@@ -122,10 +122,28 @@ def legacy_queries() -> dict[str, QueryFn]:
         relational,
         similarity_q,
         streaming_q,
+        text_q,
         windows_q,
     )
 
     return {
+        # round-7 folds (registry 60 → 50 so the driver's 50-entry
+        # CORRECTNESS window covers every entry again)
+        "w1_topk_per_group": windows_q.w1_topk_per_group,
+        "text_token_stats": text_q.text_token_stats,
+        "text_doc_profile": text_q.text_doc_profile,
+        "text_pii_redaction": text_q.text_pii_redaction,
+        "text_normalization_battery": text_q.text_normalization_battery,
+        "semdedup_incremental_probe": similarity_q.semdedup_incremental_probe,
+        "stream_dedup_keys": streaming_q.stream_dedup_keys,
+        "stream_stateful_counts": streaming_q.stream_stateful_counts,
+        "stream_geo_filter": streaming_q.stream_geo_filter,
+        "f3_day_enumeration": relational.f3_day_enumeration,
+        "dedup_substring_spans": dedup_q.dedup_substring_spans,
+        "dedup_span_removal": dedup_q.dedup_span_removal,
+        "grouping_sets_battery": misc_q.grouping_sets_battery,
+        "null_semantics_battery": misc_q.null_semantics_battery,
+        "temporal_functions_battery": misc_q.temporal_functions_battery,
         "sim_bruteforce_topk": similarity_q.sim_bruteforce_topk,
         "sim_lsh_topk": similarity_q.sim_lsh_topk,
         "sim_ivf_topk": similarity_q.sim_ivf_topk,

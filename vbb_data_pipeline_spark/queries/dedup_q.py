@@ -609,21 +609,6 @@ def _span_oracle() -> str:
     """
 
 
-@register(
-    "dedup_substring_spans",
-    oracle=_span_oracle(),
-    survey="extension: exact-substring span dedup (Lee et al. 2021 "
-    "approximation) with winnowed fingerprint selection (Schleimer et "
-    "al. 2003) — every {w}-token span hashed map-side, each {k}-window "
-    "minimum (tie: rightmost) selected, so shuffle volume drops ~{k}x "
-    "while any shared run of >= {wk} tokens is guaranteed caught in "
-    "both documents regardless of alignment; per-doc accounting "
-    "elects the min-id owner for span removal".format(
-        w=_SPAN_W, k=_SPAN_K, wk=_SPAN_W + _SPAN_K - 1
-    ),
-    note="span strings never shuffle; both span-level aggs are "
-    "map-side combinable (no windows, no pairwise join)",
-)
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.substring_span_stats(
@@ -691,29 +676,49 @@ def _span_removal_oracle() -> str:
     """
 
 
-@register(
-    "dedup_span_removal",
-    oracle=_span_removal_oracle(),
-    survey="extension: exact-substring span REMOVAL (Lee et al. 2021 "
-    "keep-one policy, NEW r5 — completes the accounting/owner "
-    "election of dedup_substring_spans) — every {w}-token span "
-    "hashed at every offset (stride-1), min-id holder elected owner, "
-    "every other holder excises the union of its foreign-duplicate "
-    "span intervals; each duplicated region survives exactly once in "
-    "the corpus. Span strings never shuffle (the exchange carries "
-    "(hash, id, pos) triples), ownership is one map-side-combinable "
-    "aggregation, covered positions return via one id-keyed "
-    "int-array join".format(w=_SPAN_W),
-    note="token-stream removal: output text is surviving tokens "
-    "space-joined (functions/text.tokens normalization); single "
-    "pass — removal-created adjacencies can form fresh grams, as in "
-    "Lee et al.",
-)
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.span_removal(
         d, "text", "doc_id", window=_SPAN_W, hash_mode=default_hash_mode()
     )
+
+
+@register(
+    "dedup_span_battery",
+    oracle=f"""
+    SELECT r.*, s.total_spans, s.dup_spans, s.owned_dup_spans,
+           s.dup_frac
+    FROM ({_span_removal_oracle()}) r
+    LEFT JOIN ({_span_oracle()}) s USING (doc_id)
+    """,
+    survey="extension battery (folded r7 so both legs keep a driver "
+    "CORRECTNESS row inside the 50-entry window; LEFT JOIN on doc_id "
+    "— docs shorter than the winnow guarantee carry NULL span stats) "
+    "— [removal] exact-substring span REMOVAL (Lee et al. 2021 "
+    "keep-one policy): every {w}-token span hashed at every offset "
+    "(stride-1), min-id holder elected owner, every other holder "
+    "excises the union of its foreign-duplicate span intervals; each "
+    "duplicated region survives exactly once in the corpus — span "
+    "strings never shuffle (the exchange carries (hash, id, pos) "
+    "triples), ownership is one map-side-combinable aggregation, "
+    "covered positions return via one id-keyed int-array join; "
+    "[spans] duplicated-substring accounting with winnowed "
+    "fingerprint selection (Schleimer et al. 2003): each {k}-window "
+    "minimum (tie: rightmost) selected, so shuffle volume drops ~{k}x "
+    "while any shared run of >= {wk} tokens is guaranteed caught in "
+    "both documents regardless of alignment; per-doc accounting "
+    "elects the min-id owner".format(
+        w=_SPAN_W, k=_SPAN_K, wk=_SPAN_W + _SPAN_K - 1
+    ),
+    note="token-stream removal: output text is surviving tokens "
+    "space-joined (functions/text.tokens normalization); single "
+    "pass — removal-created adjacencies can form fresh grams, as in "
+    "Lee et al.; span-level aggs are map-side combinable (no "
+    "windows, no pairwise join)",
+)
+def dedup_span_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = dedup_substring_spans(spark, sf_dir)
+    return dedup_span_removal(spark, sf_dir).join(spans, "doc_id", "left")
 
 
 # ---------------------------------------------------------------------------
@@ -887,20 +892,6 @@ def _inc_oracle() -> str:
     """
 
 
-@register(
-    "dedup_incremental_probe",
-    oracle=_inc_oracle(),
-    survey="extension: incremental dedup of a new ingest batch against "
-    "the at-rest index (operators/dedup.dedup_index_write + "
-    "dedup_incremental) — corpus text never re-read at probe time",
-    note="corpus = doc_id %% 5 != 0 indexed to parquet at a "
-    "deterministic tmp path (overwrite — idempotent); batch = fresh "
-    "docs + exact copies + suffix-mutated near-dups at disjoint id "
-    "offsets; every batch row returns a status/dup_of/similarity "
-    "verdict; the oracle replays fingerprint + banded-minhash + "
-    "signature-agreement in DuckDB (max_bucket_size never binds at "
-    "gate scales)",
-)
 def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
@@ -941,6 +932,64 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_INC_THRESHOLD,
         hash_mode=mode,
     ).select("doc_id", "status", "dup_of", "similarity")
+
+
+def _inc_battery_oracle() -> str:
+    from vbb_data_pipeline_spark.queries.similarity_q import _sdi_oracle
+
+    return f"""
+    SELECT 'minhash' AS variant, doc_id AS id, status, dup_of,
+           similarity
+    FROM ({_inc_oracle()}) t
+    UNION ALL
+    SELECT 'semdedup', vec_id, status, dup_of, similarity
+    FROM ({_sdi_oracle()}) t
+    """
+
+
+@register(
+    "dedup_incremental_probe",
+    oracle=_inc_battery_oracle(),
+    survey="extension battery (folded r7: the MinHash and SemDeDup "
+    "incremental probes share the status/dup_of/similarity verdict "
+    "shape, so both keep a driver CORRECTNESS row inside the "
+    "50-entry window) — [minhash] incremental dedup of a new ingest "
+    "batch against the at-rest index (operators/dedup."
+    "dedup_index_write + dedup_incremental), corpus text never "
+    "re-read at probe time; [semdedup] incremental SemDeDup — a new "
+    "embedding batch probed against the corpus's at-rest IVF index "
+    "(operators/similarity.ivf_write_index + semdedup_incremental), "
+    "cell-pruned read, corpus never re-scanned",
+    note="minhash: corpus = doc_id %% 5 != 0 indexed to parquet at a "
+    "deterministic tmp path (overwrite — idempotent); batch = fresh "
+    "docs + exact copies + suffix-mutated near-dups at disjoint id "
+    "offsets; the oracle replays fingerprint + banded-minhash + "
+    "signature-agreement in DuckDB. semdedup: centroids PINNED to "
+    "the first 16 corpus vectors so the oracle replays assignment + "
+    "in-cell argmax-cosine bit-for-bit (the pinned configuration "
+    "exists only for oracle replay; at scale callers pass trained "
+    "cells ∝ corpus)",
+)
+def dedup_incremental_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.queries.similarity_q import (
+        semdedup_incremental_probe,
+    )
+
+    mh = dedup_incremental_probe(spark, sf_dir).select(
+        F.lit("minhash").alias("variant"),
+        F.col("doc_id").alias("id"),
+        "status",
+        "dup_of",
+        "similarity",
+    )
+    sd = semdedup_incremental_probe(spark, sf_dir).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").alias("id"),
+        "status",
+        "dup_of",
+        "similarity",
+    )
+    return mh.unionByName(sd)
 
 
 # ---------------------------------------------------------------------------

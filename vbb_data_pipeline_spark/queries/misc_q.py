@@ -24,6 +24,7 @@ from vbb_data_pipeline_spark.queries import (
     load_table,
     register,
 )
+from vbb_data_pipeline_spark.queries.relational import F3_ORACLE
 
 
 #: the synthetic crawl URL each string_battery row normalizes — mixed
@@ -122,9 +123,7 @@ def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "grouping_analytics",
-    oracle=f"""
+_GROUPING_ORDERS_ORACLE = f"""
     SELECT 'rollup' AS variant, o_orderstatus, o_orderpriority,
            CAST(grouping(o_orderstatus) AS INT)   AS g_status,
            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
@@ -145,13 +144,10 @@ def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*), {exact_sum_sql("o_totalprice")}
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    survey="§2.4 extension (rollup + cube + explicit GROUPING SETS "
-    "with grouping markers — one Expand produces all groupings per "
-    "variant; grouping sets are the general form the other two "
-    "desugar to)",
-)
-def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def grouping_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     aggs = [
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
@@ -355,9 +351,7 @@ def stats_approx_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_MOD = 4
 
 
-@register(
-    "orders_scalar_battery",
-    oracle=f"""
+_ORDERS_SCALAR_ORACLE = f"""
     SELECT o_orderkey,
            -- datetime battery
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)     AS month_start,
@@ -384,15 +378,9 @@ _SAMPLE_MOD = 4
            (o_orderpriority IN ('1-URGENT', '2-HIGH'))             AS urgent
     FROM orders
     WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)", seed="sample")} % {_SAMPLE_MOD} = 0
-    """,
-    survey="§2.7 extension: date/time function battery (trunc/extract/"
-    "interval arithmetic/last_day/datediff/format) + §2.7 F1 "
-    "(extractDateInt) + F2 (createLocalDateTime, §7 hard-part 1: "
-    ">24:00:00 seconds roll into the next day) + §2.7 scalar battery "
-    "(conditional/comparison) + §2.4 extension (deterministic hash "
-    "sampling — reproducible, engine-portable TABLESAMPLE substitute; "
-    "the same predicate prunes identically across engines and reruns)",
-)
+    """
+
+
 def orders_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.hashing import md5_long
 
@@ -1135,9 +1123,7 @@ def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "grouping_sets_battery",
-    oracle="""
+_GROUPING_LI_ORACLE = """
     SELECT 'rollup' AS variant,
            l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -1164,14 +1150,9 @@ def quality_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
-    survey="§2.5 extension — multi-dimensional aggregation (ROLLUP / "
-    "CUBE / GROUPING SETS with GROUPING() disambiguation of subtotal "
-    "NULLs); one Expand + one hash-agg exchange per variant, never a "
-    "self-union of per-level scans",
-    note="GROUPING() flags distinguish 'subtotal row' from 'group key "
-    "IS NULL' — required for hash parity since both render as NULL",
-)
+    """
+
+
 def grouping_sets_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [
@@ -1211,6 +1192,57 @@ def grouping_sets_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_analytics",
+    oracle=f"""
+    SELECT 'o_' || t.variant AS variant,
+           t.o_orderstatus AS k1, t.o_orderpriority AS k2,
+           t.g_status AS g1, t.g_prio AS g2, t.n,
+           t.revenue, CAST(NULL AS BIGINT) AS sum_qty
+    FROM ({_GROUPING_ORDERS_ORACLE}) t
+    UNION ALL
+    SELECT 'li_' || t.variant, t.l_returnflag, t.l_linestatus,
+           t.g_rf, t.g_ls, t.n,
+           CAST(NULL AS DOUBLE), t.sum_qty
+    FROM ({_GROUPING_LI_ORACLE}) t
+    """,
+    survey="§2.4/§2.5 extension — multi-dimensional aggregation "
+    "battery (folded r7 so both legs keep a driver CORRECTNESS row "
+    "inside the 50-entry window): ROLLUP + CUBE + explicit GROUPING "
+    "SETS over orders (o_* variants, revenue measure) AND over "
+    "lineitem (li_* variants, sum_qty measure, including the "
+    "no-grand-total sets form), each with GROUPING() markers — one "
+    "Expand + one hash-agg exchange per variant, never a self-union "
+    "of per-level scans",
+    note="GROUPING() flags distinguish 'subtotal row' from 'group key "
+    "IS NULL' — required for hash parity since both render as NULL",
+)
+def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    o = grouping_analytics_orders(spark, sf_dir).select(
+        F.concat(F.lit("o_"), F.col("variant")).alias("variant"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        F.col("g_status").alias("g1"),
+        F.col("g_prio").alias("g2"),
+        "n",
+        "revenue",
+        null_l.alias("sum_qty"),
+    )
+    li = grouping_sets_battery(spark, sf_dir).select(
+        F.concat(F.lit("li_"), F.col("variant")).alias("variant"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("g_rf").alias("g1"),
+        F.col("g_ls").alias("g2"),
+        "n",
+        null_d.alias("revenue"),
+        "sum_qty",
+    )
+    return o.unionByName(li)
+
+
 # ---------------------------------------------------------------------------
 # NULL semantics battery — the classic cross-engine hazard class:
 # null-safe equality joins, aggregate NULL skipping, NULL ordering,
@@ -1229,9 +1261,7 @@ _NULLS_SRC_SQL = """
 """
 
 
-@register(
-    "null_semantics_battery",
-    oracle=f"""
+_NULL_SEM_ORACLE = f"""
     WITH src AS ({_NULLS_SRC_SQL}),
     agg AS (
         SELECT 'agg' AS variant, prio AS s1,
@@ -1277,15 +1307,9 @@ _NULLS_SRC_SQL = """
     UNION ALL SELECT * FROM ordered
     UNION ALL SELECT * FROM ordered2
     UNION ALL SELECT * FROM scalars
-    """,
-    survey="§2.3/§2.5 extension — NULL semantics parity: aggregates "
-    "skip NULLs but count(*) doesn't; GROUP BY keeps a NULL key "
-    "group; null-safe equality (<=> / IS NOT DISTINCT FROM) matches "
-    "NULL=NULL in a join; NULLS FIRST/LAST ordering under LIMIT; "
-    "coalesce/nullif",
-    note="every 7th price and 11th priority injected NULL from "
-    "o_orderkey, identically in both engines",
-)
+    """
+
+
 def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     src = o.select(
@@ -1356,6 +1380,53 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "engine_semantics_battery",
+    oracle=f"""
+    SELECT t.variant, t.s1, t.n1, t.n2, t.d1,
+           CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2
+    FROM ({_NULL_SEM_ORACLE}) t
+    UNION ALL
+    SELECT 'f3_dow', CAST(NULL AS VARCHAR),
+           CAST(dow AS BIGINT), n_days, CAST(NULL AS DOUBLE),
+           first_day, last_day
+    FROM ({F3_ORACLE}) t
+    """,
+    survey="engine-semantics battery (folded r7 so both legs keep a "
+    "driver CORRECTNESS row inside the 50-entry window) — "
+    "[null semantics, §2.3/§2.5 extension] aggregates skip NULLs but "
+    "count(*) doesn't; GROUP BY keeps a NULL key group; null-safe "
+    "equality (<=> / IS NOT DISTINCT FROM) matches NULL=NULL in a "
+    "join; NULLS FIRST/LAST ordering under LIMIT; coalesce/nullif; "
+    "[f3_dow, §2.7 F3 detectWeekDays] day enumeration correct across "
+    "month boundaries, diverging from GtfsDAO.java:75-78 numeric "
+    "YYYYMMDD increments (SURVEY.md §7.2)",
+    note="every 7th price and 11th priority injected NULL from "
+    "o_orderkey, identically in both engines",
+)
+def engine_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.queries.relational import (
+        f3_day_enumeration,
+    )
+
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_ts = F.lit(None).cast("timestamp")
+    ns = null_semantics_battery(spark, sf_dir).select(
+        "*", null_ts.alias("t1"), null_ts.alias("t2")
+    )
+    f3 = f3_day_enumeration(spark, sf_dir).select(
+        F.lit("f3_dow").alias("variant"),
+        null_s.alias("s1"),
+        F.col("dow").cast("long").alias("n1"),
+        F.col("n_days").alias("n2"),
+        null_d.alias("d1"),
+        F.col("first_day").alias("t1"),
+        F.col("last_day").alias("t2"),
+    )
+    return ns.unionByName(f3)
+
+
 # ---------------------------------------------------------------------------
 # Temporal function battery — date_trunc / add_months / last_day /
 # datediff / dow / ISO week parity (with the engine-difference
@@ -1364,9 +1435,7 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "temporal_functions_battery",
-    oracle="""
+_TEMPORAL_FN_ORACLE = """
     SELECT o_orderkey AS k,
            CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR)    AS trunc_week,
            CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)   AS trunc_month,
@@ -1380,17 +1449,9 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INT) AS epoch_days,
            strftime(o_orderdate, '%Y-%m-%d')                AS iso_str
     FROM orders
-    """,
-    survey="F1–F3 extension — temporal function parity battery: "
-    "date_trunc week/month/quarter, month arithmetic with month-end "
-    "clamping (add_months), last_day, day diffs, day-of-week "
-    "(DuckDB dow 0=Sunday mapped to Spark's 1=Sunday), ISO week, "
-    "quarter, epoch days, ISO formatting — all codegen, zero shuffle",
-    note="the oracle encodes each engine-semantics mapping explicitly "
-    "(dow offset, interval month clamping, trunc return types); date "
-    "outputs travel as ISO strings — the driver compare normalizes "
-    "engine-native date dtypes differently",
-)
+    """
+
+
 def temporal_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
@@ -1412,3 +1473,72 @@ def temporal_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epoch_days"),
         F.date_format(d, "yyyy-MM-dd").alias("iso_str"),
     )
+
+
+#: scalar-leg columns surfaced in the combined battery, prefixed sc_
+#: to dodge the temporal leg's month_end/qtr name collisions
+_SC_COLS = [
+    "month_start",
+    "yr",
+    "qtr",
+    "doy",
+    "plus3m",
+    "month_end",
+    "days_since_95",
+    "year_week",
+    "d_int",
+    "event_ts",
+    "bucket",
+    "status2",
+    "hi",
+    "lo7",
+    "urgent",
+]
+
+
+@register(
+    "orders_scalar_battery",
+    # NULL booleans stringify differently across the engines' pandas
+    # bridges ('None' vs 'nan'), so the nullable sc_urgent travels as
+    # INT 0/1 on both sides
+    oracle=f"""
+    SELECT t.*, {", ".join(
+        "CAST(s.urgent AS INT) AS sc_urgent" if c == "urgent"
+        else f"s.{c} AS sc_{c}" for c in _SC_COLS
+    )}
+    FROM ({_TEMPORAL_FN_ORACLE}) t
+    LEFT JOIN ({_ORDERS_SCALAR_ORACLE}) s ON s.o_orderkey = t.k
+    """,
+    survey="§2.7 scalar/temporal battery (folded r7 so both legs keep "
+    "a driver CORRECTNESS row inside the 50-entry window; join key = "
+    "the orders primary key, one broadcast-free equi-join) — "
+    "[temporal, full orders] date_trunc week/month/quarter, month "
+    "arithmetic with month-end clamping (add_months), last_day, day "
+    "diffs, day-of-week (DuckDB dow 0=Sunday mapped to Spark's "
+    "1=Sunday), ISO week, quarter, epoch days, ISO formatting — all "
+    "codegen, zero shuffle; [scalar, sc_* columns on the "
+    "deterministic hash sample, NULL off-sample] §2.7 F1 "
+    "(extractDateInt) + F2 (createLocalDateTime, §7 hard-part 1: "
+    ">24:00:00 seconds roll into the next day) + conditional/"
+    "comparison scalars + §2.4 deterministic hash sampling "
+    "(reproducible, engine-portable TABLESAMPLE substitute; the same "
+    "predicate prunes identically across engines and reruns)",
+    note="the oracle encodes each engine-semantics mapping explicitly "
+    "(dow offset, interval month clamping, trunc return types); date "
+    "outputs travel as ISO strings — the driver compare normalizes "
+    "engine-native date dtypes differently",
+)
+def orders_scalar_temporal_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sc = orders_scalar_battery(spark, sf_dir)
+    sc = sc.select(
+        F.col("o_orderkey").alias("k"),
+        *[
+            F.col(c).cast("int").alias("sc_urgent")
+            if c == "urgent"
+            else F.col(c).alias(f"sc_{c}")
+            for c in _SC_COLS
+        ],
+    )
+    return temporal_functions_battery(spark, sf_dir).join(sc, "k", "left")

@@ -363,9 +363,9 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # F3: day enumeration across month boundaries (the reference's bug zone)
 # ---------------------------------------------------------------------------
-@register(
-    "f3_day_enumeration",
-    oracle="""
+# Folded r7 into misc_q's ``engine_semantics_battery`` (F3 leg) so it
+# keeps a driver CORRECTNESS row inside the 50-entry window.
+F3_ORACLE = """
     SELECT isodow(CAST(d AS DATE)) AS dow, count(*) AS n_days,
            CAST(min(CAST(d AS DATE)) AS TIMESTAMP) AS first_day,
            CAST(max(CAST(d AS DATE)) AS TIMESTAMP) AS last_day
@@ -374,11 +374,9 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       INTERVAL 1 DAY)) AS d
     )
     GROUP BY 1
-    """,
-    survey="§2.7 F3 (detectWeekDays) — correct across month boundaries, "
-    "diverging from GtfsDAO.java:75-78 numeric YYYYMMDD increments "
-    "(SURVEY.md §7.2)",
-)
+    """
+
+
 def f3_day_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.range(1).select(
         F.explode(

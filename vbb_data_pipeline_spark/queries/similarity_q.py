@@ -1156,23 +1156,18 @@ def _sdi_oracle() -> str:
     """
 
 
-@register(
-    "semdedup_incremental_probe",
-    oracle=_sdi_oracle(),
-    survey="extension: incremental SemDeDup — a new embedding batch "
-    "probed against the corpus's at-rest IVF index (operators/"
-    "similarity.ivf_write_index + semdedup_incremental); cell-pruned "
-    "read, corpus never re-scanned",
-    note="centroids PINNED to the first {} corpus vectors so the "
-    "oracle replays assignment + in-cell argmax-cosine bit-for-bit; "
-    "batch = held-out vectors (mostly 'new') + exact copies of "
-    "corpus vectors at +1M ids (near_dup at cosine 1.0); index at a "
-    "deterministic tmp path, overwrite — idempotent. The pinned "
-    "{}-cell configuration exists ONLY for oracle replay (like "
-    "sim_embedding_neardup's pinned leg); at scale callers pass "
-    "trained cells ∝ corpus — the shape SCALE_ann.json measures"
-    .format(_SDI_CELLS, _SDI_CELLS),
-)
+# Folded r7 into dedup_q's ``dedup_incremental_probe`` battery (the
+# driver gate checks the first 50 registry entries; this rode past the
+# window as entry 38-of-60). The oracle/semantics are unchanged —
+# dedup_q wraps this fn + _sdi_oracle() as the 'semdedup' leg.
+# centroids PINNED to the first _SDI_CELLS corpus vectors so the
+# oracle replays assignment + in-cell argmax-cosine bit-for-bit;
+# batch = held-out vectors (mostly 'new') + exact copies of corpus
+# vectors at +1M ids (near_dup at cosine 1.0); index at a
+# deterministic tmp path, overwrite — idempotent. The pinned 16-cell
+# configuration exists ONLY for oracle replay (like
+# sim_embedding_neardup's pinned leg); at scale callers pass trained
+# cells ∝ corpus — the shape SCALE_ann.json measures.
 def semdedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os

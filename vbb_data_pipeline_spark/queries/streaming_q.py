@@ -92,14 +92,11 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register(
-    "stream_dedup_keys",
-    oracle="""
+_DEDUP_KEYS_ORACLE = """
     SELECT DISTINCT user_id, event_type FROM events
-    """,
-    survey="§2.9 (dropDuplicatesWithinWatermark — streaming stateful "
-    "dedup; key projection makes the survivor choice immaterial)",
-)
+    """
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_stream(spark, sf_dir).select("ts", "user_id", "event_type")
     deduped = dedup_within_watermark(
@@ -140,18 +137,13 @@ def _stateful_counts(key, pdf_iter, state):
     )
 
 
-@register(
-    "stream_stateful_counts",
-    oracle="""
+_STATEFUL_ORACLE = """
     SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
     FROM events
     GROUP BY user_id
-    """,
-    survey="§2.9 extension: custom stateful streaming operator "
-    "(applyInPandasWithState, GroupState) — running per-user counters; "
-    "single-micro-batch input makes the emitted state equal the batch "
-    "aggregate the oracle computes",
-)
+    """
+
+
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -190,9 +182,7 @@ _GEO_SQL_DIST = f"""
 """
 
 
-@register(
-    "stream_geo_filter",
-    oracle=f"""
+_GEO_FILTER_ORACLE = f"""
     WITH pts AS (
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INT) AS k,
@@ -205,14 +195,9 @@ _GEO_SQL_DIST = f"""
            CAST(round({_GEO_SQL_DIST}) AS BIGINT) AS dist_m
     FROM pts
     WHERE {_GEO_SQL_DIST} <= {_GEO_RADIUS_M}
-    """,
-    survey="§2.9 T4 (geo stream filter — the GeoFilterStream app the "
-    "reference's build references but never ships, "
-    "utils/GeoPredicate.java:15-52 + streaming/pom.xml:285-294): REAL "
-    "Structured Streaming, JSON parse-or-drop (P9) → haversine radius "
-    "(P6/F4) → append sink; stateless, so the stream result equals "
-    "the batch oracle exactly",
-)
+    """
+
+
 def stream_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.geo import haversine_m
 
@@ -236,6 +221,89 @@ def stream_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"geo_{uuid.uuid4().hex[:8]}"
     run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "stream_state_battery",
+    oracle=f"""
+    SELECT 'dedup_keys' AS variant, t.user_id, t.event_type,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS TIMESTAMP) AS last_ts,
+           CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS INT) AS k,
+           CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
+           CAST(NULL AS BIGINT) AS dist_m
+    FROM ({_DEDUP_KEYS_ORACLE}) t
+    UNION ALL
+    SELECT 'stateful_counts', t.user_id, CAST(NULL AS VARCHAR),
+           t.n_events, t.last_ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS INT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT)
+    FROM ({_STATEFUL_ORACLE}) t
+    UNION ALL
+    SELECT 'geo_filter', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           t.event_id, t.k, t.lat, t.lon, t.dist_m
+    FROM ({_GEO_FILTER_ORACLE}) t
+    """,
+    survey="§2.9 stateful/stateless streaming battery (folded r7 so "
+    "every leg keeps a driver CORRECTNESS row inside the 50-entry "
+    "window; each leg runs REAL Structured Streaming to a memory "
+    "sink) — [dedup_keys] dropDuplicatesWithinWatermark (streaming "
+    "stateful dedup; key projection makes the survivor choice "
+    "immaterial); [stateful_counts] custom stateful operator "
+    "(applyInPandasWithState, GroupState) — running per-user "
+    "counters, single-micro-batch input makes the emitted state "
+    "equal the batch aggregate; [geo_filter] T4 geo stream filter — "
+    "the GeoFilterStream app the reference's build references but "
+    "never ships (utils/GeoPredicate.java:15-52 + "
+    "streaming/pom.xml:285-294): JSON parse-or-drop (P9) → haversine "
+    "radius (P6/F4) → append sink, stateless so the stream result "
+    "equals the batch oracle exactly",
+)
+def stream_state_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
+    null_d = F.lit(None).cast("double")
+    null_ts = F.lit(None).cast("timestamp")
+    dk = stream_dedup_keys(spark, sf_dir).select(
+        F.lit("dedup_keys").alias("variant"),
+        "user_id",
+        "event_type",
+        null_l.alias("n_events"),
+        null_ts.alias("last_ts"),
+        null_l.alias("event_id"),
+        null_i.alias("k"),
+        null_d.alias("lat"),
+        null_d.alias("lon"),
+        null_l.alias("dist_m"),
+    )
+    sc = stream_stateful_counts(spark, sf_dir).select(
+        F.lit("stateful_counts").alias("variant"),
+        "user_id",
+        null_s.alias("event_type"),
+        "n_events",
+        "last_ts",
+        null_l.alias("event_id"),
+        null_i.alias("k"),
+        null_d.alias("lat"),
+        null_d.alias("lon"),
+        null_l.alias("dist_m"),
+    )
+    gf = stream_geo_filter(spark, sf_dir).select(
+        F.lit("geo_filter").alias("variant"),
+        null_l.alias("user_id"),
+        null_s.alias("event_type"),
+        null_l.alias("n_events"),
+        null_ts.alias("last_ts"),
+        "event_id",
+        "k",
+        "lat",
+        "lon",
+        "dist_m",
+    )
+    return dk.unionByName(sc).unionByName(gf)
 
 
 _SLIDING_ORACLE = f"""

@@ -25,9 +25,7 @@ def _sw_hits_sql(lang: str) -> str:
     )
 
 
-@register(
-    "text_token_stats",
-    oracle=f"""
+_TOKEN_STATS_ORACLE = f"""
     WITH toks AS (
         SELECT lang, len({TOK_SQL.format(c="text")}) AS n_tok,
                len(regexp_extract_all(text,
@@ -68,16 +66,9 @@ def _sw_hits_sql(lang: str) -> str:
         FROM bpe_pairs GROUP BY 1
         ORDER BY pair_n DESC, pair LIMIT 50
     ) t
-    """,
-    survey="extension: token accounting per language (training-data "
-    "token counting: whitespace/alnum runs AND a BPE-ish GPT-2-style "
-    "pre-tokenizer count, functions/text.bpe_token_count — one "
-    "codegen regex pass each) + [top_pairs] BPE trainer round-0 "
-    "evidence: adjacent symbol-pair frequencies over the end-of-word-"
-    "marked char vocabulary (operators/bpe.pair_counts — the corpus "
-    "is scanned once for word counts; pair stats aggregate over the "
-    "vocab-scale word table), deterministic top-50",
-)
+    """
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.operators.bpe import (
         initial_vocab,
@@ -135,9 +126,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.unionByName(top_pairs)
 
 
-@register(
-    "text_doc_profile",
-    oracle=f"""
+_DOC_PROFILE_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang, text, {TOK_SQL.format(c="text")} AS tk
         FROM documents
@@ -178,16 +167,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks t
     JOIN m    ON m.doc_id = t.doc_id
     JOIN hits h ON h.doc_id = t.doc_id
-    """,
-    survey="extension: heuristic quality scoring (length / punctuation "
-    "noise / stopword density, C4-Gopher-style) + extension: n-gram/"
-    "stopword-heuristic language ID (deterministic, tie-break = "
-    "alphabetical chain order) + extension: document fingerprinting "
-    "(order-insensitive content hash) + §2.7 extension: array/"
-    "collection function battery (ArrayType is first-class; reference "
-    "has no nested types §1.3) — one per-document profile row, one "
-    "scan, all columns codegen-native",
-)
+    """
+
+
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
@@ -215,6 +197,92 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", F.slice("toks", 1, 3)).alias("first3"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
     )
+
+
+@register(
+    "text_profile_battery",
+    oracle=f"""
+    SELECT t.variant, t.lang, t.n_docs, t.total_tokens,
+           t.total_bpe_tokens, t.avg_tokens, t.avg_chars, t.pair,
+           t.pair_n,
+           CAST(NULL AS BIGINT)  AS doc_id,
+           CAST(NULL AS DOUBLE)  AS quality,
+           CAST(NULL AS VARCHAR) AS pred_lang,
+           CAST(NULL AS VARCHAR) AS fp,
+           CAST(NULL AS INT)     AS n_tokens,
+           CAST(NULL AS VARCHAR) AS first_tok,
+           CAST(NULL AS VARCHAR) AS last_tok,
+           CAST(NULL AS INT)     AS has_data,
+           CAST(NULL AS VARCHAR) AS first3,
+           CAST(NULL AS INT)     AS n_distinct
+    FROM ({_TOKEN_STATS_ORACLE}) t
+    UNION ALL
+    SELECT 'doc_profile', p.lang,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT),
+           p.doc_id, p.quality, p.pred_lang, p.fp, p.n_tokens,
+           p.first_tok, p.last_tok, CAST(p.has_data AS INT), p.first3,
+           p.n_distinct
+    FROM ({_DOC_PROFILE_ORACLE}) p
+    """,
+    survey="extension battery (folded r7 so every leg keeps a driver "
+    "CORRECTNESS row inside the 50-entry window) — [per_lang] token "
+    "accounting per language (whitespace/alnum runs AND a BPE-ish "
+    "GPT-2-style pre-tokenizer count, functions/text.bpe_token_count "
+    "— one codegen regex pass each); [top_pairs] BPE trainer round-0 "
+    "evidence: adjacent symbol-pair frequencies over the end-of-word-"
+    "marked char vocabulary (operators/bpe.pair_counts), "
+    "deterministic top-50; [doc_profile] per-document profile — "
+    "heuristic quality scoring (length / punctuation noise / stopword "
+    "density, C4-Gopher-style), n-gram/stopword-heuristic language ID "
+    "(deterministic tie-break), document fingerprinting "
+    "(order-insensitive content hash), and the §2.7 array/collection "
+    "function battery (ArrayType is first-class; reference has no "
+    "nested types §1.3) — one scan per leg, all columns "
+    "codegen-native",
+)
+def text_profile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_i = F.lit(None).cast("int")
+    stats = text_token_stats(spark, sf_dir).select(
+        "*",
+        null_l.alias("doc_id"),
+        null_d.alias("quality"),
+        null_s.alias("pred_lang"),
+        null_s.alias("fp"),
+        null_i.alias("n_tokens"),
+        null_s.alias("first_tok"),
+        null_s.alias("last_tok"),
+        null_i.alias("has_data"),
+        null_s.alias("first3"),
+        null_i.alias("n_distinct"),
+    )
+    profile = text_doc_profile(spark, sf_dir).select(
+        F.lit("doc_profile").alias("variant"),
+        "lang",
+        null_l.alias("n_docs"),
+        null_l.alias("total_tokens"),
+        null_l.alias("total_bpe_tokens"),
+        null_d.alias("avg_tokens"),
+        null_d.alias("avg_chars"),
+        null_s.alias("pair"),
+        null_l.alias("pair_n"),
+        "doc_id",
+        "quality",
+        "pred_lang",
+        "fp",
+        "n_tokens",
+        "first_tok",
+        "last_tok",
+        F.col("has_data").cast("int").alias("has_data"),
+        "first3",
+        "n_distinct",
+    )
+    return stats.unionByName(profile)
 
 
 # ---------------------------------------------------------------------------
@@ -421,17 +489,6 @@ def _pii_oracle() -> str:
     """
 
 
-@register(
-    "text_pii_redaction",
-    oracle=_pii_oracle(),
-    survey="extension: PII redaction + per-kind counts "
-    "(functions/text.redact_pii / pii_counts) — codegen regexp chain, "
-    "fixed EMAIL→IP→PHONE order, no Python",
-    note="documents carry no PII, so each row deterministically "
-    "injects an email, an IP and a dashed phone derived from doc_id "
-    "(identically in both engines) — the gate checks real matches, "
-    "not an identity pass",
-)
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     injected = d.select(
@@ -499,9 +556,7 @@ def _clean_sql(src: str) -> str:
         chr(10) || '{{3,}}', chr(10) || chr(10), 'g'))"""
 
 
-@register(
-    "text_normalization_battery",
-    oracle=f"""
+_NORM_ORACLE = f"""
     WITH messed AS (
         SELECT doc_id,
                '  ' || substr(text, 1, 40) || chr(9) || 'x' || chr(13)
@@ -522,17 +577,9 @@ def _clean_sql(src: str) -> str:
                            x -> trim(x) <> '') AS lines
         FROM messed
     )
-    """,
-    survey="extension: pre-dedup text normalization (functions/text."
-    "clean_text — control/format strip, whitespace collapse, CRLF and "
-    "paragraph-run normalization) + Gopher-style repetition signal "
-    "(dup_line_fraction), both codegen regexp/array chains",
-    note="documents are already clean single-line text, so each row "
-    "deterministically injects control chars / CRLF / tab / space "
-    "runs and duplicate lines (identically in both engines — the "
-    "oracle renders the raw-char control class as chr() concatenation "
-    "to stay ASCII); the gate checks real normalization work",
-)
+    """
+
+
 def text_normalization_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     messed = d.select(
@@ -556,4 +603,32 @@ def text_normalization_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.clean_text("m").alias("cleaned"),
         tx.dup_line_fraction("ml").alias("dup_line_frac"),
+    )
+
+
+@register(
+    "text_cleaning_battery",
+    oracle=f"""
+    SELECT p.*, n.cleaned, n.dup_line_frac
+    FROM ({_pii_oracle()}) p JOIN ({_NORM_ORACLE}) n USING (doc_id)
+    """,
+    survey="extension battery (folded r7, one per-document row, join "
+    "key = doc_id so the fold adds one equi-join) — [pii] PII "
+    "redaction + per-kind counts (functions/text.redact_pii / "
+    "pii_counts): codegen regexp chain, fixed EMAIL→IP→PHONE order, "
+    "no Python; [norm] pre-dedup text normalization (functions/text."
+    "clean_text — control/format strip, whitespace collapse, CRLF and "
+    "paragraph-run normalization) + Gopher-style repetition signal "
+    "(dup_line_fraction), both codegen regexp/array chains",
+    note="documents carry no PII and are already clean single-line "
+    "text, so each row deterministically injects an email/IP/phone "
+    "and control chars / CRLF / tab / space runs / duplicate lines "
+    "from doc_id (identically in both engines — the oracle renders "
+    "the raw-char control class as chr() concatenation to stay "
+    "ASCII); the gate checks real redaction and normalization work, "
+    "not an identity pass",
+)
+def text_cleaning_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_pii_redaction(spark, sf_dir).join(
+        text_normalization_battery(spark, sf_dir), "doc_id"
     )

@@ -16,9 +16,7 @@ from pyspark.sql.window import Window
 from vbb_data_pipeline_spark.queries import load_table, register
 
 
-@register(
-    "w1_topk_per_group",
-    oracle="""
+_W1_ORACLE = """
     SELECT o_custkey, o_orderkey, o_totalprice, rnk
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -29,9 +27,9 @@ from vbb_data_pipeline_spark.queries import load_table, register
         FROM orders
     )
     WHERE rnk <= 3
-    """,
-    survey="§2.5 top-k per group (window row_number)",
-)
+    """
+
+
 def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -127,25 +125,35 @@ def w4_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_functions_battery",
     oracle=f"""
     SELECT a.*, b.o_orderstatus, b.prev_key, b.next_key, b.prio_rank,
-           b.quartile, b.pct_rank, b.cdist, b.first_key
+           b.quartile, b.pct_rank, b.cdist, b.first_key,
+           c.rnk AS topk_rnk
     FROM ({_W2_ORACLE}) a JOIN ({_W4_ORACLE}) b USING (o_orderkey)
+    LEFT JOIN ({_W1_ORACLE}) c USING (o_orderkey)
     """,
     survey="§2.5 O2 + §2.5 extensions JOINED on o_orderkey (folded "
-    "r5 so both legs keep a driver CORRECTNESS row) — [w2] ordered "
+    "r5/r7 so every leg keeps a driver CORRECTNESS row) — [w2] ordered "
     "accumulation (the reference's priority-queue merge restated as "
     "a running window aggregate) + RANGE-frame rolling 7-day revenue "
     "per customer (value-based frames over event time alongside the "
     "ROWS frame, one window shuffle produces both); [w4] analytic "
     "window battery (lag/lead/dense_rank/ntile/percent_rank/"
     "cume_dist/first_value) — each leg keeps its own single window "
-    "shuffle; the join key is the orders primary key so the fold "
+    "shuffle; [w1] top-k per group (row_number ≤ 3 per customer, "
+    "folded r7 into the battery's 50-entry window as a LEFT JOIN leg: "
+    "topk_rnk is the in-group rank where the order ranks, NULL "
+    "otherwise) — the join key is the orders primary key so each fold "
     "adds exactly one broadcast-free equi-join",
     note="RANGE frame uses fixed-point per-row rounding so the "
     "windowed sum is order-independent (same recipe as exact_sum)",
 )
 def window_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return w2_running_revenue(spark, sf_dir).join(
-        w4_rank_functions(spark, sf_dir), "o_orderkey"
+    w1 = w1_topk_per_group(spark, sf_dir).select(
+        "o_orderkey", F.col("rnk").cast("long").alias("topk_rnk")
+    )
+    return (
+        w2_running_revenue(spark, sf_dir)
+        .join(w4_rank_functions(spark, sf_dir), "o_orderkey")
+        .join(w1, "o_orderkey", "left")
     )
 
 

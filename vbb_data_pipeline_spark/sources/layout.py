@@ -105,8 +105,10 @@ def compact(
     file per micro-batch; at 100 TB the listing + open overhead of
     millions of small files dominates scans. Rewrites into a temp
     sibling then swaps, so a failed compaction never loses data.
+    OFFLINE-ONLY, same as :func:`compact_auto`: stop readers and the
+    ingest stream before compacting — the two-rename swap has a
+    window where ``path`` is absent.
     """
-    import shutil
     import uuid
     from pathlib import Path
 
@@ -116,10 +118,7 @@ def compact(
         write_range_sorted(df, tmp, sort_cols, target_files)
     else:
         df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-    backup = path + ".old"
-    shutil.move(path, backup)
-    shutil.move(tmp, path)
-    shutil.rmtree(backup)
+    _fs_swap(spark, src=tmp, dst=path)
 
 
 def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -189,9 +188,19 @@ def compact_auto(
 
     Same crash posture as :func:`compact`: rewrite into a temp
     sibling, then swap — a failed compaction never loses the source.
+
+    OFFLINE-ONLY precondition (by design, like Delta/Iceberg's
+    OPTIMIZE without a transaction log): the rename-rename swap is
+    NOT atomic — there is a window where ``path`` is absent, and a
+    concurrent reader errors or a concurrent writer (e.g. the E5
+    ingest stream) re-creates the directory that is about to be
+    swapped in, losing its rows. Stop every query reading or
+    appending to ``path`` before compacting; the swap uses the Hadoop
+    FileSystem API so it also runs against HDFS (on object stores
+    where rename is copy+delete the window is proportionally longer —
+    same precondition, just wider).
     """
     import math
-    import shutil
     import uuid
     from pathlib import Path
 
@@ -214,11 +223,30 @@ def compact_auto(
             write_range_sorted(df, tmp, sort_cols, n_files)
         else:
             df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    backup = path + ".old"
-    shutil.move(path, backup)
-    shutil.move(tmp, path)
-    shutil.rmtree(backup)
+    _fs_swap(spark, src=tmp, dst=path)
     return {"before": before, "after": file_stats(spark, path)}
+
+
+def _fs_swap(spark: SparkSession, src: str, dst: str) -> None:
+    """Swap ``src`` into ``dst`` via Hadoop FileSystem renames
+    (portable to HDFS; shutil would be local-only). dst → dst.old,
+    src → dst, delete dst.old — a crash between renames leaves the
+    data recoverable at dst.old; callers hold the OFFLINE-ONLY
+    precondition documented on :func:`compact_auto`."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    jold = jvm.org.apache.hadoop.fs.Path(dst + ".old")
+    fs = jdst.getFileSystem(conf)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if not fs.rename(jdst, jold):
+        raise OSError(f"compact swap: rename {dst} -> {dst}.old failed")
+    if not fs.rename(jsrc, jdst):
+        fs.rename(jold, jdst)  # roll back; source table restored
+        raise OSError(f"compact swap: rename {src} -> {dst} failed")
+    fs.delete(jold, True)
 
 
 def int_bucket(col: Column, lo: int, hi: int, bits: int) -> Column:

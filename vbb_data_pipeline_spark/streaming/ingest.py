@@ -56,6 +56,17 @@ def _existing_ids(spark, index_path: str, id_col: str) -> DataFrame | None:
         raise
 
 
+def _vector_index_ids(spark, index_path: str, id_col: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(index_path).select(id_col)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
 def _already_written(
     spark, path: str, part_col: str, batch_id: int, id_col: str
 ) -> DataFrame | None:
@@ -230,16 +241,19 @@ def corpus_ingest_batch(
         corpus_path
     )
     if semantic:
-        import os
-
         from vbb_data_pipeline_spark.operators.similarity import (
             ivf_write_index,
         )
 
         vec_survivors = survivors.filter(F.col(vec_col).isNotNull())
-        if os.path.exists(embedding_index_path):
-            # replay guard for the vector index (narrow id-column read)
-            have = spark.read.parquet(embedding_index_path).select(id_col)
+        # replay guard for the vector index (narrow id-column read).
+        # Probed via spark.read + AnalysisException like the other
+        # guards — an os.path.exists probe is driver-local and would
+        # silently never engage on HDFS/S3, letting a crash-replay
+        # between the corpus append and the checkpoint commit
+        # duplicate index rows.
+        have = _vector_index_ids(spark, embedding_index_path, id_col)
+        if have is not None:
             vec_survivors = vec_survivors.join(have, id_col, "left_anti")
         ivf_write_index(
             vec_survivors.select(id_col, vec_col),
