@@ -54,7 +54,7 @@ OPTIONAL = [
 
 #: Previous round's per-query times — printed as a stderr delta report
 #: so each round states faster/slower per query (judge request).
-PREV_BENCH = "BENCH_r05.json"
+PREV_BENCH = "BENCH_r06.json"
 
 
 # --------------------------------------------------------------------------
@@ -233,20 +233,31 @@ def main() -> None:
     }
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "first_run": first_run,
-                "first_run_total_sec": round(sum(first_run.values()), 3),
-                "sf": sf,
-                "diag": diag,
-            }
-        )
-    )
+    # The driver records only the LAST 2000 characters of stdout and
+    # parses the JSON line from that window — r6's line carried the
+    # full per-query diag inline (3.3 KB) and the driver recorded
+    # parsed:null. Keep the stdout line compact (machine fingerprint
+    # only); the full per-query stage diagnostics go to
+    # BENCH_DIAG.json + stderr.
+    line = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "first_run_total_sec": round(sum(first_run.values()), 3),
+        "sf": sf,
+        "diag": {"machine": diag["machine"], "detail": "BENCH_DIAG.json"},
+    }
+    out = json.dumps(line)
+    if len(out) > 1900:  # stay inside the driver's 2000-char window
+        line.pop("queries", None)
+        out = json.dumps(line)
+    diag["first_run"] = first_run
+    diag["queries_steady"] = times
+    with open(Path(__file__).resolve().parent / "BENCH_DIAG.json", "w") as fh:
+        json.dump(diag, fh, indent=2)
+    print(json.dumps(diag), file=sys.stderr)
+    print(out)
 
     # Regression report vs the previous round (stderr — the driver
     # captures only the stdout JSON line).

@@ -647,12 +647,22 @@ EN_BODIES = [
     "a tale of two cities is the best of times and the worst of times",
     "it is a truth universally acknowledged that a man of fortune is in want",
 ]
+# bodies are >16 words so the density extractor's lonely-short-block
+# rule (sources/warc.html_text_density: a single block under 17 words
+# with no running-text neighbors is classified boilerplate) keeps
+# them — matching real page bodies; the E6 default flipped to
+# density in r7 (EXTRACTOR_EVAL.json)
 DE_BODIES = [
-    "der schnelle braune fuchs springt und der hund ist mit dem ball zu haus",
-    "die sonne ist ein stern und der mond ist ein trabant mit licht zu sehen",
-    "das wetter ist heute schoen und die kinder spielen mit einem ball zu zweit",
-    "ein zug ist mit der bahn zu spaet und die leute warten auf das gleis dort",
-    "die katze und der hund sind ein team und das ist zu schoen mit ihnen allen",
+    "der schnelle braune fuchs springt und der hund ist mit dem ball zu haus "
+    "und die beiden laufen dann zum fluss hinunter",
+    "die sonne ist ein stern und der mond ist ein trabant mit licht zu sehen "
+    "und beide stehen am himmel ueber der stadt",
+    "das wetter ist heute schoen und die kinder spielen mit einem ball zu "
+    "zweit auf der wiese hinter dem alten haus",
+    "ein zug ist mit der bahn zu spaet und die leute warten auf das gleis "
+    "dort und lesen dabei die zeitung von heute",
+    "die katze und der hund sind ein team und das ist zu schoen mit ihnen "
+    "allen im garten an einem warmen tag",
 ]
 
 

@@ -367,3 +367,49 @@ def test_fuzz_garbage_never_raises(blob):
     never to an exception."""
     assert isinstance(parse_warc_bytes(blob), list)
     assert isinstance(parse_warc_bytes(b"\x1f\x8b" + blob), list)
+
+
+# ---------------------------------------------------------------------------
+# extractor eval gate (r7): the E6 default flipped naive -> density on
+# the measured body-token recall/precision eval (EXTRACTOR_EVAL.json);
+# this pins the verdict so a regression in either extractor re-opens
+# the decision
+# ---------------------------------------------------------------------------
+def _load_extractor_eval():
+    import importlib.util
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "tools" / "extractor_eval.py"
+    spec = importlib.util.spec_from_file_location("extractor_eval", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_density_beats_naive_on_body_eval():
+    ev = _load_extractor_eval()
+    from vbb_data_pipeline_spark.sources.warc import (
+        html_text,
+        html_text_density,
+    )
+
+    agg = {"naive": [], "density": []}
+    farm = {"naive": [], "density": []}
+    for run in range(3):
+        for name, html, body in ev.templates(f"t{run}"):
+            for mode, fn in (
+                ("naive", html_text), ("density", html_text_density)
+            ):
+                s = ev.score(fn(html), body)
+                agg[mode].append(s["f1"])
+                if name == "link_farm":
+                    farm[mode].append(s["precision"])
+                # density never catastrophically loses body text on
+                # any template class (worst case: short paragraphs)
+                if mode == "density":
+                    assert s["recall"] >= 0.8, (name, s)
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(agg["density"]) > mean(agg["naive"])
+    # the headline boilerplate case: a body-less link farm must come
+    # back empty under density (naive keeps all of it)
+    assert mean(farm["density"]) == 1.0

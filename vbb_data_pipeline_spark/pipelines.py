@@ -501,7 +501,7 @@ def e6_crawl_corpus(
     *,
     url_dedup: bool = True,
     input_format: str = "warc",
-    extractor: str = "naive",
+    extractor: str = "density",
     max_per_host: int | None = None,
     host_cap_mode: str = "exact",
     boilerplate_min_docs: int | None = None,

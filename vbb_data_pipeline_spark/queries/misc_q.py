@@ -785,6 +785,56 @@ def domain_mix_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("copy_idx").cast("long").alias("copy_idx"))
 
 
+#: compaction-leg oracle: content invariance (per-group counts + an
+#: order-insensitive XOR checksum straight off the SOURCE table) with
+#: the file-shrink assertion emitted as a literal 1 — a compaction
+#: that loses/duplicates rows hash-fails the checksum, one that fails
+#: to shrink the file count fails the flag (same recipe as
+#: stats_approx_battery's sketch error-bound booleans)
+_COMPACT_ORACLE = f"""
+    SELECT CAST(user_id % 8 AS BIGINT) AS grp,
+           count(*) AS n,
+           bit_xor({md5_long_sql("CAST(event_id AS VARCHAR)")}) AS checksum,
+           CAST(1 AS BIGINT) AS shrunk
+    FROM events
+    GROUP BY 1
+    """
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the events ids as a 64-file table at a deterministic tmp
+    path (idempotent overwrite), run the size-aware compaction
+    (sources/layout.compact_auto), and emit per-group content
+    checksums from the COMPACTED table plus the measured file-shrink
+    flag — the hash gate then proves compaction preserved every row
+    and actually merged files."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vbb_data_pipeline_spark.functions.hashing import md5_long
+    from vbb_data_pipeline_spark.sources.layout import compact_auto
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"vbb_compact_{key}")
+    e.repartition(64).write.mode("overwrite").parquet(path)
+    stats = compact_auto(spark, path, target_file_mb=128)
+    shrunk = (
+        stats["after"]["n_files"] < stats["before"]["n_files"]
+        and stats["after"]["total_bytes"] > 0
+    )
+    after = spark.read.parquet(path)
+    return after.groupBy(
+        (F.col("user_id") % 8).cast("long").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(md5_long(F.col("event_id").cast("string"))).alias(
+            "checksum"
+        ),
+    ).withColumn("shrunk", F.lit(1 if shrunk else 0).cast("long"))
+
+
 @register(
     "layout_export_battery",
     oracle=f"""
@@ -805,6 +855,9 @@ def domain_mix_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'domain_mix', doc_id, copy_idx, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_DOMAIN_MIX_ORACLE}) t
+    UNION ALL
+    SELECT 'compaction', grp, n, checksum, shrunk, CAST(NULL AS BIGINT)
+    FROM ({_COMPACT_ORACLE}) t
     """,
     survey="extension: layout/export determinism battery (folded r5 "
     "so both legs keep a driver CORRECTNESS row) — [zorder] Z-order/"
@@ -835,7 +888,12 @@ def domain_mix_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[domain_mix] weighted domain re-weighting (operators/sampling."
     "weighted_domain_mix): fractional repeat factors via "
     "hash(seed|epoch|key) buckets — epoch-aware, reproducible, zero "
-    "shuffles (map-side explode)",
+    "shuffles (map-side explode); [compaction, promoted r7 from "
+    "pytest-only] size-aware small-file compaction (sources/layout."
+    "compact_auto): a 64-file table rewritten to the byte-target file "
+    "count via a Hadoop-FS rename swap — per-group content checksums "
+    "read from the COMPACTED table hash-match the source (no row "
+    "lost/duplicated) and the measured file-shrink flag must be true",
 )
 def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = layout_zorder_key(spark, sf_dir).select(
@@ -879,7 +937,21 @@ def layout_export_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("v3"),
         null_l.alias("v4"),
     )
-    return z.unionByName(h).unionByName(ex).unionByName(pk).unionByName(dm)
+    cp = compaction_roundtrip(spark, sf_dir).select(
+        F.lit("compaction").alias("variant"),
+        F.col("grp").alias("id"),
+        F.col("n").alias("v1"),
+        F.col("checksum").alias("v2"),
+        F.col("shrunk").alias("v3"),
+        null_l.alias("v4"),
+    )
+    return (
+        z.unionByName(h)
+        .unionByName(ex)
+        .unionByName(pk)
+        .unionByName(dm)
+        .unionByName(cp)
+    )
 
 
 # CCNet-style unigram LM scores as fixed-point 1e-4 units (the

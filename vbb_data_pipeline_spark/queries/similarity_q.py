@@ -194,17 +194,29 @@ def _kmeans_oracle() -> str:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.hashing import default_hash_mode
+
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     # FAISS-style split: coarse quantizer trained on a driver-side
-    # sample (covers the whole corpus at test scale, so the DuckDB
-    # oracle's full-corpus training replay is bit-identical);
-    # assignment + probing stay distributed.
+    # sample; assignment + probing stay distributed. Sample size is
+    # mode-switched like the hash path (functions/hashing.
+    # default_hash_mode): oracle mode (the driver's CORRECTNESS run)
+    # keeps the sample covering the whole corpus so the DuckDB
+    # full-corpus training replay is bit-identical; fast mode
+    # (SPARK_GRAFT_FAST_HASH=1 — bench.py, production posture) bounds
+    # it at 32 vectors/cell, the FAISS training-budget guidance — the
+    # deliberately-unbounded interpreted trainer was the single
+    # largest first-run cost in the bench (r6 diag: 20.4 s wall vs
+    # 1.4 s executor CPU).
+    fast = default_hash_mode() == "fast"
+    sample_n = max(512, 32 * _IVF_CELLS) if fast else 1 << 18
     centroids = sim.kmeans_centroids_local(
         e,
         n_cells=_IVF_CELLS,
         iters=_KMEANS_ITERS,
-        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
+        sample_n=sample_n,
+        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}|{sample_n}",
     )
     out = sim.ivf_topk(
         e,
