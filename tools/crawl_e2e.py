@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""End-to-end crawl→corpus decade runner (CRAWL_E2E.json rows).
+
+Builds a synthetic crawl corpus — sf documents × ``reps`` perturbed
+replicas, one gzip-member WARC record per document, N archives — then
+runs the FULL production pipeline ``e6_crawl_corpus`` (r7 defaults:
+star-edge LSH candidates + density HTML extraction) with E4 enabled,
+at the default heap budget (driver 16 g / local[32] ≈ 0.5 GB per
+task), and appends the run row to CRAWL_E2E.json.
+
+The corpus construction matches tools/crawl_throughput.py's (unique
+ids/URLs per replica, one-token perturbation, hosts keyed on the base
+doc id so per-host populations grow with reps — the mega-family crawl
+shape that OOMed all-pairs mode at 1 GB), but the build fans out over
+a process pool (reps sliced round-robin across archives, one worker
+per archive) so a 10 GB corpus builds in minutes instead of the
+driver-side hour.
+
+Usage:
+    python tools/crawl_e2e.py [--reps 5000] [--sf /root/testdata/sf0.1]
+                              [--files 32] [--keep-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_FAST_HASH", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_REP_OFFSET = 10_000_019  # prime stride keeps replica ids collision-free
+
+
+def _http(body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _record(payload: bytes, uri: str) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _build_one(args) -> tuple[int, int]:
+    """Worker: archive ``idx`` gets replica slice reps[idx::n_files]."""
+    idx, out_dir, rows, reps, n_files, n_hosts = args
+    n_docs = 0
+    total = 0
+    path = os.path.join(out_dir, f"part-{idx:04d}.warc.gz")
+    with open(path, "wb") as f:
+        for rep in range(idx, reps, n_files):
+            for doc_id, text, _src in rows:
+                did = doc_id + rep * _REP_OFFSET
+                host = f"h{doc_id % n_hosts}.example"
+                body = (text or "").replace("&", "&amp;").replace("<", "&lt;")
+                html = (
+                    "<html><head><title>doc</title><style>p{}</style></head>"
+                    "<body><p>NavBar Home About</p><p>"
+                    + (f"r{rep} " if rep else "")
+                    + body
+                    + "</p></body></html>"
+                )
+                rec = _record(
+                    _http(html.encode()),
+                    f"http://{host}/p/{did}?utm_source=x",
+                )
+                blob = gzip.compress(rec, compresslevel=1)
+                f.write(blob)
+                total += len(blob)
+                n_docs += 1
+    return n_docs, total
+
+
+def build_crawl_parallel(
+    spark, sf_dir: str, out_dir: str, reps: int, n_files: int
+) -> dict:
+    from concurrent.futures import ProcessPoolExecutor
+
+    from vbb_data_pipeline_spark.queries import load_table
+
+    rows = [
+        (r["doc_id"], r["text"], r["source"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .collect()
+    ]
+    n_hosts = max(len({r[2] for r in rows}) * 4, 8)
+    work = [
+        (i, out_dir, rows, reps, n_files, n_hosts) for i in range(n_files)
+    ]
+    docs = total = 0
+    with ProcessPoolExecutor(max_workers=min(n_files, os.cpu_count())) as ex:
+        for d, t in ex.map(_build_one, work):
+            docs += d
+            total += t
+    return {"docs": docs, "bytes": total, "files": n_files, "reps": reps}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5000)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--files", type=int, default=32)
+    ap.add_argument("--keep-dir", default=None)
+    ap.add_argument("--out", default="CRAWL_E2E.json")
+    args = ap.parse_args()
+
+    import shutil
+    import tempfile
+
+    from vbb_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("crawl-e2e")
+    tmp = args.keep_dir or tempfile.mkdtemp(prefix="crawl_e2e_")
+    os.makedirs(tmp, exist_ok=True)
+    t0 = time.time()
+    meta = build_crawl_parallel(spark, args.sf, tmp, args.reps, args.files)
+    build_sec = round(time.time() - t0, 1)
+    print(json.dumps({"built": meta, "build_sec": build_sec}), flush=True)
+
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+
+    t0 = time.time()
+    out = e6_crawl_corpus(
+        spark,
+        tmp,
+        max_per_host=1_000_000,
+        boilerplate_min_docs=3,
+        run_e4=True,
+        shard_budget=1_000_000,
+    )
+    rows_out = out.count()
+    sec = round(time.time() - t0, 1)
+    row = {
+        "lsh_pair_mode": "star",
+        "extractor": "density",
+        "heap_per_task_gb": 0.5,
+        "outcome": "ok",
+        "sec": sec,
+        "docs_per_sec": round(meta["docs"] / sec),
+        "rows_out": rows_out,
+        "corpus": {
+            "docs": meta["docs"],
+            "bytes": meta["bytes"],
+            "reps": args.reps,
+        },
+        "build_sec": build_sec,
+    }
+    print(json.dumps(row), flush=True)
+    try:
+        data = json.load(open(args.out))
+    except (OSError, ValueError):
+        data = {"runs": []}
+    data.setdefault("runs", []).append(row)
+    with open(args.out, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(f"appended to {args.out}", flush=True)
+    if args.keep_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
