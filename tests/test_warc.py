@@ -413,3 +413,74 @@ def test_density_beats_naive_on_body_eval():
     # the headline boilerplate case: a body-less link farm must come
     # back empty under density (naive keeps all of it)
     assert mean(farm["density"]) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# oversized-archive tier (r7): member-offset chunk index + byte-range
+# partitioned parse — added after the 10 GB decade OOMed binaryFile's
+# whole-archive-per-task read at 0.5 GB/task heap
+# ---------------------------------------------------------------------------
+def _gz_archive(payloads, host="t.example"):
+    import gzip as _gz
+
+    return b"".join(
+        _gz.compress(_record(p, uri=f"http://{host}/{i}"), compresslevel=1)
+        for i, p in enumerate(payloads)
+    )
+
+
+def test_ranged_read_matches_whole_file(spark, tmp_path):
+    from vbb_data_pipeline_spark.sources.warc import (
+        read_warc,
+        read_warc_ranged,
+        warc_member_chunks,
+    )
+
+    payloads = [_http(f"<p>doc {i} body text</p>".encode()) for i in range(40)]
+    (tmp_path / "a.warc.gz").write_bytes(_gz_archive(payloads))
+    whole = read_warc(spark, str(tmp_path)).orderBy("target_uri").collect()
+    # tiny chunk budget -> many ranges per file
+    chunks = warc_member_chunks(spark, str(tmp_path), chunk_bytes=256)
+    rows = chunks.collect()
+    assert len(rows) > 4  # genuinely split
+    size = (tmp_path / "a.warc.gz").stat().st_size
+    assert sum(r.nbytes for r in rows) == size  # covers every byte
+    offs = sorted(r.offset for r in rows)
+    assert offs[0] == 0
+    ranged = (
+        read_warc_ranged(spark, str(tmp_path), chunk_bytes=256)
+        .orderBy("target_uri")
+        .collect()
+    )
+    assert len(ranged) == len(whole) == 40
+    for a, b in zip(ranged, whole):
+        assert a.target_uri == b.target_uri
+        assert bytes(a.payload) == bytes(b.payload)
+
+
+def test_ranged_read_truncated_tail_dropped(spark, tmp_path):
+    from vbb_data_pipeline_spark.sources.warc import read_warc_ranged
+
+    payloads = [_http(f"<p>x{i}</p>".encode()) for i in range(10)]
+    blob = _gz_archive(payloads)
+    (tmp_path / "t.warc.gz").write_bytes(blob[: len(blob) - 7])
+    out = read_warc_ranged(spark, str(tmp_path), chunk_bytes=256).collect()
+    assert 0 < len(out) <= 10  # whole members only, partial tail gone
+
+
+def test_ranged_read_plain_warc_fallback(spark, tmp_path):
+    from vbb_data_pipeline_spark.sources.warc import (
+        read_warc,
+        read_warc_ranged,
+    )
+
+    recs = b"".join(
+        _record(_http(f"<p>p{i}</p>".encode()), uri=f"http://p.example/{i}")
+        for i in range(5)
+    )
+    (tmp_path / "plain.warc").write_bytes(recs)
+    assert (
+        read_warc_ranged(spark, str(tmp_path)).count()
+        == read_warc(spark, str(tmp_path)).count()
+        == 5
+    )

@@ -18,6 +18,15 @@ Scale design (100 TB posture):
   count — not intra-file splitting — provides the cluster's
   parallelism, and record parsing is a single sequential pass per
   file (framing makes random splits impossible anyway for .gz).
+  MEASURED BOUND (r7, the 10 GB decade): ``binaryFile`` materializes
+  the WHOLE archive in JVM memory, so archive bytes must fit the
+  per-task heap — 32 concurrent ~300 MB archives OOM a 16 GB
+  local[32] JVM (0.5 GB/task). Size archives to the task budget, or
+  use :func:`read_warc_ranged` below: a member-offset index (one
+  bounded-memory streaming pass per file, bytes never enter the JVM)
+  turns ONE oversized archive into many byte-range tasks whose peak
+  memory is the range size, not the file size — the cdx-index
+  pattern Common Crawl itself ships for random access.
 * Parsing runs in ONE Arrow-batched ``mapInPandas`` stage (justified
   Python: binary framing is not SQL); downstream filters/projections
   are plain columns, so Catalyst prunes and pushes as usual.
@@ -41,7 +50,9 @@ __all__ = [
     "parse_warc_bytes",
     "parse_warc_records",
     "read_warc",
+    "read_warc_ranged",
     "read_warc_stream",
+    "warc_member_chunks",
     "html_text",
     "html_text_density",
     "warc_to_documents",
@@ -204,6 +215,178 @@ def read_warc(
     """
     binf = spark.read.format("binaryFile").load(path)
     return parse_warc_records(binf, types)
+
+
+# ---------------------------------------------------------------------------
+# Oversized-archive tier: byte-range partitioned reads via a
+# member-offset index (the Common Crawl cdx pattern)
+# ---------------------------------------------------------------------------
+
+#: chunk-index schema: one row per byte range of whole gzip members
+CHUNK_SCHEMA = "path string, offset long, nbytes long, n_members long"
+
+
+def _local_path(p: str) -> str:
+    """Hadoop listing paths arrive as ``file:/...`` URIs; Python open()
+    wants the bare path. Non-file schemes raise (object stores need
+    the deployment's fs client wired in here — the read pattern is
+    identical: ranged GETs)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" in p:
+        raise NotImplementedError(
+            f"ranged WARC reads implemented for local/NFS paths; got {p} "
+            "(object stores: swap _open_range for a ranged-GET client — "
+            "the chunk index and parse stages are scheme-agnostic)"
+        )
+    return p
+
+
+def warc_member_chunks(
+    spark: SparkSession,
+    path: str,
+    chunk_bytes: int = 64 << 20,
+    block_bytes: int = 4 << 20,
+) -> DataFrame:
+    """Build a byte-range chunk index for ``.warc.gz`` archives:
+    ``(path, offset, nbytes, n_members)`` rows where every range
+    starts on a gzip-member boundary and contains whole members
+    totalling ~``chunk_bytes``.
+
+    The walk STREAMS each file through ``zlib.decompressobj`` in
+    ``block_bytes`` reads — peak memory is a few blocks, and the
+    archive's bytes never enter the JVM (contrast ``binaryFile``,
+    which holds the whole file per task). One decompression pass per
+    file is the index's cost; Common Crawl ships the equivalent
+    (cdx) with every snapshot precisely so consumers never pay a
+    whole-file task. Files are one task each here too, but a task's
+    memory is O(block), so a 10 GB archive indexes fine on a
+    0.5 GB-heap executor.
+    """
+    files = spark.read.format("binaryFile").load(path).select("path")
+    # paths only — binaryFile would read content lazily; selecting the
+    # path column keeps the scan metadata-only (no file bytes read)
+
+    def walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                lp = _local_path(p)
+                boundaries = [0]
+                with open(lp, "rb") as fh:
+                    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                    pos = 0  # absolute offset of the block being fed
+                    buf = fh.read(block_bytes)
+                    feed = buf
+                    while feed:
+                        try:
+                            d.decompress(feed)
+                        except zlib.error:
+                            break  # trailing garbage: stop at last member
+                        if d.eof:
+                            # member ended inside `feed`
+                            rest = d.unused_data
+                            pos += len(feed) - len(rest)
+                            boundaries.append(pos)
+                            d = zlib.decompressobj(
+                                wbits=zlib.MAX_WBITS | 16
+                            )
+                            feed = rest
+                            if not feed:
+                                feed = fh.read(block_bytes)
+                                buf = feed
+                        else:
+                            pos += len(feed)
+                            feed = fh.read(block_bytes)
+                            buf = feed
+                if len(boundaries) == 1:
+                    # not gzip (plain .warc) or corrupt first member:
+                    # one whole-file chunk — the plain-warc framing is
+                    # Content-Length-delimited and parses as one pass
+                    import os as _os
+
+                    sz = _os.path.getsize(lp)
+                    if sz:
+                        rows.append((p, 0, sz, 0))
+                    continue
+                # coalesce member boundaries into ~chunk_bytes ranges
+                start = boundaries[0]
+                members = 0
+                for _prev, cur in zip(boundaries, boundaries[1:]):
+                    members += 1
+                    if cur - start >= chunk_bytes:
+                        rows.append((p, start, cur - start, members))
+                        start, members = cur, 0
+                if members:
+                    rows.append(
+                        (p, start, boundaries[-1] - start, members)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["path", "offset", "nbytes", "n_members"]
+                )
+
+    return files.mapInPandas(walk, schema=CHUNK_SCHEMA)
+
+
+def read_warc_ranged(
+    spark: SparkSession,
+    path: str,
+    types: tuple[str, ...] = ("response",),
+    chunk_bytes: int = 64 << 20,
+    chunks: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`read_warc` for archives BIGGER than the per-task heap:
+    parse byte ranges of whole gzip members instead of whole files.
+
+    Each task seeks to its range and reads ``nbytes`` — peak memory
+    is the chunk size (plus its decompressed text), independent of
+    archive size, and intra-file parallelism equals the chunk count,
+    so ONE 10 GB archive fans out across the cluster instead of
+    serializing through (and OOMing) a single task. Record ids stay
+    deterministic: ``record_idx`` is local to a chunk, so the stable
+    identity is (warc_file, target_uri) — the same contract the
+    corpus builder keys doc ids on.
+
+    Pass a precomputed ``chunks`` frame (e.g. persisted once per
+    snapshot, like Common Crawl's cdx) to skip the indexing pass.
+    """
+    idx = (
+        chunks
+        if chunks is not None
+        else warc_member_chunks(spark, path, chunk_bytes=chunk_bytes)
+    )
+    types_set = set(types)
+
+    def parse_ranges(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p, off, nb in zip(
+                pdf["path"], pdf["offset"], pdf["nbytes"]
+            ):
+                with open(_local_path(p), "rb") as fh:
+                    fh.seek(int(off))
+                    blob = fh.read(int(nb))
+                for rec in parse_warc_bytes(blob, p):
+                    if not types_set or rec["warc_type"] in types_set:
+                        rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    # one chunk per task: the repartition key spreads chunks of the
+    # same file across the cluster
+    n = max(idx.count(), 1)
+    return (
+        idx.repartition(n, "path", "offset")
+        .mapInPandas(parse_ranges, schema=WARC_SCHEMA)
+    )
 
 
 #: binaryFile's fixed schema — file stream sources require it spelled
