@@ -827,3 +827,38 @@ def test_e6_wet_input(spark, tmp_path):
     assert {r["text"] for r in out} == set(EN_BODIES)
     assert all(r["url"].startswith("http://en.example/") for r in out)
     assert all("utm" not in r["url"] for r in out)
+
+
+def test_e6_ranged_reader_equals_whole_file(spark, tmp_path):
+    """ranged_chunk_bytes plugs the byte-range WARC tier into E6: a
+    gzip-member archive read in tiny ranges must produce the identical
+    curated document set as the whole-file binaryFile read (the
+    oversized-archive escape measured by the 10 GB decade)."""
+    import gzip
+
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    members = []
+    for i, body in enumerate(EN_BODIES + DE_BODIES):
+        html = f"<html><body><p>{body}</p></body></html>"
+        members.append(
+            gzip.compress(
+                _e6_record(
+                    _e6_http(html.encode()), f"http://a.example/p{i}"
+                ),
+                compresslevel=1,
+            )
+        )
+    (d / "a.warc.gz").write_bytes(b"".join(members))
+
+    kw = dict(
+        langs=("en", "de"), min_quality=0.0, split_weights={"train": 1.0}
+    )
+    whole = e6_crawl_corpus(spark, str(d), **kw)
+    ranged = e6_crawl_corpus(spark, str(d), ranged_chunk_bytes=512, **kw)
+    key = lambda r: (r.url, r.doc_id)  # noqa: E731
+    assert sorted(map(key, ranged.collect())) == sorted(
+        map(key, whole.collect())
+    )

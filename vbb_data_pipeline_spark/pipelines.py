@@ -511,6 +511,7 @@ def e6_crawl_corpus(
     hash_mode: str | None = None,
     run_e4: bool = True,
     lsh_pair_mode: str = "star",
+    ranged_chunk_bytes: int | None = None,
     **e4_kwargs,
 ) -> DataFrame:
     """E6: raw crawl archives → training shards, the full C4/RefinedWeb
@@ -579,18 +580,26 @@ def e6_crawl_corpus(
     )
     from vbb_data_pipeline_spark.sources.warc import (
         read_warc,
+        read_warc_ranged,
         warc_to_documents,
         wet_to_documents,
     )
 
+    # ranged_chunk_bytes: opt into the byte-range tier when archives
+    # exceed the per-task heap (binaryFile holds the WHOLE file in JVM
+    # memory — the measured 10 GB-decade OOM; sources/warc.py header)
+    def _read(types=("response",)):
+        if ranged_chunk_bytes is not None:
+            return read_warc_ranged(
+                spark, warc_path, types=types,
+                chunk_bytes=ranged_chunk_bytes,
+            )
+        return read_warc(spark, warc_path, types=types)
+
     if input_format == "warc":
-        docs = warc_to_documents(
-            read_warc(spark, warc_path), extractor=extractor
-        )
+        docs = warc_to_documents(_read(), extractor=extractor)
     elif input_format == "wet":
-        docs = wet_to_documents(
-            read_warc(spark, warc_path, types=("conversion",))
-        )
+        docs = wet_to_documents(_read(types=("conversion",)))
     else:
         raise ValueError(f"input_format must be warc|wet: {input_format}")
     docs = docs.withColumn("url", normalize_url("url")).filter(

@@ -222,8 +222,13 @@ def read_warc(
 # member-offset index (the Common Crawl cdx pattern)
 # ---------------------------------------------------------------------------
 
-#: chunk-index schema: one row per byte range of whole gzip members
-CHUNK_SCHEMA = "path string, offset long, nbytes long, n_members long"
+#: chunk-index schema: one row per byte range of whole gzip members;
+#: member_base = members before this chunk in its file (the global
+#: record-index offset — WARC/CC layout is one record per member)
+CHUNK_SCHEMA = (
+    "path string, offset long, nbytes long, n_members long, "
+    "member_base long"
+)
 
 
 def _local_path(p: str) -> str:
@@ -312,23 +317,29 @@ def warc_member_chunks(
 
                     sz = _os.path.getsize(lp)
                     if sz:
-                        rows.append((p, 0, sz, 0))
+                        rows.append((p, 0, sz, 0, 0))
                     continue
                 # coalesce member boundaries into ~chunk_bytes ranges
                 start = boundaries[0]
                 members = 0
+                base = 0
                 for _prev, cur in zip(boundaries, boundaries[1:]):
                     members += 1
                     if cur - start >= chunk_bytes:
-                        rows.append((p, start, cur - start, members))
+                        rows.append((p, start, cur - start, members, base))
+                        base += members
                         start, members = cur, 0
                 if members:
                     rows.append(
-                        (p, start, boundaries[-1] - start, members)
+                        (p, start, boundaries[-1] - start, members, base)
                     )
             if rows:
                 yield pd.DataFrame(
-                    rows, columns=["path", "offset", "nbytes", "n_members"]
+                    rows,
+                    columns=[
+                        "path", "offset", "nbytes", "n_members",
+                        "member_base",
+                    ],
                 )
 
     return files.mapInPandas(walk, schema=CHUNK_SCHEMA)
@@ -368,13 +379,23 @@ def read_warc_ranged(
 
         for pdf in batches:
             rows = []
-            for p, off, nb in zip(
-                pdf["path"], pdf["offset"], pdf["nbytes"]
+            for p, off, nb, n_m, base in zip(
+                pdf["path"], pdf["offset"], pdf["nbytes"],
+                pdf["n_members"], pdf["member_base"],
             ):
                 with open(_local_path(p), "rb") as fh:
                     fh.seek(int(off))
                     blob = fh.read(int(nb))
-                for rec in parse_warc_bytes(blob, p):
+                recs = parse_warc_bytes(blob, p)
+                if int(n_m) and len(recs) != int(n_m):
+                    raise ValueError(
+                        f"{p} range@{int(off)}: {len(recs)} records in "
+                        f"{int(n_m)} gzip members — record_idx rebasing "
+                        "requires the one-record-per-member layout; use "
+                        "read_warc for this archive"
+                    )
+                for rec in recs:
+                    rec["record_idx"] = int(base) + rec["record_idx"]
                     if not types_set or rec["warc_type"] in types_set:
                         rows.append(rec)
             if rows:
