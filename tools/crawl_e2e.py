@@ -114,6 +114,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--keep-dir", default=None)
+    ap.add_argument("--materialize-dir", default=None)
     ap.add_argument("--out", default="CRAWL_E2E.json")
     args = ap.parse_args()
 
@@ -140,12 +141,14 @@ def main() -> None:
         boilerplate_min_docs=3,
         run_e4=True,
         shard_budget=1_000_000,
+        materialize_dir=args.materialize_dir,
     )
     rows_out = out.count()
     sec = round(time.time() - t0, 1)
     row = {
         "lsh_pair_mode": "star",
         "extractor": "density",
+        "materialize": "parquet" if args.materialize_dir else "localCheckpoint",
         "heap_per_task_gb": 0.5,
         "outcome": "ok",
         "sec": sec,

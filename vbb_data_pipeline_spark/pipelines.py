@@ -512,6 +512,7 @@ def e6_crawl_corpus(
     run_e4: bool = True,
     lsh_pair_mode: str = "star",
     ranged_chunk_bytes: int | None = None,
+    materialize_dir: str | None = None,
     **e4_kwargs,
 ) -> DataFrame:
     """E6: raw crawl archives → training shards, the full C4/RefinedWeb
@@ -643,7 +644,20 @@ def e6_crawl_corpus(
         # and the hand-off point for callers running their own corpus
         # assembly; no checkpoint since nothing fans out from here
         return docs
-    docs = docs.localCheckpoint()
+    if materialize_dir is not None:
+        # AT-REST hand-off: write the curated documents to parquet and
+        # re-read. localCheckpoint pins its blocks in the storage
+        # region (they are the only copy, so they can NEVER be
+        # evicted) — at the 10 GB/25M-doc decade that pinned frame
+        # starved execution memory mid-E4 (measured:
+        # UNABLE_TO_ACQUIRE_MEMORY at 0.5 GB/task, CRAWL_E2E.json).
+        # Parquet truncates lineage with ZERO storage pinning, E4's
+        # branches re-read with column pruning, and it is the only
+        # shape that exists at 100 TB anyway.
+        docs.write.mode("overwrite").parquet(materialize_dir)
+        docs = spark.read.parquet(materialize_dir)
+    else:
+        docs = docs.localCheckpoint()
     # crawl corpora carry mega-families of near-identical pages
     # (mirrors, templates, re-crawl variants): star-edge candidate
     # generation (lsh_pair_mode="star", an explicit E6 parameter
