@@ -215,7 +215,13 @@ def jaccard_pairs(
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets_df = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+    # NO broadcast hint: on a typical corpus candidates are ~0.1% of
+    # docs and AQE broadcasts this semi-join on its own; on a crawl
+    # where near-dups dominate (the 10 GB mega-family decade: EVERY
+    # doc is a candidate) a forced broadcast explodes a 25M-row id
+    # set into every task's hash relation and OOMs the JVM — measured,
+    # CRAWL_E2E.json. AQE picks shuffle there instead.
+    sets_df = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(ngrams(tokens(text_col), shingle_n)).alias("_set"),
     )
