@@ -192,10 +192,21 @@ def jaccard_pairs(
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the re-rank step
     after LSH): join token-shingle sets in, compute
-    |∩| / |∪| with array built-ins."""
+    |∩| / |∪| with array built-ins.
+
+    The sets are HASHED shingles (8-byte longs), not the shingle
+    strings: |∩| and |∪| — and therefore the Jaccard value — are
+    identical absent a 63-bit hash collision (~n²/2^63, negligible at
+    any corpus size), while the verify join ships ~8 bytes per
+    shingle instead of a ~60-byte string object. Measured necessity:
+    at the 10 GB crawl decade (25M docs, every doc a near-dup
+    candidate) the string-array verify join OOMed the 0.5 GB/task
+    JVM from allocation pressure alone; the DuckDB oracles keep
+    computing over string sets — same cardinalities, same values."""
     # Only candidate docs need their shingle sets materialized — the
     # candidate id list is tiny relative to the corpus, so semi-join
     # first and shingle after (at 100 TB this is the difference between
@@ -221,9 +232,16 @@ def jaccard_pairs(
     # doc is a candidate) a forced broadcast explodes a 25M-row id
     # set into every task's hash relation and OOMs the JVM — measured,
     # CRAWL_E2E.json. AQE picks shuffle there instead.
+    from vbb_data_pipeline_spark.functions.hashing import hash_long
+
     sets_df = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
-        F.array_distinct(ngrams(tokens(text_col), shingle_n)).alias("_set"),
+        F.array_distinct(
+            F.transform(
+                ngrams(tokens(text_col), shingle_n),
+                lambda g: hash_long(g, hash_mode),
+            )
+        ).alias("_set"),
     )
     out = (
         candidates.join(
