@@ -115,6 +115,11 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--keep-dir", default=None)
     ap.add_argument("--materialize-dir", default=None)
+    ap.add_argument(
+        "--ranged-chunk-mb", type=int, default=None,
+        help="read archives via read_warc_ranged with this chunk size "
+        "(the oversized-archive tier) instead of whole-file binaryFile",
+    )
     ap.add_argument("--out", default="CRAWL_E2E.json")
     args = ap.parse_args()
 
@@ -142,6 +147,9 @@ def main() -> None:
         run_e4=True,
         shard_budget=1_000_000,
         materialize_dir=args.materialize_dir,
+        ranged_chunk_bytes=(
+            args.ranged_chunk_mb << 20 if args.ranged_chunk_mb else None
+        ),
     )
     rows_out = out.count()
     sec = round(time.time() - t0, 1)
@@ -149,6 +157,10 @@ def main() -> None:
         "lsh_pair_mode": "star",
         "extractor": "density",
         "materialize": "parquet" if args.materialize_dir else "localCheckpoint",
+        "reader": (
+            f"ranged:{args.ranged_chunk_mb}MB" if args.ranged_chunk_mb
+            else "binaryFile"
+        ),
         "heap_per_task_gb": 0.5,
         "outcome": "ok",
         "sec": sec,
