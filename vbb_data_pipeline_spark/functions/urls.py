@@ -232,8 +232,16 @@ def site_boilerplate_removal(
             ).alias("_new_text")
         )
     )
+    # merge hint: this is a corpus-to-corpus join on the primary key —
+    # broadcasting is never right however small the COMPRESSED shuffle
+    # stats look. Measured failure mode (the 10 GB crawl decade): the
+    # rebuilt side is extremely shuffle-compressible (boilerplate-heavy
+    # pages), AQE's 64 MB compressed estimate admitted it as a
+    # broadcast, and collecting the actual rows blew the 1 GB driver
+    # result cap. Sort-merge is the shape a key-to-key corpus join
+    # wants at any scale.
     return (
-        df.join(rebuilt, id_col, "left")
+        df.join(rebuilt.hint("merge"), id_col, "left")
         .withColumn(
             text_col, F.coalesce(F.col("_new_text"), F.lit(""))
         )
