@@ -54,7 +54,15 @@ OPTIONAL = [
 
 #: Previous round's per-query times — printed as a stderr delta report
 #: so each round states faster/slower per query (judge request).
-PREV_BENCH = "BENCH_r06.json"
+def _latest_prev_bench() -> str:
+    """Most recent driver-recorded BENCH_r*.json, so the delta report
+    always compares against the latest round without a manual bump."""
+    here = Path(__file__).resolve().parent
+    cands = sorted(here.glob("BENCH_r*.json"))
+    return cands[-1].name if cands else "BENCH_r07.json"
+
+
+PREV_BENCH = _latest_prev_bench()
 
 
 # --------------------------------------------------------------------------
@@ -150,6 +158,41 @@ def _stage_delta(spark, before: set[int]) -> dict:
     except Exception:
         pass
     return out
+
+
+def delta_report(prev_path: Path, times: dict, total: float, sf) -> str:
+    """Per-query delta text vs a previous BENCH artifact, or "".
+
+    Tolerates every historical artifact shape: raw bench.py stdout,
+    driver-wrapped files nesting the line under "parsed", and
+    driver files where "parsed" is null (the driver failed to parse
+    the stdout line — the r06 artifact has exactly that, and round 7
+    crashed on it AFTER emitting its result line: rc=1 on an
+    otherwise-clean bench). Never raises.
+    """
+    if not prev_path.exists():
+        return ""
+    try:
+        prev = json.loads(prev_path.read_text())
+        # Driver-recorded BENCH files nest our JSON under "parsed" —
+        # which may be null, so `or prev` rather than a default arg.
+        if isinstance(prev, dict):
+            prev = prev.get("parsed") or prev
+        if not isinstance(prev, dict) or prev.get("sf") != sf:
+            return ""
+        prev_q = prev.get("queries") or {}
+        lines = [
+            f"  {n}: {times[n]:.3f}s vs {prev_q[n]:.3f}s "
+            f"({times[n] - prev_q[n]:+.3f})"
+            for n in times
+            if n in prev_q
+        ]
+        return (
+            f"delta vs {prev_path.name} (total {total:.3f}s vs "
+            f"{prev.get('value')}s):\n" + "\n".join(lines)
+        )
+    except (ValueError, KeyError, AttributeError, TypeError) as e:
+        return f"bench delta report skipped: {e}"
 
 
 def main() -> None:
@@ -261,27 +304,11 @@ def main() -> None:
 
     # Regression report vs the previous round (stderr — the driver
     # captures only the stdout JSON line).
-    prev_path = Path(__file__).resolve().parent / PREV_BENCH
-    if prev_path.exists():
-        try:
-            prev = json.loads(prev_path.read_text())
-            # Driver-recorded BENCH files nest our JSON under "parsed".
-            prev = prev.get("parsed", prev)
-            if prev.get("sf") == sf:
-                prev_q = prev.get("queries", {})
-                lines = [
-                    f"  {n}: {times[n]:.3f}s vs {prev_q[n]:.3f}s "
-                    f"({times[n] - prev_q[n]:+.3f})"
-                    for n in times
-                    if n in prev_q
-                ]
-                print(
-                    f"delta vs {PREV_BENCH} (total {total:.3f}s vs "
-                    f"{prev.get('value')}s):\n" + "\n".join(lines),
-                    file=sys.stderr,
-                )
-        except (ValueError, KeyError) as e:  # pragma: no cover
-            print(f"bench delta report skipped: {e}", file=sys.stderr)
+    report = delta_report(
+        Path(__file__).resolve().parent / PREV_BENCH, times, total, sf
+    )
+    if report:
+        print(report, file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -183,15 +183,19 @@ def corpus_ingest_batch(
     # text-tier survivors' embeddings
     semantic = embedding_index_path is not None and vec_col is not None
     if semantic:
-        import os
-
         from vbb_data_pipeline_spark.operators.similarity import (
             semdedup_incremental,
         )
 
         text_new = verdicts.filter(F.col("status") == "new").select(id_col)
         cand = uniq.join(F.broadcast(text_new), id_col, "left_semi")
-        if os.path.exists(embedding_index_path):
+        # Existence probe via spark.read + AnalysisException (same
+        # pattern as the replay guards below): an os.path.exists probe
+        # is driver-local, so on HDFS/S3 it is always False and every
+        # micro-batch would silently take the bootstrap branch — the
+        # semantic tier would never engage and semantic dups would
+        # accumulate in the corpus with no error.
+        if _vector_index_ids(spark, embedding_index_path, id_col) is not None:
             sem = semdedup_incremental(
                 cand.select(id_col, vec_col),
                 embedding_index_path,
