@@ -1,0 +1,307 @@
+"""Ranged WARC tier, round 8: scheme-dispatched range readers (the
+object-store posture — local seek / HTTP Range GET / pyarrow.fs),
+plain-warc record-aligned chunking, per-member record validation, and
+the single-decompression-pass index guarantee.
+
+Driven through a NON-local code path end-to-end: a range-capable HTTP
+server serves the archives and ``read_warc_ranged`` consumes them via
+``files=[url]`` + ``HttpRangeReader`` — byte-identical to the local
+whole-file read. A counting reader (injected via ``reader=``, riding
+the serialized closure to the workers) proves the index walk opens
+each file exactly once (the r7 ADVICE defect was a double walk:
+``idx.count()`` plus the uncached recompute under ``repartition``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import http.server
+import re
+import sys
+import threading
+from pathlib import Path
+
+import pytest
+
+from vbb_data_pipeline_spark.sources.warc import (
+    ArrowFsRangeReader,
+    HttpRangeReader,
+    LocalRangeReader,
+    _plain_warc_record_offsets,
+    _Prepend,
+    read_warc,
+    read_warc_ranged,
+    resolve_range_reader,
+    warc_member_chunks,
+)
+
+# worker-side closures capture test-local classes: serialize this
+# module by value so executors never need tests/ on their import path
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _record(payload: bytes, uri: str = "http://e.com/") -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _gz_archive(n: int, host: str = "t.example") -> bytes:
+    return b"".join(
+        gzip.compress(
+            _record(_http(f"<p>doc {i} body</p>".encode()),
+                    uri=f"http://{host}/{i}"),
+            compresslevel=1,
+        )
+        for i in range(n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# reader dispatch
+# ---------------------------------------------------------------------------
+def test_resolve_reader_dispatch():
+    assert isinstance(resolve_range_reader("/x/a.warc"), LocalRangeReader)
+    assert isinstance(resolve_range_reader("file:/x/a.warc"), LocalRangeReader)
+    assert isinstance(
+        resolve_range_reader("https://cc.example/a.warc.gz"), HttpRangeReader
+    )
+    assert isinstance(
+        resolve_range_reader("s3a://bucket/a.warc.gz"), ArrowFsRangeReader
+    )
+    assert isinstance(
+        resolve_range_reader("hdfs://nn/a.warc.gz"), ArrowFsRangeReader
+    )
+    injected = LocalRangeReader()
+    assert resolve_range_reader("s3a://bucket/x", injected) is injected
+
+
+def test_arrowfs_scheme_alias():
+    assert ArrowFsRangeReader._uri("s3a://b/k") == "s3://b/k"
+    assert ArrowFsRangeReader._uri("s3n://b/k") == "s3://b/k"
+    assert ArrowFsRangeReader._uri("gs://b/k") == "gs://b/k"
+
+
+def test_local_reader_range(tmp_path):
+    f = tmp_path / "x.bin"
+    f.write_bytes(bytes(range(200)))
+    rd = LocalRangeReader()
+    assert rd.read_range(str(f), 10, 5) == bytes(range(10, 15))
+    fh = rd.open(f"file:{f}", offset=100)
+    assert fh.read(3) == bytes([100, 101, 102])
+    fh.close()
+
+
+# ---------------------------------------------------------------------------
+# HTTP end-to-end: the non-local code path, forced through a real
+# range-capable origin
+# ---------------------------------------------------------------------------
+class _RangeHandler(http.server.BaseHTTPRequestHandler):
+    root: Path = Path("/")
+
+    def do_GET(self):  # noqa: N802
+        data = (self.root / self.path.lstrip("/")).read_bytes()
+        rng = self.headers.get("Range")
+        if rng:
+            m = re.match(r"bytes=(\d+)-(\d*)", rng)
+            a = int(m.group(1))
+            b = int(m.group(2)) if m.group(2) else len(data) - 1
+            body = data[a : b + 1]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range", f"bytes {a}-{b}/{len(data)}"
+            )
+        else:
+            body = data
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture()
+def http_root(tmp_path):
+    handler = type("H", (_RangeHandler,), {"root": tmp_path})
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield tmp_path, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_ranged_parity(spark, tmp_path, http_root):
+    root, base = http_root
+    (root / "a.warc.gz").write_bytes(_gz_archive(30))
+    whole = (
+        read_warc(spark, str(root)).orderBy("target_uri").collect()
+    )
+    ranged = (
+        read_warc_ranged(
+            spark, "", chunk_bytes=256, files=[f"{base}/a.warc.gz"]
+        )
+        .orderBy("target_uri")
+        .collect()
+    )
+    assert len(ranged) == len(whole) == 30
+    for a, b in zip(ranged, whole):
+        assert a.target_uri == b.target_uri
+        assert a.record_idx == b.record_idx
+        assert bytes(a.payload) == bytes(b.payload)
+
+
+def test_http_reader_rejects_rangeless_origin(http_root):
+    root, base = http_root
+    (root / "x.bin").write_bytes(b"0123456789")
+
+    class NoRange(_RangeHandler):
+        def do_GET(self):  # noqa: N802
+            body = (self.root / self.path.lstrip("/")).read_bytes()
+            self.send_response(200)  # ignores Range
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    handler = type("H", (NoRange,), {"root": root})
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/x.bin"
+    rd = HttpRangeReader()
+    with pytest.raises(OSError, match="ignored Range"):
+        rd.read_range(url, 2, 3)
+    srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# plain-warc record-aligned chunking (r7 ADVICE: the whole-file
+# fallback reintroduced the per-task memory bound the tier exists to
+# avoid)
+# ---------------------------------------------------------------------------
+def test_plain_warc_multichunk_parity(spark, tmp_path):
+    recs = b"".join(
+        _record(_http(f"<p>plain {i} {'x' * 50}</p>".encode()),
+                uri=f"http://p.example/{i:03d}")
+        for i in range(20)
+    )
+    (tmp_path / "p.warc").write_bytes(recs)
+    chunks = warc_member_chunks(spark, str(tmp_path), chunk_bytes=256)
+    rows = chunks.collect()
+    assert len(rows) > 3  # genuinely split, not one whole-file chunk
+    assert sum(r.n_members for r in rows) == 20
+    assert all(r.nbytes <= 1024 for r in rows)  # bounded task memory
+    whole = read_warc(spark, str(tmp_path)).orderBy("target_uri").collect()
+    ranged = (
+        read_warc_ranged(spark, str(tmp_path), chunk_bytes=256)
+        .orderBy("target_uri")
+        .collect()
+    )
+    assert len(ranged) == len(whole) == 20
+    for a, b in zip(ranged, whole):
+        assert a.record_idx == b.record_idx
+        assert bytes(a.payload) == bytes(b.payload)
+
+
+def test_plain_offsets_truncated_payload_dropped():
+    import io
+
+    good = _record(_http(b"<p>ok</p>"))
+    bad = _record(_http(b"<p>cut off</p>"))[:-10]
+    offs, end = _plain_warc_record_offsets(io.BytesIO(good + bad))
+    assert offs == [0]
+    assert end == len(good)
+
+
+def test_prepend_reader():
+    import io
+
+    fh = _Prepend(b"abc", io.BytesIO(b"defgh"))
+    assert fh.read(2) == b"ab"
+    assert fh.read(4) == b"cdef"
+    assert fh.read(10) == b"gh"
+
+
+# ---------------------------------------------------------------------------
+# per-member validation (r7 ADVICE: a 2-record member next to a
+# 0-record member cancelled out in the chunk-level count, silently
+# misaligning record_idx vs the whole-file read)
+# ---------------------------------------------------------------------------
+def test_two_record_member_raises(spark, tmp_path):
+    two = _record(_http(b"<p>a</p>"), uri="http://x/1") + _record(
+        _http(b"<p>b</p>"), uri="http://x/2"
+    )
+    blob = (
+        gzip.compress(two, compresslevel=1)
+        + gzip.compress(b"", compresslevel=1)  # 0-record member
+        + gzip.compress(_record(_http(b"<p>c</p>"), uri="http://x/3"),
+                        compresslevel=1)
+    )
+    (tmp_path / "evil.warc.gz").write_bytes(blob)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        read_warc_ranged(spark, str(tmp_path)).collect()
+    msg = str(ei.value)
+    assert "one-record-per-member" in msg or isinstance(
+        ei.value, Py4JJavaError
+    ) and "one-record-per-member" in str(ei.value.java_exception)
+
+
+# ---------------------------------------------------------------------------
+# single-pass index (r7 ADVICE medium: idx.count() ran the full
+# decompression walk, then the uncached idx recomputed it under the
+# repartition job — doubling the indexing cost)
+# ---------------------------------------------------------------------------
+class CountingReader:
+    """LocalRangeReader that journals every open/read_range to a file
+    (workers share the local FS in local mode)."""
+
+    def __init__(self, log: str) -> None:
+        self.log = log
+        self.inner = LocalRangeReader()
+
+    def _note(self, kind: str, path: str) -> None:
+        with open(self.log, "a") as fh:
+            fh.write(f"{kind}\t{path}\n")
+
+    def open(self, path: str, offset: int = 0):
+        self._note("open", path)
+        return self.inner.open(path, offset)
+
+    def read_range(self, path: str, offset: int, nbytes: int) -> bytes:
+        self._note("range", path)
+        return self.inner.read_range(path, offset, nbytes)
+
+
+def test_index_walk_runs_once(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.warc.gz").write_bytes(_gz_archive(15, host=f"h{i}"))
+    log = tmp_path / "reads.log"
+    out = read_warc_ranged(
+        spark, str(d), chunk_bytes=256, reader=CountingReader(str(log))
+    )
+    n_chunks = out.rdd.getNumPartitions()
+    assert out.count() == 45
+    lines = log.read_text().splitlines()
+    opens = [ln for ln in lines if ln.startswith("open\t")]
+    ranges = [ln for ln in lines if ln.startswith("range\t")]
+    # the decompression walk touched each archive exactly ONCE
+    assert len(opens) == 3, opens
+    # and the parse stage issued exactly one ranged read per chunk
+    assert len(ranges) == n_chunks >= 6

@@ -29,14 +29,17 @@ tested unconditionally).
 
 from __future__ import annotations
 
-import shutil
 import uuid
 from collections.abc import Sequence
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from vbb_data_pipeline_spark.operators.cdc import merge_upsert
+from vbb_data_pipeline_spark.sources.layout import (
+    _fs_swap,
+    hadoop_exists,
+    sibling_path,
+)
 
 
 def delta_available() -> bool:
@@ -71,8 +74,11 @@ def configure_delta_session(builder):
     return configure_spark_with_delta_pip(builder)
 
 
-def _is_delta_table(path: str) -> bool:
-    return (Path(path) / "_delta_log").exists()
+def _is_delta_table(spark: SparkSession, path: str) -> bool:
+    # Hadoop-FS probe, not os.path: a driver-local check is always
+    # False on HDFS/S3 and would silently demote every remote Delta
+    # table to the last-writer-wins parquet leg
+    return hadoop_exists(spark, path.rstrip("/") + "/_delta_log")
 
 
 def merge_upsert_table(
@@ -109,7 +115,11 @@ def merge_upsert_table(
     if backend == "auto":
         backend = (
             "delta"
-            if delta_available() and (_is_delta_table(path) or not Path(path).exists())
+            if delta_available()
+            and (
+                _is_delta_table(spark, path)
+                or not hadoop_exists(spark, path)
+            )
             else "parquet"
         )
     if backend == "delta":
@@ -119,7 +129,7 @@ def merge_upsert_table(
             )
         from delta.tables import DeltaTable
 
-        if not _is_delta_table(path):
+        if not _is_delta_table(spark, path):
             updates.write.format("delta").mode("errorifexists").save(path)
             return
         cond = " AND ".join(f"t.`{k}` = u.`{k}`" for k in ks)
@@ -134,14 +144,13 @@ def merge_upsert_table(
         return
     if backend != "parquet":
         raise ValueError(f"unknown merge backend: {backend!r}")
-    if not Path(path).exists():
+    if not hadoop_exists(spark, path):
         updates.write.mode("errorifexists").parquet(path)
         return
     target = spark.read.parquet(path)
     merged = merge_upsert(target, updates.select(*target.columns), ks)
-    tmp = str(Path(path).parent / f".merge_{uuid.uuid4().hex[:8]}")
+    tmp = sibling_path(path, f".merge_{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").parquet(tmp)
-    backup = path + ".old"
-    shutil.move(path, backup)
-    shutil.move(tmp, path)
-    shutil.rmtree(backup)
+    # Hadoop-FS rename swap — portable to HDFS/object stores where
+    # shutil is driver-local; crash window recoverable at path.old
+    _fs_swap(spark, src=tmp, dst=path)

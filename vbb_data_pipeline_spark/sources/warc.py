@@ -53,6 +53,10 @@ __all__ = [
     "read_warc_ranged",
     "read_warc_stream",
     "warc_member_chunks",
+    "resolve_range_reader",
+    "LocalRangeReader",
+    "HttpRangeReader",
+    "ArrowFsRangeReader",
     "html_text",
     "html_text_density",
     "warc_to_documents",
@@ -79,37 +83,16 @@ def _decompress_concat(data: bytes) -> bytes:
     tail once per member (``data = do.unused_data``), which is
     QUADRATIC at Common Crawl's ~100k members/file — one 30 MB file
     took 93 s / an entire measurement timeout before the r6 crawl
-    decade caught it. The Python member loop below remains ONLY as
-    the fallback for malformed archives (truncated final member,
-    trailing garbage), preserving the stop-at-last-whole-member
-    posture."""
+    decade caught it. The fallback for malformed archives (truncated
+    final member, trailing garbage) is :func:`_iter_gzip_members` —
+    itself linear via block feeding — preserving the
+    stop-at-last-whole-member posture."""
     import gzip as _gz
 
     try:
         return _gz.GzipFile(fileobj=io.BytesIO(data)).read()
     except (OSError, EOFError, zlib.error):
-        return b"".join(_gzip_members(data))
-
-
-def _gzip_members(data: bytes):
-    """Fallback member-by-member decompressor for malformed archives:
-    yields whole members, stopping at the first truncated/corrupt one."""
-    mv = memoryview(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        try:
-            chunk = d.decompress(mv[pos:])
-        except zlib.error:
-            return  # trailing garbage: stop at the last whole member
-        if not d.eof:
-            return  # truncated final member: drop the partial tail
-        yield chunk
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+        return b"".join(_iter_gzip_members(data))
 
 
 def _parse_http_payload(payload: bytes):
@@ -222,9 +205,11 @@ def read_warc(
 # member-offset index (the Common Crawl cdx pattern)
 # ---------------------------------------------------------------------------
 
-#: chunk-index schema: one row per byte range of whole gzip members;
-#: member_base = members before this chunk in its file (the global
-#: record-index offset — WARC/CC layout is one record per member)
+#: chunk-index schema: one row per byte range of whole gzip members
+#: (or, for plain ``.warc``, whole Content-Length-framed records);
+#: n_members = members/records inside the range, member_base = how
+#: many precede it in its file (the global record-index offset — the
+#: WARC/CC gzip layout is one record per member)
 CHUNK_SCHEMA = (
     "path string, offset long, nbytes long, n_members long, "
     "member_base long"
@@ -232,22 +217,245 @@ CHUNK_SCHEMA = (
 
 
 def _local_path(p: str) -> str:
-    """Hadoop listing paths arrive as ``file:/...`` URIs; Python open()
-    wants the bare path. Non-file schemes raise (object stores need
-    the deployment's fs client wired in here — the read pattern is
-    identical: ranged GETs)."""
+    """Hadoop listing paths arrive as ``file:/...`` URIs; Python
+    ``open()`` wants the bare path. Only :class:`LocalRangeReader`
+    calls this — other schemes resolve to other readers."""
     if p.startswith("file:"):
         p = p[len("file:"):]
         while p.startswith("//"):
             p = p[1:]
-        return p
-    if "://" in p:
-        raise NotImplementedError(
-            f"ranged WARC reads implemented for local/NFS paths; got {p} "
-            "(object stores: swap _open_range for a ranged-GET client — "
-            "the chunk index and parse stages are scheme-agnostic)"
-        )
     return p
+
+
+class LocalRangeReader:
+    """Ranged reads for ``file:``/bare paths via ``open``+``seek`` —
+    the local/NFS default (zero per-call overhead)."""
+
+    def open(self, path: str, offset: int = 0):
+        fh = open(_local_path(path), "rb")
+        if offset:
+            fh.seek(offset)
+        return fh
+
+    def read_range(self, path: str, offset: int, nbytes: int) -> bytes:
+        with self.open(path, offset) as fh:
+            return fh.read(nbytes)
+
+
+class HttpRangeReader:
+    """Ranged reads over ``http(s)://`` via stdlib ``Range`` GETs —
+    Common Crawl's own distribution channel serves exactly this
+    access pattern (its cdx index is offsets into HTTPS-hosted
+    ``.warc.gz``). A server that ignores Range (HTTP 200 instead of
+    206) raises rather than silently re-downloading the whole file."""
+
+    def open(self, path: str, offset: int = 0):
+        from urllib.request import Request, urlopen
+
+        hdrs = {"Range": f"bytes={offset}-"} if offset else {}
+        resp = urlopen(Request(path, headers=hdrs))  # noqa: S310
+        if offset and resp.status != 206:
+            resp.close()
+            raise OSError(
+                f"{path}: server ignored Range (HTTP {resp.status}) — "
+                "ranged WARC reads need a range-capable origin"
+            )
+        return resp
+
+    def read_range(self, path: str, offset: int, nbytes: int) -> bytes:
+        from urllib.request import Request, urlopen
+
+        hdrs = {"Range": f"bytes={offset}-{offset + nbytes - 1}"}
+        with urlopen(Request(path, headers=hdrs)) as resp:  # noqa: S310
+            if resp.status != 206:
+                raise OSError(
+                    f"{path}: server ignored Range (HTTP {resp.status})"
+                )
+            return resp.read()
+
+
+class ArrowFsRangeReader:
+    """Ranged reads for object stores / HDFS via ``pyarrow.fs`` —
+    baked into any pyarrow install, handles ``s3://``/``s3a://``,
+    ``gs://``, ``hdfs://``, ``abfs://`` (scheme support depends on
+    the pyarrow build; s3a is aliased to s3). Filesystem handles are
+    cached per (scheme, authority) within the worker process."""
+
+    def __init__(self) -> None:
+        self._cache: dict = {}
+
+    @staticmethod
+    def _uri(path: str) -> str:
+        # Hadoop's s3a/s3n connectors are the same store pyarrow
+        # calls s3
+        for hadoop, arrow in (("s3a://", "s3://"), ("s3n://", "s3://")):
+            if path.startswith(hadoop):
+                return arrow + path[len(hadoop):]
+        return path
+
+    def _fs(self, path: str):
+        from pyarrow import fs as pafs
+
+        uri = self._uri(path)
+        scheme, tail = uri.split("://", 1)
+        key = scheme + "://" + tail.split("/", 1)[0]
+        got = self._cache.get(key)
+        if got is None:
+            # from_uri can hit the network (e.g. S3 region lookup) —
+            # resolve once per (scheme, authority) per worker, and
+            # derive later rel-paths textually from the first one
+            f, rel = pafs.FileSystem.from_uri(uri)
+            suffix = uri[len(key):]
+            root = rel[: len(rel) - len(suffix)] if suffix and rel.endswith(
+                suffix
+            ) else rel
+            self._cache[key] = got = (f, root)
+        f, root = got
+        return f, root + uri[len(key):]
+
+    def open(self, path: str, offset: int = 0):
+        f, rel = self._fs(path)
+        fh = f.open_input_file(rel)
+        if offset:
+            fh.seek(offset)
+        return fh
+
+    def read_range(self, path: str, offset: int, nbytes: int) -> bytes:
+        f, rel = self._fs(path)
+        with f.open_input_file(rel) as fh:
+            fh.seek(offset)
+            return fh.read(nbytes)
+
+
+def resolve_range_reader(path: str, reader=None):
+    """Pick the ranged-read client for ``path``: an explicit
+    ``reader`` wins (the injection point — any object with
+    ``open(path, offset)`` and ``read_range(path, offset, nbytes)``);
+    otherwise ``file:``/bare → local open+seek, ``http(s)://`` →
+    stdlib Range GETs, anything else → ``pyarrow.fs`` (s3/gs/hdfs/
+    abfs). Resolution happens inside each task, so a reader passed on
+    the driver rides the serialized closure to the executors."""
+    if reader is not None:
+        return reader
+    scheme = path.split("://", 1)[0] if "://" in path else "file"
+    if scheme in ("file", ""):
+        return LocalRangeReader()
+    if scheme in ("http", "https"):
+        return HttpRangeReader()
+    return ArrowFsRangeReader()
+
+
+def _iter_gzip_members(data: bytes, block_bytes: int = 1 << 20):
+    """LINEAR single-pass iterator over a concatenated-member gzip
+    archive: yields each member's decompressed bytes. Feeds fixed
+    memoryview blocks so the per-member tail copy (``unused_data``)
+    is bounded by one block — the naive whole-tail loop re-slices the
+    remainder once per member and is quadratic at Common Crawl's
+    ~100k members/file (the r6 decade measured 93 s on one 30 MB
+    file). Stops at the first corrupt/truncated member, dropping any
+    partial tail — the corrupt-member-skip posture of the zip tier."""
+    mv = memoryview(data)
+    n = len(data)
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    out: list[bytes] = []
+    fed = 0
+    feed = mv[0:0]
+    while True:
+        if not len(feed):
+            if fed >= n:
+                break
+            nxt = min(fed + block_bytes, n)
+            feed = mv[fed:nxt]
+            fed = nxt
+        try:
+            out.append(d.decompress(feed))
+        except zlib.error:
+            return  # trailing garbage: stop at the last whole member
+        if d.eof:
+            yield b"".join(out)
+            out = []
+            rest = d.unused_data  # at most one block — linear overall
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            feed = memoryview(rest) if rest else mv[0:0]
+        else:
+            feed = mv[0:0]
+    # not-eof leftovers = truncated final member: dropped
+
+
+def _plain_warc_record_offsets(fh, block_bytes: int = 4 << 20):
+    """Stream a plain (uncompressed) ``.warc`` through ``fh.read``:
+    returns ``(offsets, end)`` — the absolute start offset of every
+    COMPLETE record (exact Content-Length framing, the same rules as
+    :func:`parse_warc_bytes`) and the end offset of the last one.
+    Bounded memory: the buffer holds at most one record header plus a
+    block; payloads are skipped by counted reads, never buffered, so
+    a 10 GB plain archive indexes on a 0.5 GB-heap executor exactly
+    like the gzip walk. Works on any sequential reader (local file,
+    HTTP response, pyarrow stream) — no ``seek`` required."""
+    offs: list[int] = []
+    buf = b""
+    base = 0  # absolute offset of buf[0]
+    pos = 0  # scan cursor within buf
+    while True:
+        # skip inter-record CRLFs
+        while True:
+            if len(buf) - pos < 2:
+                more = fh.read(block_bytes)
+                if not more:
+                    return offs, base + pos
+                buf = buf[pos:] + more
+                base += pos
+                pos = 0
+            if buf[pos : pos + 2] == b"\r\n":
+                pos += 2
+            else:
+                break
+        if len(buf) - pos < 5:
+            more = fh.read(block_bytes)
+            if more:
+                buf = buf[pos:] + more
+                base += pos
+                pos = 0
+        if not buf.startswith(b"WARC/", pos):
+            return offs, base + pos  # framing lost: stop
+        rec_start = base + pos
+        while True:
+            he = buf.find(b"\r\n\r\n", pos)
+            if he >= 0:
+                break
+            more = fh.read(block_bytes)
+            if not more:
+                return offs, rec_start  # truncated header: drop
+            buf = buf[pos:] + more
+            base += pos
+            pos = 0
+        head = buf[pos:he].decode("latin-1", "replace")
+        clen = None
+        for ln in head.split("\r\n")[1:]:
+            k, _, v = ln.partition(":")
+            if k.strip().lower() == "content-length":
+                try:
+                    clen = int(v.strip())
+                except ValueError:
+                    pass
+                break
+        if clen is None:
+            return offs, rec_start  # unframeable: stop
+        body_end = he + 4 + clen  # relative to buf[0]
+        if body_end <= len(buf):
+            pos = body_end
+        else:
+            need = body_end - len(buf)
+            base += len(buf)
+            buf = b""
+            pos = 0
+            while need:
+                got = fh.read(min(block_bytes, need))
+                if not got:
+                    return offs, rec_start  # truncated payload: drop
+                need -= len(got)
+                base += len(got)
+        offs.append(rec_start)
 
 
 def warc_member_chunks(
@@ -255,25 +463,37 @@ def warc_member_chunks(
     path: str,
     chunk_bytes: int = 64 << 20,
     block_bytes: int = 4 << 20,
+    files: list | None = None,
+    reader=None,
 ) -> DataFrame:
-    """Build a byte-range chunk index for ``.warc.gz`` archives:
-    ``(path, offset, nbytes, n_members)`` rows where every range
-    starts on a gzip-member boundary and contains whole members
-    totalling ~``chunk_bytes``.
+    """Build a byte-range chunk index for WARC archives:
+    ``(path, offset, nbytes, n_members, member_base)`` rows where
+    every range starts on a unit boundary and contains whole units
+    totalling ~``chunk_bytes`` — units are gzip members for
+    ``.warc.gz`` (the CC one-record-per-member layout) and
+    Content-Length-framed records for plain ``.warc`` (so the ranged
+    tier's per-task memory bound holds for uncompressed archives too,
+    instead of degrading to one whole-file chunk).
 
-    The walk STREAMS each file through ``zlib.decompressobj`` in
-    ``block_bytes`` reads — peak memory is a few blocks, and the
-    archive's bytes never enter the JVM (contrast ``binaryFile``,
-    which holds the whole file per task). One decompression pass per
-    file is the index's cost; Common Crawl ships the equivalent
-    (cdx) with every snapshot precisely so consumers never pay a
-    whole-file task. Files are one task each here too, but a task's
-    memory is O(block), so a 10 GB archive indexes fine on a
+    The walk STREAMS each file in ``block_bytes`` reads — peak memory
+    is a few blocks, and the archive's bytes never enter the JVM
+    (contrast ``binaryFile``, which holds the whole file per task).
+    One pass per file is the index's cost; Common Crawl ships the
+    equivalent (cdx) with every snapshot precisely so consumers never
+    pay a whole-file task. Files are one task each here too, but a
+    task's memory is O(block), so a 10 GB archive indexes fine on a
     0.5 GB-heap executor.
-    """
-    files = spark.read.format("binaryFile").load(path).select("path")
-    # paths only — binaryFile would read content lazily; selecting the
-    # path column keeps the scan metadata-only (no file bytes read)
+
+    ``files`` skips the Hadoop listing (pass explicit URLs — e.g.
+    Common Crawl's ``warc.paths`` over HTTPS, where no Hadoop
+    connector exists); ``reader`` injects a ranged-read client (see
+    :func:`resolve_range_reader` for the defaults per scheme)."""
+    if files is not None:
+        f = spark.createDataFrame([(str(x),) for x in files], "path string")
+    else:
+        f = spark.read.format("binaryFile").load(path).select("path")
+        # paths only — binaryFile reads content lazily; selecting the
+        # path column keeps the scan metadata-only (no file bytes read)
 
     def walk(batches):
         import pandas as pd
@@ -281,57 +501,36 @@ def warc_member_chunks(
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                lp = _local_path(p)
-                boundaries = [0]
-                with open(lp, "rb") as fh:
-                    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-                    pos = 0  # absolute offset of the block being fed
-                    buf = fh.read(block_bytes)
-                    feed = buf
-                    while feed:
-                        try:
-                            d.decompress(feed)
-                        except zlib.error:
-                            break  # trailing garbage: stop at last member
-                        if d.eof:
-                            # member ended inside `feed`
-                            rest = d.unused_data
-                            pos += len(feed) - len(rest)
-                            boundaries.append(pos)
-                            d = zlib.decompressobj(
-                                wbits=zlib.MAX_WBITS | 16
-                            )
-                            feed = rest
-                            if not feed:
-                                feed = fh.read(block_bytes)
-                                buf = feed
-                        else:
-                            pos += len(feed)
-                            feed = fh.read(block_bytes)
-                            buf = feed
-                if len(boundaries) == 1:
-                    # not gzip (plain .warc) or corrupt first member:
-                    # one whole-file chunk — the plain-warc framing is
-                    # Content-Length-delimited and parses as one pass
-                    import os as _os
-
-                    sz = _os.path.getsize(lp)
-                    if sz:
-                        rows.append((p, 0, sz, 0, 0))
-                    continue
-                # coalesce member boundaries into ~chunk_bytes ranges
+                rd = resolve_range_reader(p, reader)
+                fh = rd.open(p)
+                try:
+                    head = fh.read(2)
+                    if head == b"\x1f\x8b":
+                        boundaries = _gzip_boundary_walk(
+                            fh, head, block_bytes
+                        )
+                    else:
+                        offs, end = _plain_warc_record_offsets(
+                            _Prepend(head, fh), block_bytes
+                        )
+                        boundaries = offs + [end] if offs else [0]
+                finally:
+                    fh.close()
+                if len(boundaries) <= 1:
+                    continue  # empty/garbage file: nothing parseable
+                # coalesce unit boundaries into ~chunk_bytes ranges
                 start = boundaries[0]
                 members = 0
-                base = 0
-                for _prev, cur in zip(boundaries, boundaries[1:]):
+                ubase = 0
+                for cur in boundaries[1:]:
                     members += 1
                     if cur - start >= chunk_bytes:
-                        rows.append((p, start, cur - start, members, base))
-                        base += members
+                        rows.append((p, start, cur - start, members, ubase))
+                        ubase += members
                         start, members = cur, 0
                 if members:
                     rows.append(
-                        (p, start, boundaries[-1] - start, members, base)
+                        (p, start, boundaries[-1] - start, members, ubase)
                     )
             if rows:
                 yield pd.DataFrame(
@@ -342,7 +541,50 @@ def warc_member_chunks(
                     ],
                 )
 
-    return files.mapInPandas(walk, schema=CHUNK_SCHEMA)
+    return f.mapInPandas(walk, schema=CHUNK_SCHEMA)
+
+
+class _Prepend:
+    """Sequential reader that replays ``head`` before ``fh`` — lets
+    the magic-byte sniff hand the stream to a scanner unseeked (HTTP
+    responses can't rewind)."""
+
+    def __init__(self, head: bytes, fh) -> None:
+        self._head = head
+        self._fh = fh
+
+    def read(self, n: int) -> bytes:
+        if self._head:
+            out, self._head = self._head[:n], self._head[n:]
+            if len(out) < n:
+                out += self._fh.read(n - len(out))
+            return out
+        return self._fh.read(n)
+
+
+def _gzip_boundary_walk(fh, head: bytes, block_bytes: int) -> list:
+    """Member-boundary offsets of a concatenated-member gzip stream
+    read sequentially from ``fh`` (``head`` = bytes already sniffed).
+    Decompressed output is discarded — only offsets are kept."""
+    boundaries = [0]
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    pos = 0  # absolute offset consumed into `d` so far
+    feed = head + fh.read(block_bytes - len(head))
+    while feed:
+        try:
+            d.decompress(feed)
+        except zlib.error:
+            break  # trailing garbage: stop at last member
+        if d.eof:
+            rest = d.unused_data
+            pos += len(feed) - len(rest)
+            boundaries.append(pos)
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            feed = rest or fh.read(block_bytes)
+        else:
+            pos += len(feed)
+            feed = fh.read(block_bytes)
+    return boundaries
 
 
 def read_warc_ranged(
@@ -351,27 +593,42 @@ def read_warc_ranged(
     types: tuple[str, ...] = ("response",),
     chunk_bytes: int = 64 << 20,
     chunks: DataFrame | None = None,
+    files: list | None = None,
+    reader=None,
 ) -> DataFrame:
     """:func:`read_warc` for archives BIGGER than the per-task heap:
-    parse byte ranges of whole gzip members instead of whole files.
+    parse byte ranges of whole gzip members (or, for plain ``.warc``,
+    whole records) instead of whole files.
 
-    Each task seeks to its range and reads ``nbytes`` — peak memory
-    is the chunk size (plus its decompressed text), independent of
-    archive size, and intra-file parallelism equals the chunk count,
-    so ONE 10 GB archive fans out across the cluster instead of
-    serializing through (and OOMing) a single task. Record ids stay
-    deterministic: ``record_idx`` is local to a chunk, so the stable
-    identity is (warc_file, target_uri) — the same contract the
-    corpus builder keys doc ids on.
+    Each task issues one ranged read (local ``seek``, HTTP ``Range``
+    GET, or object-store ranged GET via ``pyarrow.fs`` — per-scheme
+    defaults in :func:`resolve_range_reader`, overridable with
+    ``reader=``) — peak memory is the chunk size (plus its
+    decompressed text), independent of archive size, and intra-file
+    parallelism equals the chunk count, so ONE 10 GB archive fans out
+    across the cluster instead of serializing through (and OOMing) a
+    single task. Record ids stay deterministic: gzip members are
+    parsed ONE AT A TIME and each must hold exactly one record (the
+    CC layout), so ``record_idx = member_base + member_ordinal``
+    matches the whole-file read exactly; an archive violating
+    one-record-per-member raises (use :func:`read_warc`) instead of
+    silently mis-rebasing. The stable cross-run identity remains
+    (warc_file, target_uri) — the contract the corpus builder keys
+    doc ids on.
 
     Pass a precomputed ``chunks`` frame (e.g. persisted once per
-    snapshot, like Common Crawl's cdx) to skip the indexing pass.
-    """
-    idx = (
-        chunks
-        if chunks is not None
-        else warc_member_chunks(spark, path, chunk_bytes=chunk_bytes)
-    )
+    snapshot, like Common Crawl's cdx) to skip the indexing pass —
+    persist it yourself if you reuse it. When this function builds
+    the index itself it localCheckpoints it, so the one-decompression-
+    pass walk runs ONCE (the count below would otherwise recompute
+    it through the repartition job)."""
+    if chunks is not None:
+        idx = chunks
+    else:
+        idx = warc_member_chunks(
+            spark, path, chunk_bytes=chunk_bytes, files=files,
+            reader=reader,
+        ).localCheckpoint(eager=True)
     types_set = set(types)
 
     def parse_ranges(batches):
@@ -383,21 +640,48 @@ def read_warc_ranged(
                 pdf["path"], pdf["offset"], pdf["nbytes"],
                 pdf["n_members"], pdf["member_base"],
             ):
-                with open(_local_path(p), "rb") as fh:
-                    fh.seek(int(off))
-                    blob = fh.read(int(nb))
-                recs = parse_warc_bytes(blob, p)
-                if int(n_m) and len(recs) != int(n_m):
-                    raise ValueError(
-                        f"{p} range@{int(off)}: {len(recs)} records in "
-                        f"{int(n_m)} gzip members — record_idx rebasing "
-                        "requires the one-record-per-member layout; use "
-                        "read_warc for this archive"
-                    )
-                for rec in recs:
-                    rec["record_idx"] = int(base) + rec["record_idx"]
-                    if not types_set or rec["warc_type"] in types_set:
-                        rows.append(rec)
+                rd = resolve_range_reader(p, reader)
+                blob = rd.read_range(p, int(off), int(nb))
+                if blob[:2] == b"\x1f\x8b":
+                    # per-MEMBER parse: validates one-record-per-member
+                    # on every member (a 2-record member next to a
+                    # 0-record member can no longer cancel out in a
+                    # chunk-level count) and makes the rebased
+                    # record_idx exact by construction
+                    mi = 0
+                    for member in _iter_gzip_members(blob):
+                        mrecs = parse_warc_bytes(member, p)
+                        if len(mrecs) != 1:
+                            raise ValueError(
+                                f"{p} range@{int(off)} member {mi}: "
+                                f"{len(mrecs)} records in one gzip "
+                                "member — record_idx rebasing requires "
+                                "the one-record-per-member layout; use "
+                                "read_warc for this archive"
+                            )
+                        rec = mrecs[0]
+                        rec["record_idx"] = int(base) + mi
+                        mi += 1
+                        if not types_set or rec["warc_type"] in types_set:
+                            rows.append(rec)
+                    if int(n_m) and mi != int(n_m):
+                        raise ValueError(
+                            f"{p} range@{int(off)}: {mi} members parsed, "
+                            f"index recorded {int(n_m)} — stale chunk "
+                            "index? rebuild with warc_member_chunks"
+                        )
+                else:
+                    recs = parse_warc_bytes(blob, p)
+                    if int(n_m) and len(recs) != int(n_m):
+                        raise ValueError(
+                            f"{p} range@{int(off)}: {len(recs)} records, "
+                            f"index recorded {int(n_m)} — stale chunk "
+                            "index? rebuild with warc_member_chunks"
+                        )
+                    for rec in recs:
+                        rec["record_idx"] = int(base) + rec["record_idx"]
+                        if not types_set or rec["warc_type"] in types_set:
+                            rows.append(rec)
             if rows:
                 yield pd.DataFrame(rows)
 

@@ -94,11 +94,11 @@ def scd2_batch_fold(
     the dim with a table format's MERGE or partition the dim on a
     valid_to-derived flag so only the current slice rewrites.
     """
-    import shutil
     import uuid
-    from pathlib import Path
 
     from pyspark.errors import AnalysisException
+
+    from vbb_data_pipeline_spark.sources.layout import _fs_swap, sibling_path
 
     from vbb_data_pipeline_spark.operators.cdc import HIGH_TS, scd2_apply
 
@@ -119,15 +119,11 @@ def scd2_batch_fold(
             dim, snapshot, list(keys), list(attr_cols), as_of,
             valid_from, valid_to,
         )
-    tmp = str(Path(dim_path).parent / f".scd2_{uuid.uuid4().hex[:8]}")
+    tmp = sibling_path(dim_path, f".scd2_{uuid.uuid4().hex[:8]}")
     out.write.mode("overwrite").parquet(tmp)
-    if dim is not None:
-        backup = dim_path + ".old"
-        shutil.move(dim_path, backup)
-        shutil.move(tmp, dim_path)
-        shutil.rmtree(backup)
-    else:
-        shutil.move(tmp, dim_path)
+    # Hadoop-FS rename swap (HDFS/object-store portable; shutil is
+    # driver-local) — bootstrap (no dim yet) is a plain rename
+    _fs_swap(spark, src=tmp, dst=dim_path)
 
 
 def write_stream_scd2(
