@@ -138,6 +138,23 @@ def lsh_candidate_pairs(
     ``bands − 1`` other buckets (different hub), so the loss is
     second-order — the property test pins a 500-variant family
     collapsing to one survivor in star mode.
+
+    MEASURED recall (tools/star_recall.py → STAR_RECALL.json, r7;
+    all-pairs ground truth on a mixed corpus of families,
+    near-threshold pairs, bridge chains and a mega-family):
+    detached-pair rate 0.69 % at sf0.1 / 0.27 % at sf1 (shrinking
+    with scale), cluster-split rate 1.5 % / 0.39 %. At that loss a
+    rescue pass (re-running ``all`` restricted to the members star
+    detached) is NOT worth its second candidate join. Flip to
+    star+rescue only when a re-measurement on YOUR corpus shows
+    detached-pair rate above ~5 % or cluster-split rate above ~10 %
+    — the regime where families fragment faster than the bands−1
+    reattachment argument repairs them (heavily chained corpora:
+    long near-dup BRIDGES instead of hub-shaped families, or
+    num_hashes/bands tuned so low that hubs verify sub-threshold
+    against their own bucket members). Below that, the measured
+    star cost is strictly dominated: same CC clusters, ~15× fewer
+    candidate edges on family-shaped corpora.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
