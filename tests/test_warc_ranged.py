@@ -305,3 +305,55 @@ def test_index_walk_runs_once(spark, tmp_path):
     assert len(opens) == 3, opens
     # and the parse stage issued exactly one ranged read per chunk
     assert len(ranges) == n_chunks >= 6
+
+
+class _FakeArrowFile:
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0
+
+    def seek(self, n):
+        self._pos = n
+
+    def read(self, n=-1):
+        out = self._d[self._pos:] if n < 0 else self._d[self._pos:self._pos + n]
+        self._pos += len(out)
+        return out
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def test_arrowfs_rel_path_caching(monkeypatch, tmp_path):
+    """from_uri can hit the network (S3 region lookup): the reader
+    must call it once per (scheme, authority) and derive later
+    rel-paths textually."""
+    import pyarrow
+
+    calls = []
+    blob = bytes(range(256))
+
+    class FakeFS:
+        def open_input_file(self, rel):
+            assert rel.startswith("bucket/"), rel
+            return _FakeArrowFile(blob)
+
+    class FakeFileSystem:
+        @staticmethod
+        def from_uri(uri):
+            calls.append(uri)
+            # pyarrow's s3 rel-path convention: bucket/key
+            return FakeFS(), uri[len("s3://"):]
+
+    fake_mod = type("m", (), {"FileSystem": FakeFileSystem})
+    monkeypatch.setattr(pyarrow, "fs", fake_mod, raising=False)
+
+    rd = ArrowFsRangeReader()
+    assert rd.read_range("s3a://bucket/a/x.warc.gz", 10, 4) == blob[10:14]
+    assert rd.read_range("s3a://bucket/b/y.warc.gz", 0, 2) == blob[0:2]
+    fh = rd.open("s3a://bucket/c.warc.gz", offset=100)
+    assert fh.read(1) == blob[100:101]
+    assert calls == ["s3://bucket/a/x.warc.gz"]  # resolved exactly once
