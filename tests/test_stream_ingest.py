@@ -218,6 +218,56 @@ def test_semantic_tier_catches_paraphrase(spark, tmp_path):
     assert corpus_ids == [1, 2, 21]
 
 
+def test_semantic_tier_engages_on_uri_schemed_paths(spark, tmp_path):
+    """r7 verdict 'What's wrong #2' regression: the semantic-tier
+    bootstrap probe was os.path.exists, which is driver-local and
+    always False for URI-schemed paths (file:, hdfs:, s3a:) — every
+    micro-batch silently took the bootstrap branch, marked all
+    candidates 'new', and semantic dups accumulated with no error.
+    Running the paraphrase scenario with EVERY table path as a
+    ``file:`` URI proves the tier now engages through the
+    spark.read probe (os.path.exists('file:/...') is False, so the
+    old code fails this test)."""
+    uri = lambda name: f"file:{tmp_path}/{name}"  # noqa: E731
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "cell_id long, embedding array<double>",
+    )
+    kw = dict(
+        corpus_path=uri("corpus"),
+        index_path=uri("index"),
+        audit_path=uri("audit"),
+        min_quality=0.0,
+        hash_mode="oracle",
+        vec_col="embedding",
+        embedding_index_path=uri("ivf"),
+        centroids=cents,
+        dim=4,
+        semantic_threshold=0.98,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<double>"
+        )
+
+    corpus_ingest_batch(batch([(1, GOOD, [1.0, 0.0, 0.0, 0.0])]), 0, **kw)
+    para = (
+        "swift auburn vulpine leaps above idle canine thereafter "
+        "pursuing circles within grassy enclosure whilst feline "
+        "observes perched upon wooden railing birdsong echoing"
+    )
+    corpus_ingest_batch(
+        batch([(20, para, [0.999, 0.001, 0.0, 0.0])]), 1, **kw
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in spark.read.parquet(uri("audit")).collect()
+    }
+    assert got[20] == ("semantic_dup", 1)  # tier ENGAGED through the URI
+    assert [r["doc_id"] for r in spark.read.parquet(uri("corpus")).collect()] == [1]
+
+
 def _warc_archive(*docs, rtype="response"):
     """(uri, text) pairs → one gzip-member WARC archive's bytes."""
     import gzip
