@@ -327,6 +327,13 @@ class ArrowFsRangeReader:
             return fh.read(nbytes)
 
 
+#: per-process default readers — parse tasks resolve once per chunk
+#: row, and a fresh ArrowFsRangeReader per row would repeat the
+#: (possibly networked) filesystem resolution per chunk; module state
+#: lives for the worker process, exactly the cache scope wanted
+_DEFAULT_READERS: dict = {}
+
+
 def resolve_range_reader(path: str, reader=None):
     """Pick the ranged-read client for ``path``: an explicit
     ``reader`` wins (the injection point — any object with
@@ -334,15 +341,21 @@ def resolve_range_reader(path: str, reader=None):
     otherwise ``file:``/bare → local open+seek, ``http(s)://`` →
     stdlib Range GETs, anything else → ``pyarrow.fs`` (s3/gs/hdfs/
     abfs). Resolution happens inside each task, so a reader passed on
-    the driver rides the serialized closure to the executors."""
+    the driver rides the serialized closure to the executors; default
+    readers are cached per worker process."""
     if reader is not None:
         return reader
     scheme = path.split("://", 1)[0] if "://" in path else "file"
     if scheme in ("file", ""):
-        return LocalRangeReader()
-    if scheme in ("http", "https"):
-        return HttpRangeReader()
-    return ArrowFsRangeReader()
+        kind, mk = "file", LocalRangeReader
+    elif scheme in ("http", "https"):
+        kind, mk = "http", HttpRangeReader
+    else:
+        kind, mk = "arrow", ArrowFsRangeReader
+    got = _DEFAULT_READERS.get(kind)
+    if got is None:
+        got = _DEFAULT_READERS.setdefault(kind, mk())
+    return got
 
 
 def _gzip_member_stream(fh, feed_bytes: int = 64 << 10, emit: bool = True):
