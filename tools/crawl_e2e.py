@@ -120,6 +120,16 @@ def main() -> None:
         help="read archives via read_warc_ranged with this chunk size "
         "(the oversized-archive tier) instead of whole-file binaryFile",
     )
+    ap.add_argument(
+        "--codec", default=None,
+        help="spark.io.compression.codec override (shuffle/spill/"
+        "broadcast blocks). Crawl text is highly redundant: zstd "
+        "packs the URL-dedup window's full-document shuffle ~2-3x "
+        "denser than the lz4 default — the difference between "
+        "fitting and exhausting local disk at the 20 GB decade "
+        "(measured r8: 41 GB of lz4 shuffle blocks + 20 GB input + "
+        "the at-rest materialize write overran a 66 GB volume)",
+    )
     ap.add_argument("--out", default="CRAWL_E2E.json")
     args = ap.parse_args()
 
@@ -128,7 +138,10 @@ def main() -> None:
 
     from vbb_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("crawl-e2e")
+    extra = (
+        {"spark.io.compression.codec": args.codec} if args.codec else None
+    )
+    spark = get_spark("crawl-e2e", extra_conf=extra)
     tmp = args.keep_dir or tempfile.mkdtemp(prefix="crawl_e2e_")
     os.makedirs(tmp, exist_ok=True)
     t0 = time.time()
@@ -161,6 +174,7 @@ def main() -> None:
             f"ranged:{args.ranged_chunk_mb}MB" if args.ranged_chunk_mb
             else "binaryFile"
         ),
+        "codec": args.codec or "lz4",
         "heap_per_task_gb": 0.5,
         "outcome": "ok",
         "sec": sec,
