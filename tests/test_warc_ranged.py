@@ -357,3 +357,45 @@ def test_arrowfs_rel_path_caching(monkeypatch, tmp_path):
     fh = rd.open("s3a://bucket/c.warc.gz", offset=100)
     assert fh.read(1) == blob[100:101]
     assert calls == ["s3://bucket/a/x.warc.gz"]  # resolved exactly once
+
+
+# ---------------------------------------------------------------------------
+# _gzip_member_stream edge cases (the shared linear walk both the
+# index build and the per-member parse ride on)
+# ---------------------------------------------------------------------------
+def test_member_stream_offsets_and_truncation():
+    import io
+
+    from vbb_data_pipeline_spark.sources.warc import _gzip_member_stream
+
+    m1 = gzip.compress(b"alpha", compresslevel=1)
+    m2 = gzip.compress(b"beta" * 1000, compresslevel=1)
+    m3 = gzip.compress(b"gamma", compresslevel=1)
+    blob = m1 + m2 + m3
+    got = list(_gzip_member_stream(io.BytesIO(blob)))
+    assert [g[1] for g in got] == [b"alpha", b"beta" * 1000, b"gamma"]
+    assert [g[0] for g in got] == [
+        len(m1), len(m1) + len(m2), len(blob)
+    ]  # exact byte offsets, the index contract
+    # truncated final member: dropped, earlier members intact
+    got = list(_gzip_member_stream(io.BytesIO(blob[:-5])))
+    assert [g[1] for g in got] == [b"alpha", b"beta" * 1000]
+    # trailing garbage: stop at the last whole member
+    got = list(_gzip_member_stream(io.BytesIO(m1 + b"NOTGZIP")))
+    assert [g[1] for g in got] == [b"alpha"]
+    # tiny feed slices exercise the pending-rest handoff
+    got = list(_gzip_member_stream(io.BytesIO(blob), feed_bytes=7))
+    assert [g[0] for g in got] == [len(m1), len(m1) + len(m2), len(blob)]
+
+
+def test_member_stream_member_larger_than_feed():
+    import io
+
+    from vbb_data_pipeline_spark.sources.warc import _gzip_member_stream
+
+    big = bytes(range(256)) * 4096  # 1 MB, incompressible-ish
+    m = gzip.compress(big, compresslevel=1)
+    got = list(_gzip_member_stream(io.BytesIO(m + m), feed_bytes=64 << 10))
+    assert len(got) == 2
+    assert got[0][1] == big and got[1][1] == big
+    assert got[1][0] == 2 * len(m)
