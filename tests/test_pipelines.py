@@ -862,3 +862,77 @@ def test_e6_ranged_reader_equals_whole_file(spark, tmp_path):
     assert sorted(map(key, ranged.collect())) == sorted(
         map(key, whole.collect())
     )
+
+
+def test_e6_resume_from_materialized_curation(spark, tmp_path):
+    """resume=True restarts E4 from the committed curated frame
+    WITHOUT touching the archives: after the first run the WARC input
+    is DELETED, and the resumed run still produces the identical
+    shards (determinism makes resume == uninterrupted). A marker from
+    a different configuration raises instead of silently reusing the
+    wrong corpus; a missing marker bootstraps a fresh run; resume
+    without materialize_dir is an error."""
+    import shutil
+
+    import pytest
+
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    records = [
+        _e6_record(
+            _e6_http(
+                f"<html><body><p>{body}</p></body></html>".encode()
+            ),
+            f"http://a.example/p{i}",
+        )
+        for i, body in enumerate(EN_BODIES + DE_BODIES)
+    ]
+    (d / "a.warc").write_bytes(b"".join(records))
+    mat = str(tmp_path / "curated")
+    kw = dict(
+        materialize_dir=mat,
+        langs=("en", "de"),
+        min_quality=0.0,
+        split_weights={"train": 1.0},
+    )
+
+    key = lambda r: (r.doc_id, r.url, r.shard_id, r.split)  # noqa: E731
+    # resume=True with nothing committed yet -> fresh run (bootstrap)
+    first = sorted(
+        map(key, e6_crawl_corpus(spark, str(d), resume=True, **kw).collect())
+    )
+    assert first
+
+    # archives gone: only the at-rest curated frame can answer now
+    shutil.rmtree(d)
+    resumed = sorted(
+        map(key, e6_crawl_corpus(spark, str(d), resume=True, **kw).collect())
+    )
+    assert resumed == first
+
+    # a config that would have curated differently must refuse
+    with pytest.raises(ValueError, match="max_per_host"):
+        e6_crawl_corpus(spark, str(d), resume=True, max_per_host=2, **kw)
+    # and without the at-rest hand-off there is nothing to resume from
+    with pytest.raises(ValueError, match="materialize_dir"):
+        e6_crawl_corpus(spark, str(d), resume=True)
+
+
+def test_hadoop_text_roundtrip(spark, tmp_path):
+    """hadoop_write_text/hadoop_read_text roundtrip through a file:
+    URI — the marker I/O path the resume contract rides on."""
+    from vbb_data_pipeline_spark.sources.layout import (
+        hadoop_exists,
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    p = f"file://{tmp_path}/m/marker.json"
+    assert not hadoop_exists(spark, p)
+    hadoop_write_text(spark, p, '{"k": "v\\u00e9"}')
+    assert hadoop_exists(spark, p)
+    assert hadoop_read_text(spark, p) == '{"k": "v\\u00e9"}'
+    hadoop_write_text(spark, p, "second")  # overwrite
+    assert hadoop_read_text(spark, p) == "second"

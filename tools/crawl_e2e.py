@@ -116,6 +116,13 @@ def main() -> None:
     ap.add_argument("--keep-dir", default=None)
     ap.add_argument("--materialize-dir", default=None)
     ap.add_argument(
+        "--resume", action="store_true",
+        help="restart E4 from a committed curated frame already at "
+        "--materialize-dir (skips corpus build + WARC parse when the "
+        "_e6_curation.json marker matches); requires --keep-dir so "
+        "warc_path is stable across invocations",
+    )
+    ap.add_argument(
         "--ranged-chunk-mb", type=int, default=None,
         help="read archives via read_warc_ranged with this chunk size "
         "(the oversized-archive tier) instead of whole-file binaryFile",
@@ -142,12 +149,34 @@ def main() -> None:
         {"spark.io.compression.codec": args.codec} if args.codec else None
     )
     spark = get_spark("crawl-e2e", extra_conf=extra)
+    if args.resume and not (args.keep_dir and args.materialize_dir):
+        ap.error("--resume requires --keep-dir and --materialize-dir")
     tmp = args.keep_dir or tempfile.mkdtemp(prefix="crawl_e2e_")
     os.makedirs(tmp, exist_ok=True)
-    t0 = time.time()
-    meta = build_crawl_parallel(spark, args.sf, tmp, args.reps, args.files)
-    build_sec = round(time.time() - t0, 1)
-    print(json.dumps({"built": meta, "build_sec": build_sec}), flush=True)
+    # underscore prefix: invisible to Spark's file listing on fresh runs
+    meta_path = os.path.join(tmp, "_build_meta.json")
+    resumed = False
+    if args.resume and os.path.exists(meta_path):
+        from vbb_data_pipeline_spark.sources.layout import hadoop_exists
+
+        resumed = hadoop_exists(
+            spark, args.materialize_dir.rstrip("/") + "/_e6_curation.json"
+        )
+    if resumed:
+        meta = json.load(open(meta_path))
+        build_sec = 0.0
+        print(json.dumps({"resumed": True, "built": meta}), flush=True)
+    else:
+        t0 = time.time()
+        meta = build_crawl_parallel(
+            spark, args.sf, tmp, args.reps, args.files
+        )
+        build_sec = round(time.time() - t0, 1)
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+        print(
+            json.dumps({"built": meta, "build_sec": build_sec}), flush=True
+        )
 
     from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
 
@@ -160,6 +189,7 @@ def main() -> None:
         run_e4=True,
         shard_budget=1_000_000,
         materialize_dir=args.materialize_dir,
+        resume=args.resume,
         ranged_chunk_bytes=(
             args.ranged_chunk_mb << 20 if args.ranged_chunk_mb else None
         ),
@@ -176,6 +206,7 @@ def main() -> None:
         ),
         "codec": args.codec or "lz4",
         "heap_per_task_gb": 0.5,
+        "resumed": resumed,
         "outcome": "ok",
         "sec": sec,
         "docs_per_sec": round(meta["docs"] / sec),

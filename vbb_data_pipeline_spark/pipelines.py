@@ -513,6 +513,7 @@ def e6_crawl_corpus(
     lsh_pair_mode: str = "star",
     ranged_chunk_bytes: int | None = None,
     materialize_dir: str | None = None,
+    resume: bool = False,
     **e4_kwargs,
 ) -> DataFrame:
     """E6: raw crawl archives → training shards, the full C4/RefinedWeb
@@ -567,6 +568,20 @@ def e6_crawl_corpus(
     traceability. Deterministic end-to-end: ids, URL winners, host
     caps and every E4 decision are seeded hashes, so two runs — or a
     resumed run — produce identical shards.
+
+    **Resume** (``resume=True``, requires ``materialize_dir``): if the
+    directory already holds a COMMITTED curated-documents frame from a
+    prior run of the same configuration (the ``_e6_curation.json``
+    marker, written only after the parquet commit, records every
+    parameter that shapes steps 1–6), the WARC parse + curation is
+    skipped entirely and E4 restarts from the at-rest frame. At 100 TB
+    the ingest/curation pass is hours of work a mid-E4 failure should
+    not repeat; determinism makes the resumed run's shards identical
+    to an uninterrupted one. A marker from a DIFFERENT configuration
+    raises (never silently reuses the wrong corpus); a missing marker
+    falls through to a fresh run — so crash-restart scripts can pass
+    ``resume=True`` unconditionally. All probes go through the Hadoop
+    FileSystem API (portable to hdfs/s3a, not driver-local).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -586,6 +601,69 @@ def e6_crawl_corpus(
         wet_to_documents,
     )
 
+    if input_format not in ("warc", "wet"):
+        raise ValueError(f"input_format must be warc|wet: {input_format}")
+
+    # every parameter that shapes the curated frame (steps 1-6); the
+    # resume marker must match ALL of them before the at-rest frame
+    # can stand in for a fresh curation pass. ranged_chunk_bytes is
+    # deliberately absent: the ranged tier is byte-identical to the
+    # whole-file read (parity-tested), so it never invalidates a
+    # resume.
+    import json as _json
+
+    curation_conf = {
+        "warc_path": warc_path,
+        "input_format": input_format,
+        "extractor": extractor,
+        "url_dedup": url_dedup,
+        "max_per_host": max_per_host,
+        "host_cap_mode": host_cap_mode,
+        "boilerplate_min_docs": boilerplate_min_docs,
+        "langs": list(langs) if langs is not None else None,
+        "min_chars": min_chars,
+        "seed": str(seed),
+        "hash_mode": hash_mode,
+    }
+    marker = (
+        materialize_dir.rstrip("/") + "/_e6_curation.json"
+        if materialize_dir is not None
+        else None
+    )
+    if resume:
+        from vbb_data_pipeline_spark.sources.layout import (
+            hadoop_exists,
+            hadoop_read_text,
+        )
+
+        if materialize_dir is None:
+            raise ValueError("resume=True requires materialize_dir")
+        if hadoop_exists(spark, marker):
+            recorded = _json.loads(hadoop_read_text(spark, marker))
+            if recorded != curation_conf:
+                diff = sorted(
+                    k
+                    for k in curation_conf
+                    if recorded.get(k) != curation_conf[k]
+                )
+                raise ValueError(
+                    f"resume: {materialize_dir} holds curated documents "
+                    f"from a different configuration (mismatched: {diff}); "
+                    "pass resume=False (or a fresh materialize_dir) to "
+                    "re-curate"
+                )
+            docs = spark.read.parquet(materialize_dir)
+            if not run_e4:
+                return docs
+            return e4_corpus_prep(
+                docs,
+                seed=seed,
+                hash_mode=hash_mode,
+                lsh_pair_mode=lsh_pair_mode,
+                **e4_kwargs,
+            )
+        # no marker -> nothing committed to resume from: fresh run
+
     # ranged_chunk_bytes: opt into the byte-range tier when archives
     # exceed the per-task heap (binaryFile holds the WHOLE file in JVM
     # memory — the measured 10 GB-decade OOM; sources/warc.py header)
@@ -599,10 +677,8 @@ def e6_crawl_corpus(
 
     if input_format == "warc":
         docs = warc_to_documents(_read(), extractor=extractor)
-    elif input_format == "wet":
+    else:  # "wet" — validated above
         docs = wet_to_documents(_read(types=("conversion",)))
-    else:
-        raise ValueError(f"input_format must be warc|wet: {input_format}")
     docs = docs.withColumn("url", normalize_url("url")).filter(
         url_host("url").isNotNull()
     )
@@ -654,7 +730,16 @@ def e6_crawl_corpus(
         # Parquet truncates lineage with ZERO storage pinning, E4's
         # branches re-read with column pruning, and it is the only
         # shape that exists at 100 TB anyway.
+        from vbb_data_pipeline_spark.sources.layout import hadoop_write_text
+
         docs.write.mode("overwrite").parquet(materialize_dir)
+        # marker AFTER the parquet commit: its presence is the resume
+        # contract ("this directory holds a complete curated frame of
+        # exactly this configuration"). Underscore prefix keeps it
+        # invisible to the parquet reader.
+        hadoop_write_text(
+            spark, marker, _json.dumps(curation_conf, sort_keys=True)
+        )
         docs = spark.read.parquet(materialize_dir)
     else:
         docs = docs.localCheckpoint()

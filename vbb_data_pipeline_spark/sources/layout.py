@@ -246,6 +246,38 @@ def hadoop_exists(spark: SparkSession, path: str) -> bool:
     return jp.getFileSystem(conf).exists(jp)
 
 
+def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API —
+    driver-side, metadata-scale (markers, manifests). Same portability
+    contract as :func:`hadoop_exists`: works on any scheme the cluster
+    mounts, where ``open()`` would be driver-local."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(conf)
+    out = fs.create(jp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API
+    (counterpart of :func:`hadoop_write_text`)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(conf)
+    stream = fs.open(jp)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 8192, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _fs_swap(spark: SparkSession, src: str, dst: str) -> None:
     """Swap ``src`` into ``dst`` via Hadoop FileSystem renames
     (portable to HDFS; shutil would be local-only). dst → dst.old,
