@@ -209,15 +209,28 @@ def site_boilerplate_removal(
         F.col(id_col),
         url_host(url_col).alias("_host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
-    )
+    ).withColumn("_lh", F.xxhash64("_line"))
+    # The count-distinct and the anti-join key on the 8-byte line
+    # HASH, never the line text: Spark plans count(distinct doc)
+    # group by (host, line) as a first-level aggregate keyed on
+    # (host, line, doc) — with string keys that partial map holds
+    # essentially the partition's entire text. Measured failure (the
+    # 20 GB crawl decade): zstd-dense shuffle blocks made AQE coalesce
+    # the upstream URL-dedup exchange into ~2-3x fatter partitions,
+    # and 32 concurrent string-keyed partial maps exhausted the
+    # execution pool (UNABLE_TO_ACQUIRE_MEMORY at 0.5 GB/task) before
+    # any could even allocate a spill sorter. Hashed keys are ~10x
+    # smaller; flagging is identical absent a 64-bit same-host
+    # collision (~lines²/2^64, negligible) — the jaccard_pairs hashed-
+    # shingle posture, and the DuckDB oracles keep matching on text.
     flagged = (
         lines.filter(F.length("_line") >= min_chars)
-        .groupBy("_host", "_line")
+        .groupBy("_host", "_lh")
         .agg(F.count_distinct(F.col(id_col)).alias("_ndocs"))
         .filter(F.col("_ndocs") >= min_docs)
-        .select("_host", "_line")
+        .select("_host", "_lh")
     )
-    kept = lines.join(flagged, ["_host", "_line"], "left_anti")
+    kept = lines.join(flagged, ["_host", "_lh"], "left_anti")
     rebuilt = (
         kept.groupBy(id_col)
         .agg(
