@@ -118,6 +118,28 @@ def test_boilerplate_empty_doc_survives(spark):
     assert len(out) == 1 and out[0]["text"] == ""
 
 
+def test_boilerplate_aggregates_on_line_hash_not_text(spark):
+    """Plan-shape pin for the 20 GB-decade OOM fix: the count-distinct
+    partial map must key on xxhash64(line), never the line string —
+    string keys make the map hold the partition's whole text, and
+    zstd-dense AQE coalescing blew the execution pool at 0.5 GB/task
+    (CRAWL_E2E.json, round 8). Asserted on the optimized plan: every
+    Aggregate groups on the hash column, none on a raw line string."""
+    rows = [(1, "https://h.com/a", "nav\nbody")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = site_boilerplate_removal(df, "url", min_docs=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith("+- Aggregate")
+        or ln.lstrip().startswith("Aggregate")
+    ]
+    flag_aggs = [ln for ln in agg_lines if "_ndocs" in ln]
+    assert flag_aggs, f"boilerplate count aggregate not found in:\n{plan}"
+    for ln in flag_aggs:
+        assert "xxhash64" in ln or "_lh" in ln, ln
+        assert "_line#" not in ln.split("[", 1)[1].split("]", 1)[0], ln
+
+
 # ------------------------------------------------------ host_cap_approx
 
 
