@@ -248,23 +248,26 @@ def test_warc_documents_density_knob(spark, tmp_path):
 
 
 def test_crawl_roundtrip_query_matches_source(spark):
-    """The driver-gated roundtrip entry: documents → in-plan WARC →
-    production parse → extracted text identical to the source table
-    (decoy warcinfo/json/404 records dropped along the way)."""
+    """The driver-gated roundtrip battery: documents → real WARC
+    framing → production parse → extracted text identical to the
+    source table on BOTH read tiers (whole-file parse_warc_records
+    and byte-range read_warc_ranged), decoy warcinfo/json/404
+    records dropped along the way."""
     from vbb_data_pipeline_spark.queries.crawl_q import crawl_warc_roundtrip
 
     sf = "/root/testdata/sf0.001"
-    got = {
-        r["doc_id"]: r["text"]
-        for r in crawl_warc_roundtrip(spark, sf).collect()
-    }
+    legs: dict[str, dict] = {}
+    for r in crawl_warc_roundtrip(spark, sf).collect():
+        legs.setdefault(r["variant"], {})[r["doc_id"]] = r["text"]
     src = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{sf}/documents.parquet")
         .select("doc_id", "text")
         .collect()
     }
-    assert got == src
+    assert set(legs) == {"whole", "ranged"}
+    assert legs["whole"] == src
+    assert legs["ranged"] == src
 
 
 def test_wet_conversion_records(spark, tmp_path):

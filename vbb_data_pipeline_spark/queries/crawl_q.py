@@ -26,25 +26,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vbb_data_pipeline_spark.queries import load_table, register
+from vbb_data_pipeline_spark.queries import (
+    load_table,
+    register,
+    tag_union,
+    tag_union_sql,
+)
 
 N_ARCHIVES = 8
 
 _BUILD_SCHEMA = "path string, content binary"
 
 
-def _build_archive(key, pdf):
+def _archive_bytes(bucket: int, doc_text_pairs) -> bytes:
     """One doc_id bucket → one gzip-member WARC archive (bytes).
 
     Real framing: every record is its own gzip member (the Common
     Crawl layout — exercises the streaming member decompressor), a
     ``warcinfo`` lead record plus a non-HTML response and a 404
     response are planted as decoys for the downstream filters.
+    Deterministic bytes (sorted docs, ``mtime=0``) so both battery
+    legs and repeated runs frame identical archives.
     """
     import gzip
     import html as _html
-
-    import pandas as pd
 
     def record(payload: bytes, rtype: str, uri: str) -> bytes:
         head = (
@@ -66,15 +71,12 @@ def _build_archive(key, pdf):
         "<script>var x=1;</script></head>"
         "<body><p>{0}</p></body></html>"
     )
-    bucket = int(key[0])
     members = [
         gzip.compress(
             record(b"builder: crawl_q", "warcinfo", "meta"), mtime=0
         )
     ]
-    for did, text in sorted(
-        zip(pdf["doc_id"], pdf["text"]), key=lambda r: int(r[0])
-    ):
+    for did, text in sorted(doc_text_pairs, key=lambda r: int(r[0])):
         body = page.format(_html.escape(str(text))).encode()
         members.append(
             gzip.compress(
@@ -107,24 +109,32 @@ def _build_archive(key, pdf):
             mtime=0,
         )
     )
+    return b"".join(members)
+
+
+def _build_archive(key, pdf):
+    """applyInPandas wrapper over :func:`_archive_bytes` (whole leg)."""
+    import pandas as pd
+
+    bucket = int(key[0])
     return pd.DataFrame(
         {
             "path": [f"mem://crawl/{bucket:02d}.warc.gz"],
-            "content": [b"".join(members)],
+            "content": [_archive_bytes(bucket, zip(pdf["doc_id"], pdf["text"]))],
         }
     )
 
 
-@register(
-    "crawl_warc_roundtrip",
-    oracle="SELECT doc_id, text FROM documents",
-    survey="E6/WARC (beyond-reference crawl plane)",
-    note="documents → in-plan gzip-member WARC archives → production "
-    "parse_warc_records + warc_to_documents → text must hash-match "
-    "the source table; decoy warcinfo/json/404 records must be "
-    "filtered out",
-)
-def crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _to_roundtrip(parsed_docs: DataFrame) -> DataFrame:
+    return parsed_docs.select(
+        F.regexp_extract(F.col("url"), r"doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("text"),
+    )
+
+
+def _whole_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.sources.warc import (
         parse_warc_records,
         warc_to_documents,
@@ -136,10 +146,85 @@ def crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).applyInPandas(_build_archive, schema=_BUILD_SCHEMA)
     # types=() keeps every record so warc_to_documents' own
     # response/200/text-html filters are what drop the decoys
-    parsed = warc_to_documents(parse_warc_records(archives, types=()))
-    return parsed.select(
-        F.regexp_extract(F.col("url"), r"doc/(\d+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("text"),
+    return _to_roundtrip(warc_to_documents(parse_warc_records(archives, types=())))
+
+
+def _ranged_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the same archives as real files so the byte-range tier
+    has something to seek: driver-side, content-keyed temp dir,
+    write-once (rename-commit, so concurrent harness runs are safe).
+
+    Driver-side build is fine here — the documents table is the
+    correctness fixture (≤5k rows); production archives come off the
+    crawl, never from a driver loop."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = [(int(r["doc_id"]), str(r["text"])) for r in docs.collect()]
+    blobs = [
+        (
+            f"{b:02d}.warc.gz",
+            _archive_bytes(
+                b, [(d, t) for d, t in rows if d % N_ARCHIVES == b]
+            ),
+        )
+        for b in range(N_ARCHIVES)
+    ]
+    key = hashlib.sha256(b"".join(c for _, c in blobs)).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), f"sg_warc_fixture_{key}")
+    if not os.path.isdir(final):
+        tmp = f"{final}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for name, blob in blobs:
+            with open(os.path.join(tmp, name), "wb") as fh:
+                fh.write(blob)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def _ranged_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.sources.warc import (
+        read_warc_ranged,
+        warc_to_documents,
+    )
+
+    # 4 KB chunks split each fixture archive into many byte-range
+    # tasks, so member-offset indexing, per-member parsing and
+    # record_idx rebasing all sit inside the hash gate
+    parsed = read_warc_ranged(
+        spark, _ranged_fixture(spark, sf_dir), types=(), chunk_bytes=4096
+    )
+    return _to_roundtrip(warc_to_documents(parsed))
+
+
+_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
+
+
+@register(
+    "crawl_warc_roundtrip",
+    oracle=tag_union_sql(
+        [("whole", _ROUNDTRIP_SQL), ("ranged", _ROUNDTRIP_SQL)]
+    ),
+    survey="E6/WARC (beyond-reference crawl plane) — [whole] in-plan "
+    "gzip-member archives through parse_warc_records; [ranged] the "
+    "same archives as files through read_warc_ranged (member-offset "
+    "index, 4 KB byte-range chunks, record_idx rebasing) — the "
+    "oversized-archive tier, folded r8 so it has a driver row",
+    note="documents → real gzip-member WARC framing → production "
+    "parse → text must hash-match the source table on BOTH read "
+    "tiers; decoy warcinfo/json/404 records must be filtered out",
+)
+def crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tag_union(
+        [
+            ("whole", _whole_leg(spark, sf_dir)),
+            ("ranged", _ranged_leg(spark, sf_dir)),
+        ]
     )
