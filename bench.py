@@ -54,11 +54,17 @@ OPTIONAL = [
 
 #: Previous round's per-query times — printed as a stderr delta report
 #: so each round states faster/slower per query (judge request).
-def _latest_prev_bench() -> str:
+def _latest_prev_bench(here: Path | None = None) -> str:
     """Most recent driver-recorded BENCH_r*.json, so the delta report
     always compares against the latest round without a manual bump."""
-    here = Path(__file__).resolve().parent
-    cands = sorted(here.glob("BENCH_r*.json"))
+    here = here or Path(__file__).resolve().parent
+    # sort on the round NUMBER — lexicographic order would rank r100
+    # before r99 once the padding width overflows
+    cands = sorted(
+        (p for p in here.glob("BENCH_r*.json")
+         if (m := re.search(r"BENCH_r(\d+)\.json$", p.name))),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p.name).group(1)),
+    )
     return cands[-1].name if cands else "BENCH_r07.json"
 
 

@@ -69,3 +69,12 @@ def test_garbage_shapes_never_raise(tmp_path):
         p.write_text(payload)
         out = bench.delta_report(p, TIMES, 0.75, 0.1)
         assert isinstance(out, str)
+
+
+def test_latest_prev_bench_sorts_numerically(tmp_path):
+    """r100 must beat r99 — lexicographic sort would pick r99 forever
+    once the round number outgrows the padded width."""
+    for n in (7, 99, 100):
+        (tmp_path / f"BENCH_r{n}.json").write_text("{}")
+    (tmp_path / "BENCH_rX.json").write_text("{}")  # unparsable: ignored
+    assert bench._latest_prev_bench(tmp_path) == "BENCH_r100.json"

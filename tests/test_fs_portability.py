@@ -49,3 +49,25 @@ def test_no_driver_local_fs_probes_or_moves():
         "path — probe via spark.read/hadoop_exists, swap via "
         "_fs_swap:\n" + "\n".join(hits)
     )
+
+
+def test_sibling_path_shapes():
+    """Temp-sibling path math across every path shape a swap target
+    can take — notably a bare relative segment must yield a SIBLING
+    (pathlib parent semantics), never a child that the swap's rename
+    would then carry away with the target."""
+    import pytest
+
+    from vbb_data_pipeline_spark.sources.layout import sibling_path
+
+    assert sibling_path("s3a://b/warehouse/t", ".m_1") == "s3a://b/warehouse/.m_1"
+    assert sibling_path("s3a://b/t", ".m_1") == "s3a://b/.m_1"
+    assert sibling_path("s3a://b/t/", ".m_1") == "s3a://b/.m_1"
+    assert sibling_path("/data/t", ".m_1") == "/data/.m_1"
+    assert sibling_path("/t", ".m_1") == "/.m_1"
+    assert sibling_path("rel/t", ".m_1") == "rel/.m_1"
+    assert sibling_path("mytable", ".m_1") == "./.m_1"
+    with pytest.raises(ValueError):
+        sibling_path("s3a://bucket", ".m_1")  # bucket root: no parent
+    with pytest.raises(ValueError):
+        sibling_path("s3a://bucket/", ".m_1")

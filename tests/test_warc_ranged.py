@@ -399,3 +399,81 @@ def test_member_stream_member_larger_than_feed():
     assert len(got) == 2
     assert got[0][1] == big and got[1][1] == big
     assert got[1][0] == 2 * len(m)
+
+
+def test_plain_warc_duplicate_content_length_parity(spark, tmp_path):
+    """A duplicated Content-Length header must frame IDENTICALLY in
+    the chunk indexer and in parse_warc_bytes (both: last occurrence
+    wins) — a first-wins walk desyncs the index from the parse and
+    read_warc_ranged trips its stale-index cross-check on a freshly
+    built index."""
+    body = _http(b"<p>dup header</p>")
+    dup = (
+        (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://d.example/0\r\n"
+            "Content-Length: 3\r\n"          # decoy: first occurrence
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        + body
+        + b"\r\n\r\n"
+    )
+    normal = _record(_http(b"<p>after</p>"), uri="http://d.example/1")
+    (tmp_path / "d.warc").write_bytes(dup + normal)
+    ranged = (
+        read_warc_ranged(spark, str(tmp_path), chunk_bytes=64)
+        .orderBy("target_uri")
+        .collect()
+    )
+    whole = read_warc(spark, str(tmp_path)).orderBy("target_uri").collect()
+    assert len(ranged) == len(whole) == 2
+    for a, b in zip(ranged, whole):
+        assert a.record_idx == b.record_idx
+        assert bytes(a.payload) == bytes(b.payload)
+
+
+def test_arrowfs_normalized_paths_resolve_exactly(monkeypatch):
+    """from_uri NORMALIZES (percent-decoding here): the textual
+    root-stripping shortcut must not cache a garbage root, and every
+    percent-escaped path must resolve to the store's real key — for
+    both orders (dirty-first and clean-first)."""
+    import urllib.parse
+
+    import pyarrow
+
+    calls = []
+    blob = bytes(range(256))
+    store = {
+        "bucket/a dir/x.bin": blob,
+        "bucket/clean/y.bin": blob[::-1],
+    }
+
+    class FakeFS:
+        def open_input_file(self, rel):
+            assert rel in store, rel  # garbage rel would KeyError
+            return _FakeArrowFile(store[rel])
+
+    class FakeFileSystem:
+        @staticmethod
+        def from_uri(uri):
+            calls.append(uri)
+            return FakeFS(), urllib.parse.unquote(uri[len("s3://"):])
+
+    fake_mod = type("m", (), {"FileSystem": FakeFileSystem})
+    monkeypatch.setattr(pyarrow, "fs", fake_mod, raising=False)
+
+    # dirty first: exact resolution, no poisoned cache for later paths
+    rd = ArrowFsRangeReader()
+    assert rd.read_range("s3a://bucket/a%20dir/x.bin", 10, 4) == blob[10:14]
+    assert rd.read_range("s3a://bucket/clean/y.bin", 0, 2) == blob[::-1][0:2]
+
+    # clean first: cached textual root must NOT be applied to the
+    # escaped path
+    rd2 = ArrowFsRangeReader()
+    assert rd2.read_range("s3a://bucket/clean/y.bin", 0, 2) == blob[::-1][0:2]
+    assert rd2.read_range("s3a://bucket/a%20dir/x.bin", 10, 4) == blob[10:14]
+    # and the clean path after it still rides the cached root (one
+    # from_uri for the clean resolution, no re-resolve)
+    n = len(calls)
+    assert rd2.read_range("s3a://bucket/clean/y.bin", 1, 2) == blob[::-1][1:3]
+    assert len(calls) == n

@@ -145,12 +145,12 @@ def main() -> None:
 
     from vbb_data_pipeline_spark.session import get_spark
 
+    if args.resume and not (args.keep_dir and args.materialize_dir):
+        ap.error("--resume requires --keep-dir and --materialize-dir")
     extra = (
         {"spark.io.compression.codec": args.codec} if args.codec else None
     )
     spark = get_spark("crawl-e2e", extra_conf=extra)
-    if args.resume and not (args.keep_dir and args.materialize_dir):
-        ap.error("--resume requires --keep-dir and --materialize-dir")
     tmp = args.keep_dir or tempfile.mkdtemp(prefix="crawl_e2e_")
     os.makedirs(tmp, exist_ok=True)
     # underscore prefix: invisible to Spark's file listing on fresh runs
@@ -164,6 +164,21 @@ def main() -> None:
         )
     if resumed:
         meta = json.load(open(meta_path))
+        # the curation marker keys on the keep-dir PATH and curation
+        # params only — cross-check the corpus BUILD params too, or a
+        # --resume with different --sf/--reps/--files silently reuses
+        # the old corpus and records the new args against it
+        want = {"reps": args.reps, "files": args.files}
+        if "sf" in meta:  # older markers predate the sf record
+            want["sf"] = args.sf
+        have = {k: meta.get(k) for k in want}
+        if have != want:
+            raise SystemExit(
+                f"--resume build-param mismatch: corpus at {tmp} was "
+                f"built with {have}, invocation asks {want} — drop "
+                "--resume (or point --keep-dir/--materialize-dir at "
+                "a fresh location) to rebuild"
+            )
         build_sec = 0.0
         print(json.dumps({"resumed": True, "built": meta}), flush=True)
     else:
@@ -171,6 +186,7 @@ def main() -> None:
         meta = build_crawl_parallel(
             spark, args.sf, tmp, args.reps, args.files
         )
+        meta["sf"] = args.sf
         build_sec = round(time.time() - t0, 1)
         with open(meta_path, "w") as fh:
             json.dump(meta, fh)

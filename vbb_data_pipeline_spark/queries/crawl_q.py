@@ -174,18 +174,26 @@ def _ranged_fixture(spark: SparkSession, sf_dir: str) -> str:
     ]
     key = hashlib.sha256(b"".join(c for _, c in blobs)).hexdigest()[:16]
     final = os.path.join(tempfile.gettempdir(), f"sg_warc_fixture_{key}")
-    if not os.path.isdir(final):
-        tmp = f"{final}.tmp.{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
-        for name, blob in blobs:
-            with open(os.path.join(tmp, name), "wb") as fh:
-                fh.write(blob)
+    # build-then-rename commit; no existence probe (the fs-portability
+    # gate bans them package-wide, and on this driver-local temp path
+    # the rename's OSError already tells us a prior run committed)
+    tmp = f"{final}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for name, blob in blobs:
+        with open(os.path.join(tmp, name), "wb") as fh:
+            fh.write(blob)
+    try:
+        os.rename(tmp, final)
+    except OSError:  # an identical fixture already committed
+        for name, _ in blobs:
+            try:
+                os.remove(os.path.join(tmp, name))
+            except OSError:
+                pass
         try:
-            os.rename(tmp, final)
+            os.rmdir(tmp)
         except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+            pass
     return final
 
 

@@ -230,9 +230,33 @@ def sibling_path(path: str, name: str) -> str:
     URI-schemed data paths. ``pathlib.Path("s3a://b/t").parent``
     collapses the ``//`` to ``s3a:/b`` (a broken URI); every
     temp-sibling a swap writes must survive that, so no ``pathlib``
-    on data paths."""
-    base = path.rstrip("/").rsplit("/", 1)[0]
-    return f"{base}/{name}"
+    on data paths.
+
+    A bare relative segment (``"mytable"``) gets ``"./<name>"``
+    (pathlib's parent semantics — NOT a child of the table, which a
+    swap would then rename away together with the target); a
+    scheme-root path (``"s3a://bucket"``) raises — a bucket has no
+    parent to place the temp sibling in, and a swap of a bucket root
+    can't rename anyway."""
+    if "://" in path:
+        scheme, _, tail = path.partition("://")
+        authority, _, rest = tail.partition("/")
+        rest = rest.rstrip("/")
+        if not rest:
+            raise ValueError(
+                f"{path}: scheme-root path has no parent for a temp "
+                f"sibling {name!r} — point the table one level below "
+                "the bucket/volume root"
+            )
+        prefix = f"{scheme}://{authority}"
+        if "/" in rest:
+            return f"{prefix}/{rest.rsplit('/', 1)[0]}/{name}"
+        return f"{prefix}/{name}"
+    base = path.rstrip("/")
+    if "/" not in base:
+        return f"./{name}"
+    parent = base.rsplit("/", 1)[0]
+    return f"{parent}/{name}" if parent else f"/{name}"
 
 
 def hadoop_exists(spark: SparkSession, path: str) -> bool:

@@ -303,15 +303,33 @@ class ArrowFsRangeReader:
         if got is None:
             # from_uri can hit the network (e.g. S3 region lookup) —
             # resolve once per (scheme, authority) per worker, and
-            # derive later rel-paths textually from the first one
+            # derive later rel-paths textually from the first one.
+            # The textual root is only trusted when from_uri provably
+            # did NOT rewrite the path text (no percent-escapes, no
+            # doubled slashes, rel ends with the suffix verbatim);
+            # otherwise root=None and every path on this authority
+            # re-resolves exactly — caching a mis-derived root would
+            # 404 every later read on the store
             f, rel = pafs.FileSystem.from_uri(uri)
             suffix = uri[len(key):]
-            root = rel[: len(rel) - len(suffix)] if suffix and rel.endswith(
-                suffix
-            ) else rel
-            self._cache[key] = got = (f, root)
+            root = (
+                rel[: len(rel) - len(suffix)]
+                if suffix
+                and "%" not in suffix
+                and "//" not in suffix
+                and rel.endswith(suffix)
+                else None
+            )
+            self._cache[key] = (f, root)
+            return f, rel
         f, root = got
-        return f, root + uri[len(key):]
+        suffix = uri[len(key):]
+        if root is None or "%" in suffix or "//" in suffix:
+            # normalized path: reuse the cached filesystem handle but
+            # resolve this path's rel form exactly
+            _, rel = pafs.FileSystem.from_uri(uri)
+            return f, rel
+        return f, root + suffix
 
     def open(self, path: str, offset: int = 0):
         f, rel = self._fs(path)
@@ -457,15 +475,20 @@ def _plain_warc_record_offsets(fh, block_bytes: int = 4 << 20):
             base += pos
             pos = 0
         head = buf[pos:he].decode("latin-1", "replace")
-        clen = None
+        # LAST Content-Length occurrence wins, invalid value stops the
+        # segment — parse_warc_bytes' dict semantics exactly, so both
+        # passes frame a duplicated-header record identically (a
+        # first-wins walk here would desync the chunk index from the
+        # parse and trip the stale-index cross-check)
+        clen_s = None
         for ln in head.split("\r\n")[1:]:
             k, _, v = ln.partition(":")
             if k.strip().lower() == "content-length":
-                try:
-                    clen = int(v.strip())
-                except ValueError:
-                    pass
-                break
+                clen_s = v.strip()
+        try:
+            clen = int(clen_s) if clen_s is not None else None
+        except ValueError:
+            clen = None
         if clen is None:
             return offs, rec_start  # unframeable: stop
         body_end = he + 4 + clen  # relative to buf[0]
