@@ -936,3 +936,51 @@ def test_hadoop_text_roundtrip(spark, tmp_path):
     assert hadoop_read_text(spark, p) == '{"k": "v\\u00e9"}'
     hadoop_write_text(spark, p, "second")  # overwrite
     assert hadoop_read_text(spark, p) == "second"
+
+
+def test_e6_curation_only_materialize_writes_marker(spark, tmp_path):
+    """run_e4=False + materialize_dir is the curate-once hand-off:
+    the at-rest frame AND its marker must land (previously the
+    curation-only return skipped both, so a later resume silently
+    re-parsed the archives), and the marker records the RESOLVED
+    hash mode, never null."""
+    import json
+    import shutil
+
+    from vbb_data_pipeline_spark.functions.hashing import default_hash_mode
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+    from vbb_data_pipeline_spark.sources.layout import hadoop_read_text
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    records = [
+        _e6_record(
+            _e6_http(
+                f"<html><body><p>{body}</p></body></html>".encode()
+            ),
+            f"http://a.example/p{i}",
+        )
+        for i, body in enumerate(EN_BODIES)
+    ]
+    (d / "a.warc").write_bytes(b"".join(records))
+    mat = str(tmp_path / "curated")
+
+    # naive extractor: the fixture pages are single short paragraphs,
+    # which the density classifier (correctly) scores as boilerplate
+    out = e6_crawl_corpus(
+        spark, str(d), run_e4=False, materialize_dir=mat, extractor="naive"
+    )
+    docs = sorted((r.doc_id, r.url) for r in out.collect())
+    assert docs
+    marker = json.loads(
+        hadoop_read_text(spark, mat.rstrip("/") + "/_e6_curation.json")
+    )
+    assert marker["hash_mode"] == default_hash_mode()  # resolved, not null
+
+    # archives gone: the curation-only run left enough to resume from
+    shutil.rmtree(d)
+    resumed = e6_crawl_corpus(
+        spark, str(d), run_e4=False, materialize_dir=mat, resume=True,
+        extractor="naive",
+    )
+    assert sorted((r.doc_id, r.url) for r in resumed.collect()) == docs

@@ -378,3 +378,59 @@ def test_stream_crawl_corpus_ingest_wet(spark, tmp_path, kw):
     q.awaitTermination(120)
     rows = spark.read.parquet(kw["corpus_path"]).collect()
     assert len(rows) == 1 and rows[0]["text"] == GOOD
+
+
+def test_null_text_gets_low_quality_verdict(spark, kw):
+    """NULL text scores NULL quality, which satisfies NEITHER gate
+    branch — the doc must land in the reject branch with an audit
+    row, not vanish verdict-less (the module contract: every input
+    doc gets exactly one verdict)."""
+    batch = _docs(spark, [(1, GOOD), (2, None)])
+    corpus_ingest_batch(batch, 0, **kw)
+    got = _statuses(spark, kw["audit_path"])
+    assert got == {1: "new", 2: "low_quality"}
+    corpus_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(kw["corpus_path"]).collect()
+    ]
+    assert corpus_ids == [1]
+
+
+def test_crash_before_index_write_converges(spark, kw, monkeypatch):
+    """Crash window between the audit append and the fps-index append
+    (the LAST write in the batch): the audit must already be complete,
+    and the replay must finish the index write without duplicating
+    any earlier append. (The reverse order had an unclosable window:
+    once survivors hit the index, a replay's step-0 guard removed
+    them from the batch and their 'new' audit rows could never be
+    rebuilt.)"""
+    import vbb_data_pipeline_spark.operators.dedup as dd
+
+    real = dd.dedup_index_write
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before index append")
+
+    monkeypatch.setattr(dd, "dedup_index_write", crashing)
+    batch = _docs(spark, [(1, GOOD), (2, GOOD2), (3, GOOD)])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        corpus_ingest_batch(batch, 0, **kw)
+    assert calls["n"] == 1
+    # the audit is already complete at the crash point
+    got = _statuses(spark, kw["audit_path"])
+    assert got == {1: "new", 2: "new", 3: "batch_dup"}
+    corpus_before = spark.read.parquet(kw["corpus_path"]).count()
+
+    # replay (checkpoint never committed) with the crash removed
+    monkeypatch.setattr(dd, "dedup_index_write", real)
+    corpus_ingest_batch(batch, 0, **kw)
+    assert spark.read.parquet(kw["corpus_path"]).count() == corpus_before
+    assert _statuses(spark, kw["audit_path"]) == got  # no dup audit rows
+    # and the index DID get written on replay: a later batch carrying
+    # the same text is recognized as an exact dup
+    corpus_ingest_batch(_docs(spark, [(50, GOOD)]), 1, **kw)
+    assert _statuses(spark, kw["audit_path"])[50] == "exact_dup"

@@ -488,3 +488,22 @@ def test_fixed_point_already_clean_is_one_round(spark):
     ).collect()}
     assert all(r.rounds == 1 and r.removed_tokens == 0 for r in out.values())
     assert out[0].text == "a b c d e"
+
+
+def test_span_removal_respects_text_col_name(spark):
+    """The rewritten-text output column keeps the CALLER's name — a
+    hardcoded "text" alias broke pipelines with any other column
+    (e4_corpus_prep(text_col="content") raised UNRESOLVED_COLUMN)."""
+    from vbb_data_pipeline_spark.operators.dedup import span_removal
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    df = spark.createDataFrame(
+        [(1, a + "one tail here"), (2, a + "two other end")],
+        "doc_id long, content string",
+    )
+    out = span_removal(df, "content", "doc_id", window=8)
+    assert set(out.columns) == {"doc_id", "content", "removed_tokens"}
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["removed_tokens"] == 0  # owner keeps the span
+    assert rows[2]["removed_tokens"] > 0
+    assert rows[2]["content"] != df.collect()[1]["content"]  # rewritten

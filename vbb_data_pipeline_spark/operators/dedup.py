@@ -699,7 +699,9 @@ def span_removal(
         base.join(covered, id_col, "left")
         .select(
             F.col(id_col),
-            F.concat_ws(" ", kept).alias("text"),
+            # rewritten text keeps the CALLER's column name — a
+            # hardcoded "text" alias broke every non-default text_col
+            F.concat_ws(" ", kept).alias(text_col),
             F.size(cov).cast("long").alias("removed_tokens"),
         )
     )

@@ -412,7 +412,7 @@ def e4_corpus_prep(
         sigs, id_col, hash_mode=mode, max_bucket_size=lsh_max_bucket_size,
         pair_mode=lsh_pair_mode,
     )
-    near = jaccard_pairs(exact, cands, text_col, id_col).filter(
+    near = jaccard_pairs(exact, cands, text_col, id_col, hash_mode=mode).filter(
         F.col("jaccard") >= F.lit(jaccard_threshold)
     ).select("id_a", "id_b")
     if embedding_col is not None:
@@ -612,10 +612,16 @@ def e6_crawl_corpus(
     # resume.
     import json as _json
 
+    from vbb_data_pipeline_spark.functions.hashing import default_hash_mode
+
     curation_conf = {
         "warc_path": warc_path,
         "input_format": input_format,
-        "extractor": extractor,
+        # the WET path never consults the extractor (conversion
+        # records are pre-extracted) — normalize it out of the marker
+        # so a restart that spells it differently doesn't force a
+        # spurious re-curation
+        "extractor": extractor if input_format == "warc" else None,
         "url_dedup": url_dedup,
         "max_per_host": max_per_host,
         "host_cap_mode": host_cap_mode,
@@ -623,7 +629,11 @@ def e6_crawl_corpus(
         "langs": list(langs) if langs is not None else None,
         "min_chars": min_chars,
         "seed": str(seed),
-        "hash_mode": hash_mode,
+        # RESOLVED mode: hash_mode=None resolves through the
+        # environment (default_hash_mode), and a resume in a
+        # different environment must not silently reuse a frame whose
+        # per-host winners were elected under the other hash family
+        "hash_mode": hash_mode or default_hash_mode(),
     }
     marker = (
         materialize_dir.rstrip("/") + "/_e6_curation.json"
@@ -714,7 +724,7 @@ def e6_crawl_corpus(
     )
     if langs is not None:
         docs = docs.filter(F.col("lang").isin(list(langs)))
-    if not run_e4:
+    if not run_e4 and materialize_dir is None:
         # curated documents only (steps 1-6) — the URL-level plane, a
         # measurement/inspection surface (tools/crawl_throughput.py)
         # and the hand-off point for callers running their own corpus
@@ -741,6 +751,12 @@ def e6_crawl_corpus(
             spark, marker, _json.dumps(curation_conf, sort_keys=True)
         )
         docs = spark.read.parquet(materialize_dir)
+        if not run_e4:
+            # curate-once hand-off: the at-rest frame plus its marker
+            # are the whole point of a curation-only materialized run —
+            # a later resume=True (with or without E4) starts from here
+            # instead of re-running the WARC parse
+            return docs
     else:
         docs = docs.localCheckpoint()
     # crawl corpora carry mega-families of near-identical pages

@@ -145,10 +145,21 @@ def corpus_ingest_batch(
     # keeps the file-source lineage from re-running per branch
     batch = batch.localCheckpoint(eager=True)
 
-    # 1. quality gate
+    # 1. quality gate. NULL text must be REJECTED here, not scored:
+    # quality_score(NULL) is 0.3 (the punctuation term fires on the
+    # null-coalesced ratios), which clears the default gate — the
+    # corpus would accumulate text-less rows whose NULL fingerprints
+    # then cross-match each other in the dedup index. And a scoring
+    # variant that yields NULL would satisfy NEITHER filter branch,
+    # silently losing the doc's verdict; ~coalesce(ok, false) keeps
+    # every input doc on exactly one branch either way.
     scored = batch.withColumn("_q", quality_score(text_col))
-    low = scored.filter(F.col("_q") < F.lit(float(min_quality)))
-    ok = scored.filter(F.col("_q") >= F.lit(float(min_quality))).drop("_q")
+    ok_pred = (
+        F.col(text_col).isNotNull()
+        & (F.col("_q") >= F.lit(float(min_quality)))
+    )
+    low = scored.filter(~F.coalesce(ok_pred, F.lit(False)))
+    ok = scored.filter(ok_pred).drop("_q")
 
     # 2. intra-batch exact dedup (fingerprint keep-lowest-id)
     fped = ok.withColumn("_fp", fingerprint(text_col))
@@ -195,7 +206,8 @@ def corpus_ingest_batch(
         # micro-batch would silently take the bootstrap branch — the
         # semantic tier would never engage and semantic dups would
         # accumulate in the corpus with no error.
-        if _vector_index_ids(spark, embedding_index_path, id_col) is not None:
+        vec_index_ids = _vector_index_ids(spark, embedding_index_path, id_col)
+        if vec_index_ids is not None:
             sem = semdedup_incremental(
                 cand.select(id_col, vec_col),
                 embedding_index_path,
@@ -250,15 +262,14 @@ def corpus_ingest_batch(
         )
 
         vec_survivors = survivors.filter(F.col(vec_col).isNotNull())
-        # replay guard for the vector index (narrow id-column read).
-        # Probed via spark.read + AnalysisException like the other
-        # guards — an os.path.exists probe is driver-local and would
-        # silently never engage on HDFS/S3, letting a crash-replay
-        # between the corpus append and the checkpoint commit
-        # duplicate index rows.
-        have = _vector_index_ids(spark, embedding_index_path, id_col)
-        if have is not None:
-            vec_survivors = vec_survivors.join(have, id_col, "left_anti")
+        # replay guard for the vector index (narrow id-column read) —
+        # reuses step 3b's probe (same at-rest state: nothing has
+        # appended to the index between the probe and this write), so
+        # the index metadata isn't listed twice per micro-batch
+        if vec_index_ids is not None:
+            vec_survivors = vec_survivors.join(
+                vec_index_ids, id_col, "left_anti"
+            )
         ivf_write_index(
             vec_survivors.select(id_col, vec_col),
             centroids,
@@ -268,22 +279,18 @@ def corpus_ingest_batch(
             vec_col=vec_col,
             mode="append",
         )
-    dedup_index_write(
-        survivors,
-        index_path,
-        text_col=text_col,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        shingle_n=shingle_n,
-        bands=bands,
-        hash_mode=hash_mode,
-        mode="append",
-    )
-
     # 5. audit every verdict (batch-scoped, append-only). Rejected
     # docs never enter the fps index, so the step-0 guard alone would
     # re-audit them on replay — the batch-partition anti-join below
-    # makes the audit itself effectively-once.
+    # makes the audit itself effectively-once. The audit MUST land
+    # before the fps-index append: once survivors are in the index,
+    # a replay's step-0 guard removes them from the batch, so their
+    # "new" rows could never be rebuilt — a crash in that order's
+    # window would lose them from the audit permanently. In this
+    # order every crash point still converges: a replay after the
+    # audit rebuilds the full batch (survivors not yet indexed),
+    # skips the guarded corpus/ivf/audit appends, and completes the
+    # index write.
     audit = (
         verdicts.unionByName(
             low.select(
@@ -307,6 +314,19 @@ def corpus_ingest_batch(
     if audited is not None:
         audit = audit.join(audited, id_col, "left_anti")
     audit.write.partitionBy("batch_id").mode("append").parquet(audit_path)
+
+    # 6. fps index append LAST (see the ordering argument above)
+    dedup_index_write(
+        survivors,
+        index_path,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        hash_mode=hash_mode,
+        mode="append",
+    )
 
 
 def write_stream_corpus_ingest(
@@ -353,7 +373,7 @@ def stream_crawl_corpus_ingest(
     audit_path: str,
     checkpoint: str,
     input_format: str = "warc",
-    extractor: str = "naive",
+    extractor: str = "density",
     url_normalize: bool = True,
     max_files_per_trigger: int | None = None,
     trigger_available_now: bool = True,
@@ -407,9 +427,17 @@ def stream_crawl_corpus_ingest(
     else:
         raise ValueError(f"input_format must be warc|wet: {input_format}")
     if url_normalize:
-        from vbb_data_pipeline_spark.functions.urls import normalize_url
+        from vbb_data_pipeline_spark.functions.urls import (
+            normalize_url,
+            url_host,
+        )
 
         docs = docs.withColumn("url", normalize_url(F.col("url")))
+        # per-row hygiene parity with batch E6: rows whose host does
+        # not parse (about:blank, mangled URIs) are dropped there
+        # BEFORE curation — without the same drop here the streaming
+        # corpus accumulates crawl junk a batch pass would exclude
+        docs = docs.filter(url_host(F.col("url")).isNotNull())
     return write_stream_corpus_ingest(
         docs,
         corpus_path=corpus_path,
