@@ -781,3 +781,46 @@ def test_chunk_documents_covers_all_tokens(spark):
     assert [r["chunk_text"] for r in ov] == [
         "a b c", "c d e", "e f g", "g",
     ]
+
+
+def test_pack_null_token_count_behaves_as_zero(spark):
+    """NULL token counts must NOT mint a phantom shard: the raw
+    running-sum id is NULL for them, and dense_rank sorts NULLs
+    FIRST — previously all NULL-token docs formed shard 0 and every
+    real shard shifted by one."""
+    from vbb_data_pipeline_spark.operators.sampling import pack_token_shards
+
+    df = spark.createDataFrame(
+        [("g", 1, 60), ("g", 2, None), ("g", 3, 60), ("g", 4, 60)],
+        "grp string, doc_id int, n_tokens int",
+    )
+    out = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_token_shards(
+            df, ["grp"], "doc_id", "n_tokens", budget=100
+        ).collect()
+    }
+    # 60 -> shard 0; NULL (=0 tokens) joins shard 0; next 60 closes
+    # it (120 >= 100); last 60 opens shard 1
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_split_rejects_negative_weight():
+    from vbb_data_pipeline_spark.operators.sampling import deterministic_split
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        deterministic_split(
+            None, "k", {"train": 1.0, "val": -0.5, "test": 0.5}
+        )
+
+
+def test_chunk_rejects_stride_larger_than_chunk(spark):
+    from vbb_data_pipeline_spark.operators.sampling import chunk_documents
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=2, stride=3)

@@ -173,3 +173,50 @@ def test_arrow_assignment_parity(spark):
     ka = {r["vec_id"]: (r["cell_id"], r["rnk"], r["max_cos_better"], r["dropped"]) for r in a}
     kb = {r["vec_id"]: (r["cell_id"], r["rnk"], r["max_cos_better"], r["dropped"]) for r in b}
     assert ka == kb
+
+
+def test_small_corpus_trains_without_centroids(spark):
+    """centroids=None (the production default) must process corpora
+    with fewer than 16 non-null vectors: n_cells previously floored
+    at 16 and the trainer raised on any smaller batch. All-NULL
+    corpora come back as pure pass-through reports."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 0.0, 0.0, 1.0]),
+        (3, None),                      # NULL vector: pass-through
+    ]
+    out = semantic_dedup(_df(spark, rows), None, dim=DIM, threshold=0.99)
+    got = {r["vec_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}          # one row per input doc
+    assert got[3]["dropped"] is False        # NULL vec passes through
+    assert sum(1 for r in got.values() if r["dropped"]) <= 1
+
+    # all-NULL corpus: nothing to train on, every doc passes through
+    out2 = semantic_dedup(
+        _df(spark, [(7, None), (8, None)]), None, dim=DIM, threshold=0.99
+    )
+    got2 = {r["vec_id"]: r.asDict() for r in out2.collect()}
+    assert set(got2) == {7, 8}
+    assert not any(r["dropped"] for r in got2.values())
+
+
+def test_trainer_cache_is_namespaced_per_trainer(spark):
+    """Six trainers share one cache dict; the same cache_key through
+    two different trainers must NOT return the other trainer's
+    table (previously: wrong schema or a silently different model)."""
+    from vbb_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids_local,
+        pq_train_local,
+    )
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = _df(spark, rows)
+    key = "shared-identity-123"
+    km = kmeans_centroids_local(df, n_cells=2, iters=1, cache_key=key)
+    pq = pq_train_local(
+        df, n_subspaces=2, n_codes=2, iters=1, dim=DIM, cache_key=key
+    )
+    assert set(km.columns) != set(pq.columns)  # distinct models back
+    assert "cell_id" in km.columns
+    assert "subspace" in pq.columns

@@ -97,6 +97,12 @@ def deterministic_split(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    bad = {k: v for k, v in weights.items() if float(v) < 0}
+    if bad:
+        # a negative weight passes the total check but inflates every
+        # EARLIER split's cumulative threshold — rows silently land in
+        # the wrong split with no error
+        raise ValueError(f"weights must be non-negative: {bad}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -239,8 +245,13 @@ def pack_token_shards(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col)).over(w)
-    before = cum - F.col(token_col)
+    # NULL token counts behave as 0-token docs (module rule: total
+    # over NULLs) — the raw `cum - token` would be NULL for them, and
+    # dense_rank sorts NULLs FIRST, minting a phantom shard 0 that
+    # shifts every real shard by one
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
+    cum = F.sum(tok).over(w)
+    before = cum - tok
     raw = F.floor(before / F.lit(budget)).cast("long")
     return (
         df.withColumn("_shard_raw", raw)
@@ -447,8 +458,12 @@ def pack_token_shards_incremental(
             "_tail_fill"
         ),
     )
-    cum = F.sum(F.col(token_col)).over(w)
-    before = cum - F.col(token_col) + F.col("_tail_fill")
+    # same NULL-token-as-0 rule as pack_token_shards: a NULL raw
+    # would rank first under dense_rank and break the "first row has
+    # raw 0" anchor onto _base_shard
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
+    cum = F.sum(tok).over(w)
+    before = cum - tok + F.col("_tail_fill")
     raw = F.floor(before / F.lit(budget)).cast("long")
     # dense-close gaps from oversized docs. The group's first row in
     # pack order always has raw 0 (_tail_fill < budget by
@@ -667,6 +682,16 @@ def chunk_documents(
     step = int(stride if stride is not None else chunk_tokens)
     if step <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if step > int(chunk_tokens):
+        # starts advance by `stride` but each chunk covers only
+        # `chunk_tokens` — a larger stride leaves [start+chunk_tokens,
+        # start+stride) uncovered, breaking the every-token-covered
+        # contract silently
+        raise ValueError(
+            f"stride ({step}) must not exceed chunk_tokens "
+            f"({int(chunk_tokens)}): tokens between consecutive chunks "
+            "would never appear in any chunk"
+        )
     toked = df.select(
         F.col(id_col), tokens(text_col).alias("_tk")
     ).withColumn("_n", F.size("_tk"))

@@ -25,12 +25,6 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def _infer_dim(df: DataFrame, vec_col: str, default: int = 64) -> int:
-    """Embedding dimensionality from the first row (fixed-width corpus)."""
-    row = df.select(F.size(vec_col).alias("d")).head(1)
-    return int(row[0].d) if row else default
-
-
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Σ aᵢ·bᵢ over float or double arrays (double math either way).
 
@@ -91,12 +85,12 @@ def brute_force_topk(
     Cosine is rounded before ranking so ordering is stable across
     engines/summation orders; ties break on neighbor id.
 
-    Pass ``dim`` when known (callers always should): the fallback
-    ``_infer_dim`` launches a one-row Spark job at plan-construction
-    time.
+    ``dim`` is accepted for signature stability only — the dot/norm
+    expressions are higher-order functions that no longer depend on
+    it (see :func:`dot`), so no inference job runs when it is absent
+    (the old fallback launched a one-row Spark job at
+    plan-construction time whose result was dead).
     """
-    if dim is None:
-        dim = _infer_dim(embeddings, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -444,22 +438,32 @@ KMEANS_SCALE = 1_000_000
 #: session; FIFO-bounded so a parameter sweep can't grow it without
 #: limit (each entry pins a localCheckpoint's blocks on the executors
 #: for the life of its session).
-_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CENTROID_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CENTROID_CACHE_MAX = 16
 
 
-def _cache_get(spark, cache_key: str | None) -> DataFrame | None:
+def _cache_get(spark, cache_key: str | None, ns: str) -> DataFrame | None:
+    """``ns`` namespaces the cache per TRAINER: six trainers share
+    this dict, and the docstrings all define ``cache_key`` as the
+    identity of (input, n_cells, iters, dim) with no trainer
+    component — without the namespace, training k-means then PQ under
+    the same identity returns the other trainer's table (wrong
+    schema, or a silently different model)."""
     if cache_key is None:
         return None
-    return _CENTROID_CACHE.get((spark._jsparkSession.sessionUUID(), cache_key))
+    return _CENTROID_CACHE.get(
+        (spark._jsparkSession.sessionUUID(), ns, cache_key)
+    )
 
 
-def _cache_put(spark, cache_key: str | None, cent: DataFrame) -> None:
+def _cache_put(spark, cache_key: str | None, cent: DataFrame, ns: str) -> None:
     if cache_key is None:
         return
     while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
         _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
-    _CENTROID_CACHE[(spark._jsparkSession.sessionUUID(), cache_key)] = cent
+    _CENTROID_CACHE[
+        (spark._jsparkSession.sessionUUID(), ns, cache_key)
+    ] = cent
 
 
 def kmeans_centroids(
@@ -500,7 +504,7 @@ def kmeans_centroids(
     train-once / query-many behavior a real ANN deployment has (at
     scale you'd write the centroids to storage instead).
     """
-    cached = _cache_get(embeddings.sparkSession, cache_key)
+    cached = _cache_get(embeddings.sparkSession, cache_key, ns="kmeans_centroids")
     if cached is not None:
         return cached
     corpus = embeddings.select(F.col(id_col), F.col(vec_col))
@@ -508,6 +512,18 @@ def kmeans_centroids(
         F.col(id_col).cast("long").alias("cell_id"),
         F.col(vec_col),
     )
+    # same loud failure as kmeans_centroids_local: gapped ids below
+    # n_cells would silently train fewer cells here while the
+    # documented bit-identical twin raises — the trainers must agree
+    # on the same input (the count is n_cells rows, one tiny job)
+    n_seeds = cent.count()
+    if n_seeds < n_cells:
+        raise ValueError(
+            f"kmeans seeding found {n_seeds} vectors with id < "
+            f"{n_cells}; the id<n_cells seed convention requires "
+            "contiguous ids from 0 — re-key the corpus or pass "
+            "pre-trained centroids"
+        )
     for rnd in range(iters):
         assigned = ivf_assign(
             corpus, cent, dim, id_col, vec_col, round_digits, cell_col="cell_id"
@@ -560,7 +576,7 @@ def kmeans_centroids(
         # whole training chain.
         if rnd == iters - 1 or rnd % 8 == 7:
             cent = cent.localCheckpoint()
-    _cache_put(embeddings.sparkSession, cache_key, cent)
+    _cache_put(embeddings.sparkSession, cache_key, cent, ns="kmeans_centroids")
     return cent
 
 
@@ -616,7 +632,7 @@ def kmeans_centroids_local(
     ``cache_key``: see :func:`kmeans_centroids` (train once, query
     many).
     """
-    cached = _cache_get(embeddings.sparkSession, cache_key)
+    cached = _cache_get(embeddings.sparkSession, cache_key, ns="kmeans_centroids_local")
     if cached is not None:
         return cached
     spark = embeddings.sparkSession
@@ -629,11 +645,9 @@ def kmeans_centroids_local(
     )
     vecs = [(r[0], [float(x) for x in r[1]]) for r in rows]
 
-    def dot_seq(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
+    dot_seq = _dot_seq  # the module's left-to-right sum — ONE copy of
+    # the arithmetic-order-critical primitive (two drifting copies
+    # would silently split the engines' parity contract)
 
     cents: list[tuple[int, list[float]]] = [
         (int(i), v) for i, v in vecs if i < n_cells
@@ -682,7 +696,7 @@ def kmeans_centroids_local(
         [(cid, cv) for cid, cv in cents],
         schema=f"cell_id long, {vec_col} array<double>",
     )
-    _cache_put(spark, cache_key, cent)
+    _cache_put(spark, cache_key, cent, ns="kmeans_centroids_local")
     return cent
 
 
@@ -728,7 +742,7 @@ def kmeans_centroids_numpy(
     """
     import numpy as np
 
-    cached = _cache_get(embeddings.sparkSession, cache_key)
+    cached = _cache_get(embeddings.sparkSession, cache_key, ns="kmeans_centroids_numpy")
     if cached is not None:
         return cached
     spark = embeddings.sparkSession
@@ -759,7 +773,7 @@ def kmeans_centroids_numpy(
         [(cid, C[cid].tolist()) for cid in live_cells],
         schema=f"cell_id long, {vec_col} array<double>",
     )
-    _cache_put(spark, cache_key, cent)
+    _cache_put(spark, cache_key, cent, ns="kmeans_centroids_numpy")
     return cent
 
 
@@ -787,7 +801,7 @@ def pq_train_numpy(
     """
     import numpy as np
 
-    cached = _cache_get(embeddings.sparkSession, cache_key)
+    cached = _cache_get(embeddings.sparkSession, cache_key, ns="pq_train_numpy")
     if cached is not None:
         return cached
     spark = embeddings.sparkSession
@@ -818,7 +832,7 @@ def pq_train_numpy(
     cb = spark.createDataFrame(
         out, schema="subspace int, code long, subvec array<double>"
     )
-    _cache_put(spark, cache_key, cb)
+    _cache_put(spark, cache_key, cb, ns="pq_train_numpy")
     return cb
 
 
@@ -1004,6 +1018,10 @@ def ivf_topk_from_index(
         probe_scored.withColumn("_rn", F.row_number().over(wp))
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "_qv", "_qn", "cell_id")
+        # two consumers (driver collect of cell ids + the candidate
+        # join's broadcast side): materialize the |Q|*nprobe rows once
+        # or the centroid-scoring pass executes twice
+        .localCheckpoint(eager=True)
     )
     probed_cells = sorted(
         {r.cell_id for r in probes.select("cell_id").distinct().collect()}
@@ -1082,7 +1100,10 @@ def semdedup_incremental(
     assigned = ivf_assign(
         vecs, centroids, dim, id_col, vec_col, round_digits,
         cell_col="cell_id",
-    )
+    ).localCheckpoint(eager=True)
+    # ^ two consumers (driver collect of probed cells + the probe
+    # join): materialize the batch-sized assignment once or the
+    # broadcast-centroid scoring pass executes twice per micro-batch
     batch_cells = sorted(
         r.cell_id
         for r in assigned.select("cell_id").distinct().collect()
@@ -1354,6 +1375,14 @@ def semantic_dedup(
     trained quantizer.
     """
     if centroids is None:
+        # probe the trainer cache FIRST: a warm train_cache_key must
+        # not pay the full-corpus sizing count below (the cache's
+        # "a hit costs nothing" contract)
+        centroids = _cache_get(
+            embeddings.sparkSession, train_cache_key,
+            ns="kmeans_centroids_numpy",
+        )
+    if centroids is None:
         # size cells from NON-NULL vectors only (NULL-vector docs skip
         # assignment entirely and would otherwise inflate n_cells),
         # and cap n_cells so each cell trains on >= 4 sample vectors —
@@ -1362,17 +1391,43 @@ def semantic_dedup(
         # For genuinely huge corpora raise ``train_sample_n`` with the
         # corpus (FAISS guidance: ~100-1000 training points per cell).
         n = embeddings.filter(F.col(vec_col).isNotNull()).count()
-        n_cells = max(16, int(n // max(1, int(vecs_per_cell))))
-        n_cells = min(n_cells, max(16, int(train_sample_n) // 4))
-        centroids = kmeans_centroids_numpy(
-            embeddings,
-            n_cells=n_cells,
-            iters=train_iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            sample_n=int(train_sample_n),
-            cache_key=train_cache_key,
-        )
+        if n == 0:
+            # nothing to train on: every doc is a NULL-vector
+            # pass-through row. Empty centroid table + expression
+            # assignment (the BLAS path can't argmax over zero
+            # centroids) keeps the one-row-per-input-doc contract
+            # instead of the trainer raising.
+            from pyspark.sql import types as T
+
+            centroids = embeddings.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("cell_id", T.LongType()),
+                        T.StructField(
+                            vec_col, embeddings.schema[vec_col].dataType
+                        ),
+                    ]
+                ),
+            )
+            assign = "expr"
+        else:
+            # never ask for more cells than there are vectors — the
+            # floor of 16 previously made any corpus with < 16
+            # non-null vectors raise inside the trainer instead of
+            # deduping it
+            n_cells = max(16, int(n // max(1, int(vecs_per_cell))))
+            n_cells = min(n_cells, max(16, int(train_sample_n) // 4))
+            n_cells = min(n_cells, n)
+            centroids = kmeans_centroids_numpy(
+                embeddings,
+                n_cells=n_cells,
+                iters=train_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                sample_n=int(train_sample_n),
+                cache_key=train_cache_key,
+            )
     if assign == "arrow":
         assigned = ivf_assign_arrow(
             embeddings,
@@ -1539,7 +1594,7 @@ def pq_train_local(
     identical codes. When ``sample_n`` covers the corpus (test scale)
     the result is bit-identical to full-corpus training.
     """
-    cached = _cache_get(embeddings.sparkSession, cache_key)
+    cached = _cache_get(embeddings.sparkSession, cache_key, ns="pq_train_local")
     if cached is not None:
         return cached
     spark = embeddings.sparkSession
@@ -1548,7 +1603,7 @@ def pq_train_local(
     cb = _pq_lloyd_from_vecs(
         spark, vecs, n_subspaces, n_codes, iters, sub, round_digits
     )
-    _cache_put(spark, cache_key, cb)
+    _cache_put(spark, cache_key, cb, ns="pq_train_local")
     return cb
 
 
@@ -1664,7 +1719,7 @@ def pq_train_residual_local(
     are elementwise IEEE subtraction, and the per-subspace Lloyd loop
     is :func:`_pq_lloyd_from_vecs` verbatim.
     """
-    cached = _cache_get(embeddings.sparkSession, cache_key)
+    cached = _cache_get(embeddings.sparkSession, cache_key, ns="pq_train_residual_local")
     if cached is not None:
         return cached
     spark = embeddings.sparkSession
@@ -1690,7 +1745,7 @@ def pq_train_residual_local(
     cb = _pq_lloyd_from_vecs(
         spark, residuals, n_subspaces, n_codes, iters, sub, round_digits
     )
-    _cache_put(spark, cache_key, cb)
+    _cache_put(spark, cache_key, cb, ns="pq_train_residual_local")
     return cb
 
 
@@ -2574,6 +2629,8 @@ def ivf_pq_topk_from_index(
         probe_scored.withColumn("_rn", F.row_number().over(wp))
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "cell_id")
+        # same two-consumer materialization as ivf_topk_from_index
+        .localCheckpoint(eager=True)
     )
     probed_cells = sorted(
         {r.cell_id for r in probes.select("cell_id").distinct().collect()}
