@@ -18,12 +18,27 @@ in corpus size. This follows the standard MinHash/LSH construction
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vbb_data_pipeline_spark.functions.hashing import md5_long
 from vbb_data_pipeline_spark.functions.text import fingerprint, ngrams, tokens
+
+#: Storage level for localCheckpoints of CORPUS-SCALE frames
+#: (candidate edges, CC labels, rewritten text). The default level
+#: stores blocks as DESERIALIZED JVM objects whose unroll is the
+#: allocation that killed the 20 GB crawl decade (Java heap space in
+#: MemoryStore.putIteratorAsValues storing star-candidate partitions,
+#: CRAWL_E2E.json r8): row objects are ~3-5x the serialized bytes and
+#: the unroll vector resizes in large contiguous chunks. Serialized
+#: blocks unroll incrementally with memory-checked spill to disk —
+#: the at-rest posture, traded for a deserialization on each re-read.
+#: Model-scale frames (centroids, vocab, per-round scalars) keep the
+#: default. (PySpark naming: MEMORY_AND_DISK is the SERIALIZED level;
+#: the deserialized DataFrame-cache default is MEMORY_AND_DISK_DESER.)
+CKPT_SER = StorageLevel.MEMORY_AND_DISK
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -237,7 +252,7 @@ def jaccard_pairs(
     # (measured: +3-30 s per query later in a bench run) with no way
     # to unpersist from here — checkpointed frames bypass the
     # CacheManager entirely.
-    candidates = candidates.localCheckpoint()
+    candidates = candidates.localCheckpoint(storageLevel=CKPT_SER)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -444,13 +459,13 @@ def connected_components(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=CKPT_SER)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=CKPT_SER)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -466,7 +481,7 @@ def connected_components(
             .unionByName(hop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=CKPT_SER)
         )
         # decimal(38,0) sum: labels are ids (60-bit md5 keys reach
         # ~1.15e18), so an int64 sum overflows under ANSI mode with as
@@ -740,7 +755,7 @@ def span_removal_fixed_point(
     for _ in range(max_rounds):
         out = span_removal(
             cur, "text", id_col, window=window, hash_mode=hash_mode
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=CKPT_SER)
         rounds += 1
         acc = (
             acc.join(
@@ -753,7 +768,7 @@ def span_removal_fixed_point(
                     "removed_tokens"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_SER)
         )
         cur = out.select(F.col(id_col), "text")
         step = out.agg(F.sum("removed_tokens")).first()[0] or 0

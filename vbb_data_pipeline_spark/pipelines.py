@@ -34,6 +34,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vbb_data_pipeline_spark.operators.dedup import CKPT_SER
 from vbb_data_pipeline_spark.operators.temporal import expand_arrivals
 from vbb_data_pipeline_spark.sources.catalog import (
     assign_run_ids,
@@ -322,7 +323,7 @@ def e4_corpus_prep(
         # winnowed selection the ACCOUNTING gate uses does not apply).
         # Branches docs (hash side + rebuild side): truncate lineage
         # once, same rationale as the span-gate localCheckpoint below.
-        docs = docs.localCheckpoint()
+        docs = docs.localCheckpoint(storageLevel=CKPT_SER)
         rewritten = span_removal(
             docs.select(id_col, text_col),
             text_col,
@@ -352,7 +353,7 @@ def e4_corpus_prep(
         # per consumer — measured 275 s vs 120 s at sf1. One
         # localCheckpoint computes it once; downstream stages (LM
         # band, MinHash) inherit the truncated lineage too.
-        kept = kept.localCheckpoint()
+        kept = kept.localCheckpoint(storageLevel=CKPT_SER)
         span_stats = substring_span_stats(
             kept.select(id_col, text_col),
             text_col,
@@ -758,7 +759,7 @@ def e6_crawl_corpus(
             # instead of re-running the WARC parse
             return docs
     else:
-        docs = docs.localCheckpoint()
+        docs = docs.localCheckpoint(storageLevel=CKPT_SER)
     # crawl corpora carry mega-families of near-identical pages
     # (mirrors, templates, re-crawl variants): star-edge candidate
     # generation (lsh_pair_mode="star", an explicit E6 parameter
