@@ -139,3 +139,116 @@ def test_star_pair_mode_collapses_mega_family(spark):
     assert len(fam_ids) >= 55  # nearly all variants entered the graph
     assert len({fam[i] for i in fam_ids}) == 1
     assert 1000 not in fam or fam[1000] != fam[0]
+
+
+def test_exact_dedup_null_keys_survive(spark):
+    """NULL keys form ONE group whose min-id row survives (SQL GROUP
+    BY semantics) — the plain-= semi join used to drop every NULL-key
+    row from the output entirely."""
+    from vbb_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("k", 3), ("k", 4)],
+        "key string, doc_id long",
+    )
+    out = sorted(
+        (
+            (r["key"], r["doc_id"])
+            for r in exact_dedup(df, ["key"], "doc_id").collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert out == [(None, 1), ("k", 3)]
+
+
+def test_fingerprint_dedup_zero_token_docs_pass_through(spark):
+    """Zero-token docs (fully non-Latin / punctuation-only) used to
+    fingerprint as md5('') and collapse into one survivor; they now
+    pass through untouched — no token evidence, no dedup."""
+    from vbb_data_pipeline_spark.operators.dedup import fingerprint_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "!!! ??? ..."),
+            (2, "你好世界"),
+            (3, "the same words here"),
+            (4, "here words same the"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in fingerprint_dedup(df, "text", "doc_id").collect()
+    )
+    assert kept == [1, 2, 3]  # 4 is a reordered dup of 3; 1,2 both kept
+
+
+def test_lsh_banding_validation(spark):
+    """bands > num_hashes degenerates every band to a constant bucket
+    (full O(n^2) cross join); non-divisible splits silently drop
+    signature rows — both must raise."""
+    import pytest as _pytest
+
+    from vbb_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} entirely unrelated {i*7}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=4)
+    with _pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, bands=8)
+    with _pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=16, bands=5)
+
+
+def test_line_dedup_default_preserves_blank_lines(spark):
+    """Default min_chars=1: paragraph breaks are structure — the old
+    0 default deduped the empty line corpus-wide, rewriting every
+    doc's paragraph structure but the first's."""
+    from vbb_data_pipeline_spark.operators.dedup import line_dedup_corpus
+
+    df = spark.createDataFrame(
+        [(1, "para1\n\npara2"), (2, "other1\n\nother2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup_corpus(df, "text", "doc_id").collect()
+    }
+    assert out[1] == "para1\n\npara2"
+    assert out[2] == "other1\n\nother2"
+
+
+def test_incremental_index_param_marker(spark, tmp_path):
+    """Probing an at-rest index with different signature parameters
+    than it was built with used to silently classify every near-dup
+    'new'; the _dedup_params.json marker turns it into a ValueError."""
+    import pytest as _pytest
+
+    from vbb_data_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_index_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "idx")
+    dedup_index_write(df, p, num_hashes=32, bands=8)
+    with _pytest.raises(ValueError, match="num_hashes"):
+        dedup_incremental(
+            df.withColumn("doc_id", F.col("doc_id") + 10), p
+        ).collect()
+    # matching params probe fine, and append under WRONG params raises
+    dedup_incremental(
+        df.withColumn("doc_id", F.col("doc_id") + 10), p,
+        num_hashes=32, bands=8,
+    ).collect()
+    with _pytest.raises(ValueError, match="mismatched"):
+        dedup_index_write(df, p, num_hashes=16, bands=4, mode="append")

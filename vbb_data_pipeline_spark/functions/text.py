@@ -164,10 +164,20 @@ def fingerprint(col: Column | str) -> Column:
     token set. Near-identical docs that differ only in token order or
     duplication collide — the cheap exact-ish dedup key.
 
-    DuckDB twin: ``md5(array_to_string(list_sort(list_distinct(toks)), ' '))``.
+    NULL when the token set is empty: ``tokens`` is [a-z0-9]-only, so
+    every fully non-Latin (CJK/Cyrillic/Arabic) or punctuation-only
+    document used to fingerprint as ``md5('')`` — on a real crawl that
+    collapsed all of them into ONE "exact duplicate" group and dedup
+    dropped every such document but the first. No tokens = no content
+    evidence = no fingerprint.
+
+    DuckDB twin: ``CASE WHEN len(toks) > 0 THEN
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) END``.
     """
-    toks = tokens(col)
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    toks = F.array_distinct(tokens(col))
+    return F.when(
+        F.size(toks) > 0, F.md5(F.concat_ws(" ", F.array_sort(toks)))
+    )
 
 
 #: Simplified GPT-2-style pre-tokenizer pattern (portable RE2/Java

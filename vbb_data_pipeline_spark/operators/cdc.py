@@ -159,9 +159,17 @@ def merge_upsert(
     with updates — two hash exchanges on the key, no window, no wide
     sort. If ``updates`` may itself carry duplicate keys, pre-dedup it
     with :func:`latest_per_key` so the merge is deterministic.
+
+    NULL-safe on the keys (``_key_eq``): the name-list anti join
+    compiled to plain ``=``, so a NULL-key target row never matched
+    its NULL-key update — the stale row LEAKED through the anti join
+    and the update was inserted beside it, compounding duplicate-key
+    state on every merge through merge_upsert_table.
     """
     ks = list(keys)
-    survivors = target.join(updates, ks, "left_anti")
+    t = target.alias("_t")
+    u = updates.alias("_u")
+    survivors = t.join(u, _key_eq("_t", "_u", ks), "left_anti")
     return survivors.unionByName(updates)
 
 

@@ -48,16 +48,32 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     partitioning) so results are oracle-comparable and stable across
     cluster sizes. Implemented as a min-id semi-join rather than a
     window over the full payload: the wide columns never shuffle.
+
+    NULL-safe on the keys (SQL GROUP BY semantics: NULLs form one
+    group and its min-id row survives). The previous name-list
+    semi-join compiled to plain ``=``, so NULL-key rows matched
+    NOTHING and silently vanished from the output entirely.
     """
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, key_cols + [id_col], "left_semi")
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias("_keep_id"))
+    cond = df[id_col] == keep["_keep_id"]
+    for c in key_cols:
+        cond = cond & df[c].eqNullSafe(keep[c])
+    return df.join(keep, cond, "left_semi")
 
 
 def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Near-exact dedup on the sorted-token-set fingerprint — catches
-    reordered / re-duplicated token content at hash-join cost."""
+    reordered / re-duplicated token content at hash-join cost.
+
+    Docs with a NULL fingerprint (empty token set — see
+    ``functions/text.fingerprint``) are kept AS-IS: no token evidence
+    means no basis for calling two documents duplicates, so they pass
+    through rather than collapsing into one survivor."""
     fp = df.withColumn("_fp", fingerprint(text_col))
-    return exact_dedup(fp, ["_fp"], id_col).drop("_fp")
+    deduped = exact_dedup(
+        fp.filter(F.col("_fp").isNotNull()), ["_fp"], id_col
+    ).drop("_fp")
+    return deduped.unionByName(fp.filter(F.col("_fp").isNull()).drop("_fp"))
 
 
 #: Modulus for the double-hashing MinHash family: 2^59 keeps
@@ -102,10 +118,25 @@ def minhash_signatures(
         (p1 % m).alias("_h1"),
         (p2 % m).alias("_h2"),
     )
-    aggs = [
-        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % m).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    def h_i(i: int):
+        # int64 is exact only while h1 + i*h2 < 2^63, i.e. i <= 15 at
+        # MINHASH_MOD = 2^59; wider families (num_hashes > 16) used to
+        # OVERFLOW — an ANSI-mode crash, or silent wraparound with
+        # ANSI off. decimal(38,0) keeps the high members exact and
+        # bit-identical to the mathematical value the long path
+        # produces below the threshold.
+        if (i * (MINHASH_MOD - 1) + (MINHASH_MOD - 1)) < (1 << 63):
+            return (F.col("_h1") + F.lit(i) * F.col("_h2")) % m
+        dec = "decimal(38,0)"
+        return (
+            (
+                F.col("_h1").cast(dec)
+                + F.lit(i).cast(dec) * F.col("_h2").cast(dec)
+            )
+            % F.lit(MINHASH_MOD).cast(dec)
+        ).cast("long")
+
+    aggs = [F.min(h_i(i)).alias(f"mh_{i}") for i in range(num_hashes)]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -171,13 +202,13 @@ def lsh_candidate_pairs(
     star cost is strictly dominated: same CC clusters, ~15× fewer
     candidate edges on family-shaped corpora.
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        payload = F.concat_ws("_", F.lit(str(b)), *parts)
-        bucket = F.md5(payload) if hash_mode == "oracle" else F.xxhash64(payload)
-        band_cols.append(bucket.alias(f"band_{b}"))
+    # ONE bucket derivation shared with the at-rest index
+    # (_band_buckets): the two paths had re-implemented it separately
+    # and already drifted on the bucket's type — any payload change
+    # made in one copy would silently desync batch LSH from
+    # incremental LSH for the same document pair. The string cast is
+    # injective, so the pair set is unchanged.
+    band_cols = _band_buckets(id_col, num_hashes, bands, hash_mode)
     banded = signatures.select(F.col(id_col), *band_cols)
     melted = banded.select(
         F.col(id_col),
@@ -337,7 +368,7 @@ def line_dedup_corpus(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    min_chars: int = 0,
+    min_chars: int = 1,
 ) -> DataFrame:
     """Corpus-WIDE line-level dedup (the C4 construction, Raffel et
     al. 2020 §2.2: every three-sentence span / line is kept once
@@ -349,7 +380,12 @@ def line_dedup_corpus(
     (``functions/text.dup_line_fraction``) cannot see.
 
     Lines shorter than ``min_chars`` pass through unconditionally
-    (blank lines and separators are structure, not boilerplate).
+    (blank lines and separators are structure, not boilerplate). The
+    default is 1 so EMPTY lines are structure out of the box — a 0
+    default used to dedupe every paragraph break corpus-wide,
+    rewriting ``a\\n\\nb`` documents to ``a\\nb`` everywhere but the
+    first occurrence of the blank line, under the very docstring that
+    promised otherwise. Pass 0 explicitly to dedupe blanks too.
 
     Skew-safe 100 TB shape: the winner election groups by LINE HASH
     with ``min(struct(id, line_no))`` — map-side combinable, and the
@@ -368,7 +404,11 @@ def line_dedup_corpus(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_line_no", "_line"),
     )
-    eligible = lines.filter(F.length("_line") >= min_chars) if min_chars else lines
+    eligible = (
+        lines.filter(F.length("_line") >= min_chars)
+        if min_chars > 0
+        else lines
+    )
     winners = (
         eligible.select(
             md5_long(F.col("_line")).alias("_h"), id_col, "_line_no"
@@ -787,12 +827,32 @@ def span_removal_fixed_point(
 # ---------------------------------------------------------------------------
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    """bands must evenly partition num_hashes with >= 1 row per band.
+
+    rows_per_band = 0 makes every band payload the CONSTANT str(b),
+    so ALL documents share every bucket — the documented never-O(n²)
+    guarantee silently becomes a full cross join (verified: 6
+    unrelated docs, bands > num_hashes → all 15 pairs emitted). A
+    non-divisible split silently drops the trailing mh_* columns from
+    banding, cutting recall with no warning."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be >= 1 and divide num_hashes "
+            f"({num_hashes}) exactly: rows_per_band = 0 degenerates "
+            "every band to a constant bucket (full O(n^2) cross "
+            "join), and a remainder silently drops signature rows "
+            "from banding"
+        )
+
+
 def _band_buckets(
     id_col: str, num_hashes: int, bands: int, hash_mode: str
 ) -> list[Column]:
     """The band-bucket hash columns of :func:`lsh_candidate_pairs`,
     factored so the at-rest index and the inline pair generator derive
     identical bucket keys from a signature frame."""
+    _check_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
     cols = []
     for b in range(bands):
@@ -803,6 +863,47 @@ def _band_buckets(
         bucket = F.md5(payload) if hash_mode == "oracle" else F.xxhash64(payload)
         cols.append(bucket.cast("string").alias(f"band_{b}"))
     return cols
+
+
+def _check_index_params(
+    spark, path: str, params: dict, write: bool, require_match: bool
+) -> None:
+    """Verify (and on build, record) the at-rest dedup index's
+    signature parameters — see :func:`dedup_index_write`. Indexes
+    written before the marker existed are tolerated (no marker, no
+    check) unless ``require_match`` would have nothing to compare."""
+    import json as _json
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        hadoop_exists,
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    marker = path.rstrip("/") + "/_dedup_params.json"
+    if hadoop_exists(spark, marker):
+        recorded = _json.loads(hadoop_read_text(spark, marker))
+        if require_match and recorded != params:
+            diff = sorted(
+                k for k in params if recorded.get(k) != params[k]
+            )
+            raise ValueError(
+                f"dedup index at {path} was built with "
+                f"{ {k: recorded.get(k) for k in diff} }, called with "
+                f"{ {k: params[k] for k in diff} } (mismatched: {diff}) "
+                "— band keys/signatures would never match and every "
+                "near-dup would silently classify 'new'; use the "
+                "index's parameters or rebuild with mode='overwrite'"
+            )
+        if not require_match and recorded != params and write:
+            # overwrite build under new params: replace the record
+            hadoop_write_text(
+                spark, marker, _json.dumps(params, sort_keys=True)
+            )
+    elif write:
+        hadoop_write_text(
+            spark, marker, _json.dumps(params, sort_keys=True)
+        )
 
 
 def dedup_index_write(
@@ -841,11 +942,37 @@ def dedup_index_write(
 
     Append new (surviving) batches with ``mode="append"``; both tables
     are plain parquet appends, no rewrite of existing state.
+
+    A ``_dedup_params.json`` marker records (num_hashes, bands,
+    shingle_n, hash_mode) next to the tables: appending — or probing
+    via :func:`dedup_incremental` — with DIFFERENT parameters than the
+    index was built with yields band keys that never match and
+    signatures of different widths, so every near-dup silently
+    classifies ``'new'`` and the corpus fills with duplicates; the
+    marker turns that silent decay into a ValueError.
     """
-    sig = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, hash_mode
+    params = {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_n": int(shingle_n),
+        "hash_mode": hash_mode,
+    }
+    _check_index_params(
+        df.sparkSession, path, params,
+        write=True, require_match=(mode == "append"),
     )
-    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    # zero-token docs (NULL fingerprint) are excluded from BOTH
+    # tables: a NULL fp can never match the exact join, and their
+    # degenerate zero-shingle signature would band-bucket every such
+    # doc together (see the matching batch-side skip in
+    # dedup_incremental)
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    sig = minhash_signatures(
+        df.join(fp.select(id_col), id_col, "left_semi"),
+        text_col, id_col, num_hashes, shingle_n, hash_mode,
+    )
     fp.write.mode(mode).parquet(f"{path}/fps")
     banded = sig.select(
         F.col(id_col),
@@ -903,10 +1030,32 @@ def dedup_incremental(
     this package) — the near-dup tie-break negates it inside a
     max(struct) to pick the smallest matching corpus id.
     """
-    sig = minhash_signatures(
-        new_df, text_col, id_col, num_hashes, shingle_n, hash_mode
-    )
     spark = new_df.sparkSession
+    _check_index_params(
+        spark, index_path,
+        {
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "shingle_n": int(shingle_n),
+            "hash_mode": hash_mode,
+        },
+        write=False, require_match=True,
+    )
+    new_fp = new_df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    # zero-token docs (NULL fingerprint) carry no content evidence in
+    # EITHER tier: the exact join can't match them (NULL = never
+    # equal), and their MinHash signature is the degenerate hash of
+    # zero shingles — IDENTICAL for every such doc, so signature
+    # agreement would classify all of them as mutual near-dups. They
+    # skip both tiers and fall through to 'new'.
+    with_tokens = new_df.join(
+        new_fp.filter(F.col("fp").isNotNull()).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    sig = minhash_signatures(
+        with_tokens, text_col, id_col, num_hashes, shingle_n, hash_mode
+    )
     new_banded = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_nsig"),
@@ -915,7 +1064,6 @@ def dedup_incremental(
 
     # exact tier: fingerprint hash-join
     fps = spark.read.parquet(f"{index_path}/fps")
-    new_fp = new_df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     exact = (
         new_fp.join(fps.withColumnRenamed(id_col, "_old"), "fp")
         .groupBy(id_col)

@@ -74,7 +74,7 @@ def _simhash_oracle(bits: int = 16) -> str:
     GROUP BY md5(text)
     UNION ALL
     SELECT 'fingerprint',
-           md5(array_to_string(list_sort(list_distinct(tk)), ' ')),
+           CASE WHEN len(tk) > 0 THEN md5(array_to_string(list_sort(list_distinct(tk)), ' ')) END,
            min(doc_id),
            count(*)
     FROM (
@@ -827,9 +827,10 @@ def _inc_sig_cte(src: str, pfx: str) -> str:
 
 def _inc_oracle() -> str:
     fp = (
+        "CASE WHEN len(" + TOK_SQL.format(c="text") + ") > 0 THEN "
         "md5(array_to_string(list_sort(list_distinct("
         + TOK_SQL.format(c="text")
-        + ")), ' '))"
+        + ")), ' ')) END"
     )
     agree = " + ".join(
         f"CASE WHEN c.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"

@@ -157,7 +157,7 @@ _DOC_PROFILE_ORACLE = f"""
                  for lg in _LANGS
              )}
            END AS pred_lang,
-           md5(array_to_string(list_sort(list_distinct(t.tk)), ' ')) AS fp,
+           CASE WHEN len(t.tk) > 0 THEN md5(array_to_string(list_sort(list_distinct(t.tk)), ' ')) END AS fp,
            CAST(len(t.tk) AS INT)                        AS n_tokens,
            t.tk[1]                                       AS first_tok,
            t.tk[len(t.tk)]                               AS last_tok,

@@ -161,12 +161,23 @@ def corpus_ingest_batch(
     low = scored.filter(~F.coalesce(ok_pred, F.lit(False)))
     ok = scored.filter(ok_pred).drop("_q")
 
-    # 2. intra-batch exact dedup (fingerprint keep-lowest-id)
-    fped = ok.withColumn("_fp", fingerprint(text_col))
+    # 2. intra-batch exact dedup (fingerprint keep-lowest-id). NULL
+    # fingerprints (empty token set — fully non-Latin or
+    # punctuation-only text) carry no dup evidence and go straight to
+    # uniq: the name-list join on _fp compiles to plain `=`, which
+    # would silently drop them from BOTH branches, and grouping them
+    # would collapse unrelated documents into one survivor.
+    fped0 = ok.withColumn("_fp", fingerprint(text_col))
+    nullfp = fped0.filter(F.col("_fp").isNull()).drop("_fp")
+    fped = fped0.filter(F.col("_fp").isNotNull())
     keeper = fped.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     fped = fped.join(F.broadcast(keeper), "_fp")
     batch_dup = fped.filter(F.col(id_col) != F.col("_keep"))
-    uniq = fped.filter(F.col(id_col) == F.col("_keep")).drop("_fp", "_keep")
+    uniq = (
+        fped.filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+        .unionByName(nullfp)
+    )
 
     # 3. probe the at-rest index (first batch: everything is new)
     if seen is None:
