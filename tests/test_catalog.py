@@ -90,3 +90,38 @@ def test_scan_landing_distributed_matches_driver_scan(spark, landing):
         for r in scan_landing_distributed(spark, landing).collect()
     }
     assert distributed == driver_side
+
+
+def test_distributed_scan_enforces_layout_depth(spark, tmp_path):
+    """Zips nested deeper than <base>/<provider>/<date>.zip, or at
+    the base itself, are skipped — recursiveFileLookup sees them, and
+    parts[-2] used to catalog them under a nonexistent provider,
+    making the two scan variants disagree."""
+    import zipfile as zf
+
+    from vbb_data_pipeline_spark.sources.catalog import (
+        scan_landing,
+        scan_landing_distributed,
+    )
+
+    base = tmp_path / "landing"
+    (base / "vbb").mkdir(parents=True)
+    (base / "vbb" / "archive").mkdir()
+
+    def mkzip(p):
+        with zf.ZipFile(p, "w") as z:
+            z.writestr("agency.txt", "agency_id\n1\n")
+
+    mkzip(base / "vbb" / "2024-01-01.zip")        # conforming
+    mkzip(base / "vbb" / "archive" / "old.zip")   # too deep: skip
+    mkzip(base / "stray.zip")                     # at base: skip
+
+    drv = sorted(
+        (r["provider_id"], r["run_date"])
+        for r in scan_landing(spark, str(base)).collect()
+    )
+    dist = sorted(
+        (r["provider_id"], r["run_date"])
+        for r in scan_landing_distributed(spark, str(base)).collect()
+    )
+    assert drv == dist == [("vbb", "2024-01-01")]

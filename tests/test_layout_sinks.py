@@ -456,3 +456,44 @@ def test_compact_auto_preserves_hive_partitions(spark, tmp_path):
     assert {r["id"] for r in pruned.collect()} == set(range(1000, 1050))
     # whole-table row count unchanged
     assert spark.read.parquet(path).count() == 600
+
+
+def test_int_bucket_nulls_go_to_bottom(spark):
+    """least/greatest skip NULLs, so a NULL input used to 'clamp' to
+    hi and cluster into the TOP bucket's files; NULLs now bucket to
+    the bottom explicitly."""
+    from vbb_data_pipeline_spark.sources.layout import int_bucket
+
+    df = spark.createDataFrame(
+        [(None,), (0,), (100,)], "v int"
+    ).select(int_bucket(F.col("v"), 0, 100, bits=4).alias("b"))
+    got = [r["b"] for r in df.collect()]
+    assert got[0] == got[1] == 0  # NULL buckets with the minimum
+    assert got[2] == 15
+
+
+def test_zorder_key_rejects_degenerate_bits():
+    import pytest as _pytest
+
+    from vbb_data_pipeline_spark.sources.layout import zorder_key
+
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key([F.col("a"), F.col("b")], bits=0)
+
+
+def test_compact_auto_partitioned_honors_sort_cols(spark, tmp_path):
+    """The partitioned branch used to silently ignore sort_cols; rows
+    inside each rewritten partition must now be sorted."""
+    from vbb_data_pipeline_spark.sources.layout import compact_auto
+
+    p = str(tmp_path / "t")
+    spark.range(1000).select(
+        (F.col("id") % 2).alias("part"),
+        F.xxhash64("id").alias("v"),
+    ).repartition(8).write.partitionBy("part").parquet(p)
+    compact_auto(spark, p, partition_by=["part"], sort_cols=["v"])
+    import glob
+
+    for f in glob.glob(f"{p}/part=*/*.parquet"):
+        vals = [r["v"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals), f

@@ -191,3 +191,55 @@ def test_host_cap_approx_no_window_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_normalize_url_query_anchored(spark):
+    """Tracking-param removal operates on the QUERY only: '&param='
+    sequences in the PATH survive, a sole param with a trailing '&'
+    leaves no dangling '?', and content-selecting 'sid' is not
+    stripped at all."""
+    from vbb_data_pipeline_spark.functions.urls import normalize_url
+
+    cases = [
+        # path-embedded '&utm_a=': untouched, real query kept
+        ("https://a.com/x&utm_a=5?q=1", "https://a.com/x&utm_a=5?q=1"),
+        # sole tracking param with trailing '&': no dangling '?'
+        ("https://a.com/p?utm_source=x&", "https://a.com/p"),
+        # 'sid' selects content on many sites — must survive
+        ("https://a.com/article.pl?sid=123", "https://a.com/article.pl?sid=123"),
+        # normal strip still works, separators tidied
+        ("https://a.com/p?utm_a=1&q=2&fbclid=z", "https://a.com/p?q=2"),
+        ("https://a.com/p?utm_a=1", "https://a.com/p"),
+        ("https://a.com/p?", "https://a.com/p"),
+        ("https://a.com/p", "https://a.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_boilerplate_null_host_and_null_text(spark):
+    """NULL-host docs participate in boilerplate removal (sentinel
+    host group), and NULL-text docs keep their NULL instead of being
+    rewritten to ''."""
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.functions.urls import site_boilerplate_removal
+
+    rows = [
+        (1, "nav bar here\nreal content one", None),
+        (2, "nav bar here\nreal content two", None),
+        (3, "nav bar here\nreal content three", None),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in site_boilerplate_removal(
+            df, "url", "text", "doc_id", min_docs=3
+        ).collect()
+    }
+    assert out[4] is None
+    for i in (1, 2, 3):
+        assert "nav bar here" not in out[i]
+        assert "real content" in out[i]

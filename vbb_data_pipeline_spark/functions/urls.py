@@ -21,10 +21,14 @@ __all__ = [
     "site_boilerplate_removal",
 ]
 
-#: query parameters that never change content (tracking/session ids)
+#: query parameters that never change content (tracking/session ids).
+#: Deliberately NOT included: ``sid`` — on many sites it is a
+#: content-SELECTING id (legacy forum/CGI "story id"), and stripping
+#: it would collapse every article of such a site into one URL-dedup
+#: key, discarding all but the min-id document.
 TRACKING_PARAMS = (
     "utm_[a-z]+", "fbclid", "gclid", "msclkid", "mc_eid", "sessionid",
-    "phpsessid", "sid",
+    "phpsessid",
 )
 
 
@@ -57,14 +61,23 @@ def normalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#]|$)", r"$1$2")
     # drop fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # drop tracking params with their values, preserving separator
-    # structure: mid/tail "&p=v" vanish, a leading "?p=v&" hands the
-    # "?" to the next param, a lone "?p=v" disappears entirely
+    # drop tracking params INSIDE THE QUERY STRING ONLY: split at the
+    # first '?', strip (?:^|&)param=value pairs from the query, tidy
+    # separators, reassemble. The previous whole-URL regexes matched
+    # '&param=' sequences in the PATH too, and their [^&#]* value
+    # class could swallow the '?' plus the entire real query
+    # ('/x&sid=5?q=1' collapsed to '/x'); a sole param with a trailing
+    # '&' also left a dangling '?'. No lookarounds — the DuckDB twin
+    # (queries/misc_q._URL_ORACLE_CHAIN) replays this chain under RE2.
     p = "|".join(TRACKING_PARAMS)
-    u = F.regexp_replace(u, rf"&(?:{p})=[^&#]*", "")
-    u = F.regexp_replace(u, rf"\?(?:{p})=[^&#]*&", "?")
-    u = F.regexp_replace(u, rf"\?(?:{p})=[^&#]*$", "")
-    return u
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = u.substr(F.length(base) + 2, F.length(u))
+    q = F.regexp_replace(query, rf"(?:^|&)(?:{p})=[^&]*", "")
+    q = F.regexp_replace(q, r"&&+", "&")
+    q = F.regexp_replace(q, r"^&+|&+$", "")
+    return F.when(F.length(u) == F.length(base), u).otherwise(
+        F.when(q == "", base).otherwise(F.concat(base, F.lit("?"), q))
+    )
 
 
 def host_cap(
@@ -205,9 +218,14 @@ def site_boilerplate_removal(
     Short lines below ``min_chars`` are always kept (empty-ish lines
     would count as boilerplate everywhere).
     """
+    # NULL hosts coalesce to a sentinel (host_cap_approx's posture):
+    # the aggregate groups NULL hosts together anyway, but the
+    # anti-join below would never match a NULL=NULL key — flagged
+    # boilerplate would survive for exactly the unparseable-host group
+    host = F.coalesce(url_host(url_col), F.lit("\x00<no-host>"))
     lines = df.select(
         F.col(id_col),
-        url_host(url_col).alias("_host"),
+        host.alias("_host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
     ).withColumn("_lh", F.xxhash64("_line"))
     # The count-distinct and the anti-join key on the 8-byte line
@@ -253,10 +271,19 @@ def site_boilerplate_removal(
     # broadcast, and collecting the actual rows blew the 1 GB driver
     # result cap. Sort-merge is the shape a key-to-key corpus join
     # wants at any scale.
+    # NULL text stays NULL (the doc produced no lines, so it has no
+    # rebuilt row — coalescing it to '' would erase the extraction-
+    # failed vs genuinely-empty distinction for a doc this function
+    # had no business touching); '' is only for docs whose every line
+    # was flagged
     return (
         df.join(rebuilt.hint("merge"), id_col, "left")
         .withColumn(
-            text_col, F.coalesce(F.col("_new_text"), F.lit(""))
+            text_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(F.col("_new_text"), F.lit("")),
+            ),
         )
         .drop("_new_text")
     )

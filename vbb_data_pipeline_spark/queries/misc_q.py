@@ -30,7 +30,7 @@ from vbb_data_pipeline_spark.queries.relational import F3_ORACLE
 #: the synthetic crawl URL each string_battery row normalizes — mixed
 #: case, default port, tracking params, fragment; built identically in
 #: both engines so the normalize_url chain is replayed end-to-end
-_URL_TRACK = "utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|sessionid|phpsessid|sid"
+_URL_TRACK = "utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|sessionid|phpsessid"
 _URL_AUTH_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 _URL_ORACLE_CHAIN = f"""
         SELECT *,
@@ -44,14 +44,29 @@ _URL_ORACLE_CHAIN = f"""
                     '^(http://[^/?#:]*):80([/?#]|$)', '\\1\\2', 'g') AS u2
         FROM urls1
     ), urls3 AS (
-        SELECT *, regexp_replace(
-                    regexp_replace(
-                      regexp_replace(
-                        regexp_replace(u2, '#.*$', '', 'g'),
-                        '&(?:{_URL_TRACK})=[^&#]*', '', 'g'),
-                      '\\?(?:{_URL_TRACK})=[^&#]*&', '?', 'g'),
-                    '\\?(?:{_URL_TRACK})=[^&#]*$', '', 'g') AS url_norm
-        FROM urls2
+        -- query-anchored tracking strip, replaying
+        -- functions/urls.normalize_url step for step: split at the
+        -- first '?', strip (?:^|&)param=value pairs from the QUERY
+        -- only, tidy separators, reassemble
+        SELECT *,
+               regexp_replace(regexp_replace(regexp_replace(
+                   CASE WHEN length(u3) > length(b3)
+                        THEN substr(u3, length(b3) + 2) ELSE '' END,
+                   '(?:^|&)(?:{_URL_TRACK})=[^&]*', '', 'g'),
+                   '&&+', '&', 'g'),
+                   '^&+|&+$', '', 'g') AS q3
+        FROM (
+            SELECT *, regexp_replace(u2, '#.*$', '', 'g') AS u3,
+                   regexp_extract(regexp_replace(u2, '#.*$', '', 'g'),
+                                  '^([^?]*)', 1) AS b3
+            FROM urls2
+        )
+    ), urls4 AS (
+        SELECT *,
+               CASE WHEN length(u3) = length(b3) THEN u3
+                    WHEN q3 = '' THEN b3
+                    ELSE b3 || '?' || q3 END AS url_norm
+        FROM urls3
     )"""
 
 
@@ -81,7 +96,7 @@ _URL_ORACLE_CHAIN = f"""
            regexp_replace(c_name, '[^a-z]', '', 'g')       AS name_alpha,
            url_norm,
            lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS uhost
-    FROM urls3
+    FROM urls4
     """,
     survey="§2.7 scalar-function battery (string) + §2.7 F5 (regex "
     "URL extraction, extract_dag.py:21-54) + F6 (header sanitization "

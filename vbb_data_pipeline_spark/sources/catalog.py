@@ -17,6 +17,7 @@ computed from zip central-directory metadata without decompressing.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from pathlib import Path
 
@@ -49,7 +50,13 @@ def scan_landing_distributed(spark: SparkSession, base_dir: str) -> DataFrame:
     only ``path``, so tasks touch file metadata, and millions of
     archives list in parallel instead of through one driver loop).
 
-    Layout contract: ``<base>/<provider_id>/<run_date>.zip``.
+    Layout contract: ``<base>/<provider_id>/<run_date>.zip`` —
+    ENFORCED: zips nested deeper (``<base>/p/archive/x.zip``) or
+    sitting at the base itself are skipped, exactly as the
+    driver-side :func:`scan_landing` skips them. recursiveFileLookup
+    sees them, and deriving provider_id from ``parts[-2]`` used to
+    catalog such strays under a nonexistent provider, making the two
+    scan variants disagree on which runs exist.
     """
     listed = (
         spark.read.format("binaryFile")
@@ -58,13 +65,33 @@ def scan_landing_distributed(spark: SparkSession, base_dir: str) -> DataFrame:
         .load(base_dir)
         .select("path")
     )
+    # depth check on PATH PORTIONS (scheme-agnostic: binaryFile emits
+    # "file:/x" with one slash, object stores "scheme://auth/x")
+    if "://" in base_dir:
+        tail = base_dir.split("://", 1)[1]
+        base_path = "/" + tail.split("/", 1)[1] if "/" in tail else ""
+    else:
+        base_path = str(Path(base_dir).resolve())
+    p_path = F.regexp_replace(
+        F.col("path"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    p_path = F.regexp_replace(p_path, r"^[A-Za-z][A-Za-z0-9+.-]*:", "")
+    rel = F.regexp_replace(
+        p_path, "^" + re.escape(base_path.rstrip("/")) + "/", ""
+    )
     parts = F.split(F.col("path"), "/")
     provider = F.element_at(parts, -2)
     run_date = F.regexp_replace(F.element_at(parts, -1), r"\.zip$", "")
-    return listed.select(
-        provider.alias("provider_id"),
-        run_date.alias("run_date"),
-        F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+    return (
+        listed
+        # exactly <provider>/<name>.zip below base: one '/' in the
+        # relative path
+        .filter(F.size(F.split(rel, "/")) == 2)
+        .select(
+            provider.alias("provider_id"),
+            run_date.alias("run_date"),
+            F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+        )
     )
 
 
@@ -85,7 +112,11 @@ def assign_run_ids(new: DataFrame, run_catalog: DataFrame | None) -> DataFrame:
     §7.3), unlike ``monotonically_increasing_id``.
     """
     offset = 0
-    if run_catalog is not None and run_catalog.head(1):
+    if run_catalog is not None:
+        # one job, not two: max over an empty frame is a single NULL
+        # row, which `or 0` already normalizes — the old head(1)
+        # emptiness probe was a redundant driver-blocking scan per
+        # incremental load
         offset = run_catalog.agg(F.max("run_id")).collect()[0][0] or 0
     # Rank per provider (parallel windows), then add a per-provider base
     # computed from the provider ranks — equivalent to one global

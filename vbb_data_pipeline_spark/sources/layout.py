@@ -207,9 +207,18 @@ def compact_auto(
     tmp = sibling_path(path, f".compact_{uuid.uuid4().hex[:8]}")
     if partition_by:
         n = max(32, before["n_files"])
+        out = df.repartition(n, *[df[c] for c in partition_by])
+        if sort_cols:
+            # the caller asked for clustering: honor it inside each
+            # partition (this branch used to silently IGNORE
+            # sort_cols, rewriting partitions in arbitrary row order
+            # and destroying the parquet min/max stats the sort
+            # exists for). Partition columns LEAD the sort: the
+            # dynamic-partition writer inserts its own sort on them
+            # otherwise, which would discard the requested order.
+            out = out.sortWithinPartitions(*partition_by, *sort_cols)
         (
-            df.repartition(n, *[df[c] for c in partition_by])
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(*partition_by)
             .parquet(tmp)
         )
@@ -356,7 +365,12 @@ def int_bucket(col: Column, lo: int, hi: int, bits: int) -> Column:
             "engine-identical bucketing is not guaranteed — pre-scale "
             "the column (integer divide / shiftright) before bucketing"
         )
-    v = F.greatest(F.least(col.cast("long"), F.lit(int(hi))), F.lit(int(lo)))
+    # NULLs bucket to the BOTTOM explicitly: least/greatest SKIP
+    # NULLs, so a NULL input used to "clamp" to hi and land in the TOP
+    # bucket, physically clustering every NULL row into the files
+    # covering the max corner of the range
+    c = F.coalesce(col.cast("long"), F.lit(int(lo)))
+    v = F.greatest(F.least(c, F.lit(int(hi))), F.lit(int(lo)))
     num = (v - F.lit(int(lo))) * F.lit(m)
     # exact integer division: (num − num % span) is a multiple of span,
     # so the double division is exact (guarded: result < 2^53) in
@@ -382,6 +396,12 @@ def zorder_key(cols: Sequence[Column], bits: int = 12) -> Column:
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits < 1 or n < 1:
+        raise ValueError(
+            f"zorder_key: bits ({bits}) and cols ({n}) must both be "
+            ">= 1 — an empty term list would crash in reduce() far "
+            "from the bad argument"
+        )
     if bits * n > 63:
         raise ValueError(
             f"zorder_key: {bits} bits x {n} cols = {bits * n} exceeds "
