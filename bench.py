@@ -249,16 +249,26 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         first_run[name] = round(time.perf_counter() - t0, 3)
         before_ids = _stage_ids(spark)
-        best = float("inf")
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        d = _stage_delta(spark, before_ids)
-        if d:
-            d["runs"] = 3  # stage metrics aggregate the 3 steady runs
-            diag_q[name] = d
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
+        d = _stage_delta(spark, before_ids) or {}
+        d["runs"] = 3  # stage metrics aggregate the 3 steady runs
+        # per-query variance columns (round-9: the r8 +33% artifact
+        # turned out to be ENVIRONMENT drift — BENCH_AB_r09.json —
+        # and nothing in the artifact could say so at the time; the
+        # spread makes run-to-run noise self-evident per query)
+        srt = sorted(samples)
+        d["steady_min_sec"] = round(srt[0], 3)
+        d["steady_median_sec"] = round(srt[len(srt) // 2], 3)
+        d["steady_max_sec"] = round(srt[-1], 3)
+        d["steady_spread_pct"] = (
+            round(100.0 * (srt[-1] - srt[0]) / srt[0], 1) if srt[0] else None
+        )
+        diag_q[name] = d
 
     wall = time.perf_counter() - t_wall0
     machine_after = _machine_snapshot()

@@ -140,3 +140,104 @@ def test_registry_probe_covers_all_statuses(spark):
         if 2_000_000 <= r["doc_id"] < 3_000_000:
             assert r["status"] in ("exact_dup", "near_dup")
             assert r["dup_of"] is not None
+
+
+def test_index_write_order_bands_fps_marker(spark, tmp_path, monkeypatch):
+    """Crash-convergence ordering (round-9 ADVICE): bands/ must land
+    BEFORE fps/ (the streaming replay guard reads fps — if fps commits
+    first, a crash in between anti-joins the survivors out of the
+    replayed batch and their bands rows are lost forever), and the
+    params marker must land only AFTER both tables (a marker written
+    first would assert parameters the tables were never built with if
+    the build fails)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from vbb_data_pipeline_spark.sources import layout
+
+    events: list[str] = []
+    real_parquet = DataFrameWriter.parquet
+    real_marker = layout.hadoop_write_text
+
+    def spy_parquet(self, path, *a, **k):
+        events.append("bands" if path.endswith("/bands") else "fps")
+        return real_parquet(self, path, *a, **k)
+
+    def spy_marker(sp, path, body):
+        events.append("marker")
+        return real_marker(sp, path, body)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", spy_parquet)
+    monkeypatch.setattr(layout, "hadoop_write_text", spy_marker)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    dedup_index_write(df, str(tmp_path / "idx"))
+    assert events == ["bands", "fps", "marker"]
+
+
+def test_failed_build_never_flips_params_marker(spark, tmp_path, monkeypatch):
+    """mode='overwrite' under NEW params whose table writes fail must
+    leave the old marker in place — otherwise later appends/probes
+    would validate against parameters the on-disk tables were not
+    built with (round-9 ADVICE item 4)."""
+    import json
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from vbb_data_pipeline_spark.sources.layout import hadoop_read_text
+
+    path = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    dedup_index_write(df, path, num_hashes=16, bands=4)
+    assert json.loads(
+        hadoop_read_text(spark, path + "/_dedup_params.json")
+    )["num_hashes"] == 16
+
+    real_parquet = DataFrameWriter.parquet
+
+    def crashing(self, p, *a, **k):
+        raise RuntimeError("injected table-write failure")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        dedup_index_write(df, path, num_hashes=8, bands=2, mode="overwrite")
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+    # marker still records the params the ON-DISK tables carry
+    assert json.loads(
+        hadoop_read_text(spark, path + "/_dedup_params.json")
+    )["num_hashes"] == 16
+    # and the original-parameter probe path still validates
+    dedup_incremental(df, path, num_hashes=16, bands=4).collect()
+
+
+def test_zero_token_docs_indexed_in_fps_not_bands(spark, tmp_path):
+    """Zero-token docs (NULL fingerprint) get an fps/ row — their ids
+    must be visible to streaming's replay/redelivery guard — but stay
+    out of bands/ (their degenerate signature would bucket every such
+    doc together), and a NULL fp never matches the exact tier: two
+    different zero-token docs still probe as 'new'."""
+    path = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "你好世界")],
+        "doc_id long, text string",
+    )
+    dedup_index_write(corpus, path)
+    fps = spark.read.parquet(path + "/fps")
+    assert {r["doc_id"] for r in fps.collect()} == {1, 2}
+    assert fps.filter(F.col("fp").isNull()).count() == 1
+    bands = spark.read.parquet(path + "/bands")
+    assert {r["doc_id"] for r in bands.collect()} == {1}
+
+    batch = spark.createDataFrame(
+        [(10, "مرحبا بالعالم"), (11, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup_incremental(batch, path).collect()
+    }
+    assert out == {10: "new", 11: "exact_dup"}

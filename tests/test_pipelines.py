@@ -984,3 +984,62 @@ def test_e6_curation_only_materialize_writes_marker(spark, tmp_path):
         extractor="naive",
     )
     assert sorted((r.doc_id, r.url) for r in resumed.collect()) == docs
+
+
+def test_e6_resume_tolerates_legacy_marker(spark, tmp_path):
+    """Markers written before hash_mode was RESOLVED into the record
+    carry hash_mode null, and WET-run markers used to record the
+    (unconsulted) extractor string. A resume against such a marker
+    must normalize instead of forcing a full re-curation of a frame
+    that IS valid (round-9 ADVICE item 3) — while a genuinely
+    different config still refuses."""
+    import gzip
+    import json
+
+    import pytest
+
+    from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
+    from vbb_data_pipeline_spark.sources.layout import (
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    d = tmp_path / "wet_crawl"
+    d.mkdir()
+
+    def conv(text: str, uri: str) -> bytes:
+        payload = text.encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    members = [
+        gzip.compress(conv(b, f"http://en.example/{i}"))
+        for i, b in enumerate(EN_BODIES)
+    ]
+    (d / "a.warc.wet.gz").write_bytes(b"".join(members))
+    mat = str(tmp_path / "curated")
+
+    kw = dict(input_format="wet", run_e4=False, materialize_dir=mat)
+    first = sorted(
+        r["doc_id"] for r in e6_crawl_corpus(spark, str(d), **kw).collect()
+    )
+    marker = mat.rstrip("/") + "/_e6_curation.json"
+    rec = json.loads(hadoop_read_text(spark, marker))
+    # rewrite the marker in the legacy form: unresolved hash_mode,
+    # extractor recorded on a WET run
+    legacy = dict(rec, hash_mode=None, extractor="density")
+    hadoop_write_text(spark, marker, json.dumps(legacy, sort_keys=True))
+
+    resumed = sorted(
+        r["doc_id"]
+        for r in e6_crawl_corpus(spark, str(d), resume=True, **kw).collect()
+    )
+    assert resumed == first
+    # tolerance is NOT blanket acceptance: a real config mismatch in
+    # the legacy marker still refuses
+    with pytest.raises(ValueError, match="min_chars"):
+        e6_crawl_corpus(spark, str(d), resume=True, min_chars=999, **kw)

@@ -434,3 +434,27 @@ def test_crash_before_index_write_converges(spark, kw, monkeypatch):
     # the same text is recognized as an exact dup
     corpus_ingest_batch(_docs(spark, [(50, GOOD)]), 1, **kw)
     assert _statuses(spark, kw["audit_path"])[50] == "exact_dup"
+
+
+def test_zero_token_redelivery_guarded_across_batches(spark, kw):
+    """A zero-token (NULL-fingerprint) survivor redelivered under the
+    SAME doc id in a LATER micro-batch must be filtered by the step-0
+    guard — the fps index records its id (with a NULL fp) even though
+    it carries no dedup evidence. Before the round-9 fix such docs
+    were excluded from fps entirely, so redelivery duplicated them in
+    the corpus (the corpus/audit guards are batch-partition-scoped and
+    can't see across batch ids)."""
+    kw = dict(kw, min_quality=0.0)
+    zt = "你好世界你好世界"  # fully CJK: zero [a-z0-9] tokens
+    corpus_ingest_batch(_docs(spark, [(7, zt), (8, GOOD)]), 0, **kw)
+    corpus = spark.read.parquet(kw["corpus_path"])
+    assert corpus.filter(F.col("doc_id") == 7).count() == 1
+
+    # at-least-once source redelivers doc 7 in the next batch
+    corpus_ingest_batch(_docs(spark, [(7, zt), (9, GOOD2)]), 1, **kw)
+    corpus = spark.read.parquet(kw["corpus_path"])
+    assert corpus.filter(F.col("doc_id") == 7).count() == 1
+    assert corpus.count() == 3
+    # and the audit carries exactly one verdict for doc 7
+    audit = spark.read.parquet(kw["audit_path"])
+    assert audit.filter(F.col("doc_id") == 7).count() == 1

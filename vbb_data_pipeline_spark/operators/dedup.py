@@ -866,18 +866,21 @@ def _band_buckets(
 
 
 def _check_index_params(
-    spark, path: str, params: dict, write: bool, require_match: bool
+    spark, path: str, params: dict, require_match: bool
 ) -> None:
-    """Verify (and on build, record) the at-rest dedup index's
-    signature parameters — see :func:`dedup_index_write`. Indexes
-    written before the marker existed are tolerated (no marker, no
-    check) unless ``require_match`` would have nothing to compare."""
+    """Verify the at-rest dedup index's signature parameters — see
+    :func:`dedup_index_write`. Check-only: recording/refreshing the
+    marker is :func:`_write_index_params`, called AFTER the table
+    writes succeed (a marker written first would assert parameters
+    the on-disk tables were never built with if the build fails).
+    Indexes written before the marker existed are tolerated (no
+    marker, no check) unless ``require_match`` would have nothing to
+    compare."""
     import json as _json
 
     from vbb_data_pipeline_spark.sources.layout import (
         hadoop_exists,
         hadoop_read_text,
-        hadoop_write_text,
     )
 
     marker = path.rstrip("/") + "/_dedup_params.json"
@@ -895,15 +898,26 @@ def _check_index_params(
                 "near-dup would silently classify 'new'; use the "
                 "index's parameters or rebuild with mode='overwrite'"
             )
-        if not require_match and recorded != params and write:
-            # overwrite build under new params: replace the record
-            hadoop_write_text(
-                spark, marker, _json.dumps(params, sort_keys=True)
-            )
-    elif write:
-        hadoop_write_text(
-            spark, marker, _json.dumps(params, sort_keys=True)
-        )
+
+
+def _write_index_params(spark, path: str, params: dict) -> None:
+    """Record (or refresh, after an overwrite under new parameters)
+    the index's ``_dedup_params.json`` marker. Only called after both
+    table writes succeed — see the ordering note in
+    :func:`dedup_index_write`."""
+    import json as _json
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        hadoop_exists,
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    marker = path.rstrip("/") + "/_dedup_params.json"
+    body = _json.dumps(params, sort_keys=True)
+    if hadoop_exists(spark, marker) and hadoop_read_text(spark, marker) == body:
+        return
+    hadoop_write_text(spark, marker, body)
 
 
 def dedup_index_write(
@@ -958,22 +972,27 @@ def dedup_index_write(
         "hash_mode": hash_mode,
     }
     _check_index_params(
-        df.sparkSession, path, params,
-        write=True, require_match=(mode == "append"),
+        df.sparkSession, path, params, require_match=(mode == "append"),
     )
-    # zero-token docs (NULL fingerprint) are excluded from BOTH
-    # tables: a NULL fp can never match the exact join, and their
-    # degenerate zero-shingle signature would band-bucket every such
-    # doc together (see the matching batch-side skip in
-    # dedup_incremental)
-    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp")).filter(
-        F.col("fp").isNotNull()
-    )
+    # EVERY doc gets an fps row — including zero-token docs, whose
+    # fingerprint is NULL. A NULL fp is inert for matching (the exact
+    # tier's equi-join never matches NULL), but the row's id must be
+    # recorded: streaming ingest's step-0 replay/redelivery guard is
+    # "id present in fps/", so a NULL-fp survivor missing from fps
+    # would be re-ingested (duplicated in the corpus) if the same doc
+    # id is redelivered in a later micro-batch. Zero-token docs stay
+    # OUT of bands/: their degenerate zero-shingle signature is
+    # identical for every such doc and would band-bucket them all
+    # together (see the matching batch-side skip in dedup_incremental).
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     sig = minhash_signatures(
-        df.join(fp.select(id_col), id_col, "left_semi"),
+        df.join(
+            fp.filter(F.col("fp").isNotNull()).select(id_col),
+            id_col,
+            "left_semi",
+        ),
         text_col, id_col, num_hashes, shingle_n, hash_mode,
     )
-    fp.write.mode(mode).parquet(f"{path}/fps")
     banded = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
@@ -986,7 +1005,20 @@ def dedup_index_write(
             F.array(*[F.col(f"band_{b}") for b in range(bands)])
         ).alias("bucket"),
     )
+    # WRITE ORDER is load-bearing: bands first, fps last, marker
+    # after both. The streaming replay guard reads fps/, so fps must
+    # be the COMMIT POINT — a crash after bands but before fps means
+    # a replay rebuilds the whole batch (ids absent from fps) and
+    # re-appends bands rows, which the candidate tier's .distinct()
+    # absorbs. The reverse order is non-convergent: survivors in fps
+    # are anti-joined out of the replayed batch, their bands rows are
+    # never written, and near-dups against them are missed forever.
+    # The params marker lands only after both tables succeed, so a
+    # failed overwrite-with-new-params never leaves a marker
+    # asserting parameters the on-disk tables were not built with.
     melted.write.mode(mode).parquet(f"{path}/bands")
+    fp.write.mode(mode).parquet(f"{path}/fps")
+    _write_index_params(df.sparkSession, path, params)
 
 
 def dedup_incremental(
@@ -1039,7 +1071,7 @@ def dedup_incremental(
             "shingle_n": int(shingle_n),
             "hash_mode": hash_mode,
         },
-        write=False, require_match=True,
+        require_match=True,
     )
     new_fp = new_df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     # zero-token docs (NULL fingerprint) carry no content evidence in

@@ -651,6 +651,18 @@ def e6_crawl_corpus(
             raise ValueError("resume=True requires materialize_dir")
         if hadoop_exists(spark, marker):
             recorded = _json.loads(hadoop_read_text(spark, marker))
+            # legacy-marker tolerance (mirrors crawl_e2e's optional
+            # 'sf'): markers written before hash_mode/extractor were
+            # RESOLVED into the record carry hash_mode null (meaning
+            # "the environment default") and, on WET runs, whatever
+            # extractor string the caller passed even though the WET
+            # path never consults it. Normalize those to the resolved
+            # form instead of forcing a full re-curation of a frame
+            # that IS valid.
+            if recorded.get("hash_mode") is None:
+                recorded["hash_mode"] = default_hash_mode()
+            if recorded.get("input_format") == "wet":
+                recorded["extractor"] = None
             if recorded != curation_conf:
                 diff = sorted(
                     k
