@@ -141,6 +141,38 @@ def measure(spark, kind: str) -> dict:
             "recall_at_k": round(len(got & want) / max(len(want), 1), 4),
             "scanned_fraction": round(np_ / n_cells, 5),
         }
+
+    # round-9 guard: build-time recall estimate + nprobe='auto'.
+    # Clustered corpora certify a small nprobe; uniform corpora record
+    # fallback and the auto probe takes the exact scan (recall 1.0 at
+    # full-scan cost) instead of silently returning coin-flip recall.
+    t0 = time.perf_counter()
+    est = sim.ann_recall_estimate(
+        spark, idx_path, emb, centroids, DIM, kind="ivf_pq",
+        codebooks=codebooks, n_subspaces=N_SUBSPACES, k=K,
+        n_queries=N_QUERIES, target_recall=0.9,
+        candidates_base=CANDIDATES,
+    )
+    estimate_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    auto_rows = sim.ivf_pq_topk_from_index(
+        spark, idx_path, q, centroids, codebooks, k=K, nprobe="auto",
+        n_subspaces=N_SUBSPACES, dim=DIM,
+    ).collect()
+    auto_sec = time.perf_counter() - t0
+    got = {(r.query_id, r.neighbor_id) for r in auto_rows}
+    auto = {
+        "recall_at_k": round(len(got & want) / max(len(want), 1), 4),
+        "probe_sec": round(auto_sec, 3),
+        "estimate_sec": round(estimate_sec, 2),
+        "fallback": est["fallback"],
+        "recommended_nprobe": est["recommended_nprobe"],
+        "recommended_candidates": est["recommended_candidates"],
+        "scanned_fraction": (
+            1.0 if est["fallback"]
+            else round(est["recommended_nprobe"] / n_cells, 5)
+        ),
+    }
     shutil.rmtree(idx_path, ignore_errors=True)
     return {
         "corpus": kind,
@@ -149,6 +181,7 @@ def measure(spark, kind: str) -> dict:
         "build_sec": round(build_sec, 2),
         "brute_force_sec": round(brute_sec, 2),
         "nprobe": sweep,
+        "auto": auto,
     }
 
 

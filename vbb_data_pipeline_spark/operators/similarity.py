@@ -936,10 +936,21 @@ def ivf_write_index(
     vec_col: str = "embedding",
     round_digits: int = 5,
     mode: str = "overwrite",
+    target_recall: float | None = None,
+    recall_kwargs: dict | None = None,
 ) -> None:
     """Materialize the IVF inverted lists as storage layout: the
     corpus, assigned to cells, written hive-partitioned by
     ``cell_id``.
+
+    ``target_recall`` (opt-in) runs :func:`ann_recall_estimate` after
+    the write: sampled exact ground truth, an nprobe-ladder walk, and
+    an ``_ann_recall.json`` marker recording the nprobe this index
+    NEEDS for that recall — or ``fallback: true`` when no rung
+    reaches it (uniform / unclusterable embeddings, where IVF recall
+    degrades by construction of the data). ``nprobe="auto"`` probes
+    consume the marker; ``recall_kwargs`` forwards estimator knobs
+    (k, n_queries, nprobe_ladder, ...).
 
     This is the at-rest form of the "inverted lists = storage
     partitioning" claim: ``n_cells`` is bounded (a partition-count,
@@ -967,6 +978,13 @@ def ivf_write_index(
     assigned.repartition(F.col("cell_id")).write.partitionBy(
         "cell_id"
     ).mode(mode).parquet(path)
+    if target_recall is not None:
+        ann_recall_estimate(
+            embeddings.sparkSession, path, embeddings, centroids, dim,
+            kind="ivf", target_recall=target_recall, id_col=id_col,
+            vec_col=vec_col, round_digits=round_digits,
+            **(recall_kwargs or {}),
+        )
 
 
 def ivf_topk_from_index(
@@ -975,7 +993,7 @@ def ivf_topk_from_index(
     queries: DataFrame,
     centroids: DataFrame,
     k: int,
-    nprobe: int,
+    nprobe: int | str,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -991,7 +1009,22 @@ def ivf_topk_from_index(
     probed inverted lists. Candidates then broadcast-join the probes
     and exact-rank — identical semantics to :func:`ivf_topk`, minus
     the per-query assignment scan.
+
+    ``nprobe="auto"`` reads the build-time recall marker
+    (:func:`ann_recall_estimate`): the recommended nprobe when the
+    measured curve reaches the build's recall target, or the
+    exact-scan fallback (:func:`exact_topk_from_index`) when it
+    recorded that NO nprobe rung does — a user pointing the probe at
+    unclusterable embeddings gets recall 1.0 at full-scan cost
+    instead of silent coin-flip recall.
     """
+    if nprobe == "auto":
+        nprobe, _ = _resolve_auto_probe(spark, index_path, "ivf")
+        if nprobe is None:
+            return exact_topk_from_index(
+                spark, index_path, queries, k, id_col=id_col,
+                vec_col=vec_col, round_digits=round_digits,
+            )
     cent = centroids.select(
         F.col("cell_id"),
         F.col(vec_col).alias("_mv"),
@@ -2539,10 +2572,19 @@ def ivf_pq_write_index(
     vec_col: str = "embedding",
     round_digits: int = 5,
     mode: str = "overwrite",
+    target_recall: float | None = None,
+    recall_kwargs: dict | None = None,
 ) -> None:
     """Materialize the IVF-PQ index as storage layout: the corpus
     written hive-partitioned by ``cell_id``, each row carrying its
     ``pq_codes`` array (subspace-ordered) next to the raw vector.
+
+    ``target_recall`` (opt-in) runs :func:`ann_recall_estimate` after
+    the write — see :func:`ivf_write_index`; the IVF-PQ ladder also
+    scales the exact-re-rank pool with nprobe (a fixed pool drowns in
+    ADC noise as probed cells grow), and ``nprobe="auto"`` probes
+    consume the recorded (nprobe, candidates) pair or the exact-scan
+    fallback.
 
     At rest this is the full billion-vector layout: a probe
     partition-prunes to nprobe/n_cells of the files, the ADC scan
@@ -2580,6 +2622,13 @@ def ivf_pq_write_index(
     assigned.join(packed, id_col).repartition(F.col("cell_id")).write.partitionBy(
         "cell_id"
     ).mode(mode).parquet(path)
+    if target_recall is not None:
+        ann_recall_estimate(
+            embeddings.sparkSession, path, embeddings, centroids, dim,
+            kind="ivf_pq", codebooks=codebooks, n_subspaces=n_subspaces,
+            target_recall=target_recall, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits, **(recall_kwargs or {}),
+        )
 
 
 def ivf_pq_topk_from_index(
@@ -2589,7 +2638,7 @@ def ivf_pq_topk_from_index(
     centroids: DataFrame,
     codebooks: DataFrame,
     k: int,
-    nprobe: int,
+    nprobe: int | str,
     n_subspaces: int,
     dim: int,
     candidates: int = 20,
@@ -2606,7 +2655,30 @@ def ivf_pq_topk_from_index(
     (partition-pruned file listing); the ADC pass reads only
     ``(id, pq_codes)`` columns of those partitions; candidate rows
     alone come back for the exact re-rank.
+
+    ``nprobe="auto"`` consumes the build-time recall marker (see
+    :func:`ivf_topk_from_index`): the recorded (nprobe, candidates)
+    pair — ``candidates`` is then taken from the marker, not the
+    argument — or the exact-scan fallback when the estimate showed no
+    rung reaching the target (``approx_cosine`` equals the exact
+    cosine on that path).
     """
+    if nprobe == "auto":
+        nprobe, auto_cand = _resolve_auto_probe(spark, index_path, "ivf_pq")
+        if nprobe is None:
+            exact = exact_topk_from_index(
+                spark, index_path, queries, k, id_col=id_col,
+                vec_col=vec_col, round_digits=round_digits,
+            )
+            return exact.select(
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                F.col("cosine").alias("approx_cosine"),
+                "rank",
+            )
+        if auto_cand is not None:
+            candidates = auto_cand
     cent = centroids.select(
         F.col("cell_id"), F.col(vec_col).alias("_mv")
     ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
@@ -2737,4 +2809,216 @@ def ivf_pq_topk_from_index(
             "approx_cosine",
             F.col("_rn").alias("rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Build-time recall estimation + probe auto-escalation (round 9)
+# ---------------------------------------------------------------------------
+
+#: Marker written next to an IVF / IVF-PQ index by
+#: :func:`ann_recall_estimate`; consumed by ``nprobe="auto"`` probes.
+ANN_RECALL_MARKER = "_ann_recall.json"
+
+#: Default nprobe escalation ladder (clipped to n_cells). Geometric:
+#: each rung doubles the scanned fraction, so the walk to ANY
+#: achievable target costs at most 2x the final rung's scan.
+ANN_NPROBE_LADDER = (4, 8, 16, 32, 64, 128)
+
+
+def ann_recall_estimate(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    *,
+    kind: str = "ivf",
+    codebooks: DataFrame | None = None,
+    n_subspaces: int | None = None,
+    k: int = 10,
+    n_queries: int = 32,
+    target_recall: float = 0.9,
+    nprobe_ladder: tuple[int, ...] = ANN_NPROBE_LADDER,
+    candidates_base: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    write_marker: bool = True,
+) -> dict:
+    """Measure the just-built index's recall@k on a sampled exact
+    ground truth and record the nprobe the index actually NEEDS for
+    ``target_recall`` — or the fact that no ladder rung reaches it.
+
+    Why this exists: IVF recall is a property of the DATA, not the
+    index. On clustered corpora (real encoder embeddings — the
+    workload ANN exists for here) a handful of probes recover >0.95
+    recall; on high-dimensional UNIFORM vectors no partitioning
+    scheme can concentrate a query's neighbors in few cells, and the
+    measured recall@10 silently degrades to a coin flip
+    (ANN_recall.json: 0.96 clustered vs 0.44 uniform at the same
+    nprobe). A user cannot see which regime their corpus is in from
+    the probe results — this estimator makes the index MEASURE it at
+    build time and makes ``nprobe="auto"`` act on it.
+
+    Method: ``n_queries`` corpus vectors are hash-sampled
+    (order by ``xxhash64(id)`` — deterministic, id-locality-free),
+    exact ground truth is one :func:`brute_force_topk_arrow` corpus
+    pass (BLAS; at build time this is a small fraction of the
+    assignment+encode scans the build already ran), then the ladder
+    is walked with cheap partition-pruned probes until a rung's
+    measured recall reaches the target. For IVF-PQ the re-rank pool
+    scales with the rung (``candidates = max(base, k * nprobe)``):
+    a fixed pool drowns in ADC quantization noise as more cells are
+    probed — the measured cause of ANN_recall.json's recall DROPPING
+    with nprobe on uniform data.
+
+    Returns (and, with ``write_marker``, records next to the index as
+    ``_ann_recall.json``) ``{kind, k, n_queries, target_recall,
+    curve: [{nprobe, candidates, recall, scanned_fraction}],
+    recommended_nprobe, recommended_candidates, fallback}`` —
+    ``fallback: true`` means NO rung reached the target and
+    ``nprobe="auto"`` probes must take the exact-scan path
+    (:func:`exact_topk_from_index`). The marker is advisory for
+    integer-nprobe callers and binding for ``"auto"``.
+    """
+    import json as _json
+
+    if kind not in ("ivf", "ivf_pq"):
+        raise ValueError(f"kind must be ivf|ivf_pq: {kind}")
+    if kind == "ivf_pq" and (codebooks is None or n_subspaces is None):
+        raise ValueError("kind='ivf_pq' requires codebooks + n_subspaces")
+    n_cells = centroids.count()
+    base = candidates_base if candidates_base is not None else 10 * k
+
+    q = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(id_col).cast("long")).asc())
+        .limit(n_queries)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    truth = brute_force_topk_arrow(
+        embeddings, q, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).collect()
+    want = {(r.query_id, r.neighbor_id) for r in truth}
+
+    curve = []
+    recommended = None
+    rec_cand = None
+    for rung in nprobe_ladder:
+        nprobe = min(int(rung), int(n_cells))
+        cand = max(base, k * nprobe)
+        if kind == "ivf":
+            got_rows = ivf_topk_from_index(
+                spark, index_path, q, centroids, k=k, nprobe=nprobe,
+                dim=dim, id_col=id_col, vec_col=vec_col,
+                round_digits=round_digits,
+            ).collect()
+        else:
+            got_rows = ivf_pq_topk_from_index(
+                spark, index_path, q, centroids, codebooks, k=k,
+                nprobe=nprobe, n_subspaces=n_subspaces, dim=dim,
+                candidates=cand, id_col=id_col, vec_col=vec_col,
+                round_digits=round_digits,
+            ).collect()
+        got = {(r.query_id, r.neighbor_id) for r in got_rows}
+        recall = len(got & want) / max(len(want), 1)
+        curve.append(
+            {
+                "nprobe": nprobe,
+                "candidates": cand if kind == "ivf_pq" else None,
+                "recall": round(recall, 4),
+                "scanned_fraction": round(nprobe / max(n_cells, 1), 5),
+            }
+        )
+        if recall >= target_recall:
+            recommended, rec_cand = nprobe, cand
+            break
+        if nprobe >= n_cells:
+            break
+
+    result = {
+        "kind": kind,
+        "k": k,
+        "n_queries": n_queries,
+        "target_recall": target_recall,
+        "n_cells": int(n_cells),
+        "curve": curve,
+        "recommended_nprobe": recommended,
+        "recommended_candidates": rec_cand if kind == "ivf_pq" else None,
+        "fallback": recommended is None,
+    }
+    if write_marker:
+        from vbb_data_pipeline_spark.sources.layout import hadoop_write_text
+
+        hadoop_write_text(
+            spark,
+            index_path.rstrip("/") + "/" + ANN_RECALL_MARKER,
+            _json.dumps(result, sort_keys=True),
+        )
+    return result
+
+
+def _read_recall_marker(spark, index_path: str) -> dict:
+    import json as _json
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        hadoop_exists,
+        hadoop_read_text,
+    )
+
+    marker = index_path.rstrip("/") + "/" + ANN_RECALL_MARKER
+    if not hadoop_exists(spark, marker):
+        raise ValueError(
+            f"nprobe='auto' needs a recall marker at {marker} — build "
+            "the index with target_recall=... (ivf_write_index / "
+            "ivf_pq_write_index) or run ann_recall_estimate after the "
+            "build, or pass an integer nprobe"
+        )
+    return _json.loads(hadoop_read_text(spark, marker))
+
+
+def exact_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact top-k over a persisted IVF / IVF-PQ index — the enforced
+    fallback when the build-time recall estimate shows NO nprobe rung
+    reaches the target (uniform / unclusterable embeddings). Both
+    index layouts store the raw vector column, so the exact path is
+    one :func:`brute_force_topk_arrow` scan of the index files:
+    recall 1.0 by construction, cost one corpus pass per query batch —
+    the honest price of data no partitioning scheme can prune."""
+    index = spark.read.parquet(index_path).select(id_col, vec_col)
+    return brute_force_topk_arrow(
+        index, queries, k=k, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def _resolve_auto_probe(
+    spark, index_path: str, kind: str
+) -> tuple[int | None, int | None]:
+    """(nprobe, candidates) from the recall marker, or (None, None)
+    meaning: take the exact-scan fallback."""
+    rec = _read_recall_marker(spark, index_path)
+    if rec.get("kind") != kind:
+        raise ValueError(
+            f"recall marker at {index_path} was estimated for kind="
+            f"{rec.get('kind')!r}, probe is {kind!r} — re-run "
+            "ann_recall_estimate for this probe path"
+        )
+    if rec.get("fallback"):
+        return None, None
+    return int(rec["recommended_nprobe"]), (
+        int(rec["recommended_candidates"])
+        if rec.get("recommended_candidates") is not None
+        else None
     )

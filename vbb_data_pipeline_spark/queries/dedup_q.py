@@ -35,6 +35,71 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+# ---------------------------------------------------------------------------
+# Adversarial gate rows (round 9): the r8 self-review found 41 defects
+# the 50-query oracle gate missed because the gate data carries no
+# NULL text, zero-token docs, or intra-/cross-doc duplicate lines.
+# These planted rows put those classes INSIDE the driver's DuckDB
+# hash-compare, built identically in both engines (literal union).
+# ---------------------------------------------------------------------------
+
+#: (doc_id, text): NULL text, empty text, zero-token (fully-CJK /
+#: punctuation-only) docs, and an exact CJK duplicate pair — NULL
+#: fingerprints must group consistently, never collapse with content.
+ADV_DOCS = [
+    (9_900_001, None),
+    (9_900_002, ""),
+    (9_900_003, "你好世界"),
+    (9_900_004, "!!! ??? ..."),
+    (9_900_005, "你好世界"),
+]
+
+ADV_DOCS_SQL = (
+    "SELECT * FROM (VALUES "
+    "(CAST(9900001 AS BIGINT), CAST(NULL AS VARCHAR)), "
+    "(9900002, ''), "
+    "(9900003, '你好世界'), "
+    "(9900004, '!!! ??? ...'), "
+    "(9900005, '你好世界')"
+    ") t(doc_id, text)"
+)
+
+#: (doc_id, text, source) for the line-dedup legs: NULL text, empty
+#: text, a doc whose line repeats WITHIN itself plus cross-doc, and a
+#: 4-doc host (bumps against the host cap). Newlines give the corpus
+#: leg real multi-line structure the parquet fixtures don't have.
+ADV_LINE_DOCS = [
+    (9_900_001, None, "zadv"),
+    (9_900_002, "", "zadv"),
+    (
+        9_900_003,
+        "shared boilerplate line\nshared boilerplate line\nunique tail three",
+        "zadv",
+    ),
+    (9_900_004, "shared boilerplate line\nsecond unique line here", "zadv"),
+]
+
+ADV_LINE_DOCS_SQL = (
+    "SELECT * FROM (VALUES "
+    "(CAST(9900001 AS BIGINT), CAST(NULL AS VARCHAR), 'zadv'), "
+    "(9900002, '', 'zadv'), "
+    "(9900003, 'shared boilerplate line' || chr(10) || "
+    "'shared boilerplate line' || chr(10) || 'unique tail three', 'zadv'), "
+    "(9900004, 'shared boilerplate line' || chr(10) || "
+    "'second unique line here', 'zadv')"
+    ") t(doc_id, text, source)"
+)
+
+
+def _shadow_documents(oracle: str, adv_sql: str, cols: str) -> str:
+    """Prepend a CTE named ``documents`` (CTE names shadow base tables
+    in DuckDB) unioning the adversarial literals into the gate input —
+    the one-line way to retrofit every leg of an existing oracle."""
+    head = f"WITH documents AS (SELECT {cols} FROM main.documents UNION ALL {adv_sql}), "
+    stripped = oracle.lstrip()
+    assert stripped.startswith("WITH "), "oracle must start with WITH"
+    return head + stripped[len("WITH "):]
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy) + fingerprint dedup (sorted token set)
@@ -66,6 +131,9 @@ def _simhash_oracle(bits: int = 16) -> str:
 @register(
     "dedup_exact_fingerprint",
     oracle=f"""
+    WITH documents AS (
+        SELECT doc_id, text FROM main.documents UNION ALL {ADV_DOCS_SQL}
+    )
     SELECT 'exact' AS method,
            md5(text) AS group_key,
            min(doc_id) AS keep_id,
@@ -97,12 +165,21 @@ def _simhash_oracle(bits: int = 16) -> str:
     "sketch construction unchanged, operators/dedup.simhash) — tagged "
     "union; all three are one-shuffle hash aggregations whose wide "
     "columns never move",
-    note="simhash leg: docs with zero tokens drop out in both engines",
+    note="simhash leg: docs with zero tokens drop out in both engines; "
+    "adversarial rows (NULL/empty/zero-token text, exact CJK dup pair) "
+    "planted identically in both engines — NULL fingerprints group "
+    "together but never merge with content groups (round 9)",
 )
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.text import fingerprint
 
-    d = load_table(spark, sf_dir, "documents")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(ADV_DOCS, "doc_id long, text string")
+        )
+    )
     exact = d.groupBy(F.md5("text").alias("group_key")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
     )
@@ -371,8 +448,12 @@ _SITE_BOILER_ORACLE = """
         SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
         FROM keep GROUP BY doc_id
     )
-    SELECT d.doc_id, coalesce(r.text, '') AS text
-    FROM (SELECT doc_id FROM documents) d
+    -- NULL text stays NULL (no content evidence is not the same as a
+    -- doc whose every line was boilerplate); '' only for the latter
+    SELECT d.doc_id,
+           CASE WHEN d.t IS NULL THEN NULL
+                ELSE coalesce(r.text, '') END AS text
+    FROM docs d
     LEFT JOIN rebuilt r USING (doc_id)
     """
 
@@ -425,10 +506,18 @@ _HOST_CAP_APPROX_ORACLE = f"""
     "line_dedup_corpus",
     oracle=tag_union_sql(
         [
-            ("corpus_line", _CORPUS_LINE_ORACLE),
-            ("site_boilerplate", _SITE_BOILER_ORACLE),
-            ("host_cap", _HOST_CAP_ORACLE),
-            ("host_cap_approx", _HOST_CAP_APPROX_ORACLE),
+            (
+                tag,
+                _shadow_documents(
+                    leg, ADV_LINE_DOCS_SQL, "doc_id, text, source"
+                ),
+            )
+            for tag, leg in [
+                ("corpus_line", _CORPUS_LINE_ORACLE),
+                ("site_boilerplate", _SITE_BOILER_ORACLE),
+                ("host_cap", _HOST_CAP_ORACLE),
+                ("host_cap_approx", _HOST_CAP_APPROX_ORACLE),
+            ]
         ],
         tag="variant",
     ),
@@ -459,7 +548,15 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         site_boilerplate_removal,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .unionByName(
+            spark.createDataFrame(
+                ADV_LINE_DOCS, "doc_id long, text string, source string"
+            )
+        )
+    )
     corpus = dd.line_dedup_corpus(
         d.select("doc_id", "text"), "text", "doc_id",
         min_chars=LINE_MIN_CHARS,

@@ -1388,12 +1388,43 @@ _NULL_SEM_ORACLE = f"""
                              THEN 1 ELSE 0 END) AS BIGINT) AS n2,
                round(sum(coalesce(price, 0.0)), 2) AS d1
         FROM src
+    ),
+    ej AS (
+        SELECT 'equi_join_null_drop' AS variant,
+               CAST(NULL AS VARCHAR) AS s1,
+               count(*) AS n1,
+               CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS d1
+        FROM (SELECT DISTINCT prio FROM src) a
+        JOIN (SELECT DISTINCT prio FROM src) b ON a.prio = b.prio
+    ),
+    aj AS (
+        SELECT 'anti_join_null_kept' AS variant,
+               CAST(NULL AS VARCHAR) AS s1,
+               count(*) AS n1,
+               CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(NULL AS DOUBLE) AS d1
+        FROM src ANTI JOIN (SELECT '3-MEDIUM' AS p) t ON src.prio = t.p
+    ),
+    sj AS (
+        SELECT 'semi_join_null_excl' AS variant,
+               CAST(NULL AS VARCHAR) AS s1,
+               count(*) AS n1,
+               CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(NULL AS DOUBLE) AS d1
+        FROM src SEMI JOIN (
+            SELECT DISTINCT prio AS p FROM src WHERE prio IS NOT NULL
+        ) t ON src.prio = t.p
     )
     SELECT * FROM agg
     UNION ALL SELECT * FROM nsj
     UNION ALL SELECT * FROM ordered
     UNION ALL SELECT * FROM ordered2
     UNION ALL SELECT * FROM scalars
+    UNION ALL SELECT * FROM ej
+    UNION ALL SELECT * FROM aj
+    UNION ALL SELECT * FROM sj
     """
 
 
@@ -1462,8 +1493,59 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s1"),
         "n1", "n2", "d1",
     )
-    return agg.unionByName(nsj).unionByName(o1).unionByName(o2).unionByName(
-        scalars
+    # NULL equi-join semantics (round-9 adversarial leg): plain `=`
+    # drops NULL keys from inner AND semi joins, while anti-join KEEPS
+    # NULL-keyed left rows (NULL never matches, so nothing excludes
+    # them) — the exact class behind the r8 self-review's name-list
+    # join findings, now pinned by the DuckDB oracle.
+    ej = (
+        src.select("prio").distinct().alias("ja")
+        .join(
+            src.select("prio").distinct().alias("jb"),
+            F.col("ja.prio") == F.col("jb.prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .select(
+            F.lit("equi_join_null_drop").alias("variant"),
+            F.lit(None).cast("string").alias("s1"),
+            "n1", null_l.alias("n2"), null_d.alias("d1"),
+        )
+    )
+    null_flag = F.sum(
+        F.when(F.col("prio").isNull(), 1).otherwise(0)
+    ).cast("long")
+    aj = (
+        src.join(
+            spark.createDataFrame([("3-MEDIUM",)], "p string"),
+            src["prio"] == F.col("p"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n1"), null_flag.alias("n2"))
+        .select(
+            F.lit("anti_join_null_kept").alias("variant"),
+            F.lit(None).cast("string").alias("s1"),
+            "n1", "n2", null_d.alias("d1"),
+        )
+    )
+    sj = (
+        src.join(
+            src.filter(F.col("prio").isNotNull())
+            .select(F.col("prio").alias("p"))
+            .distinct(),
+            src["prio"] == F.col("p"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n1"), null_flag.alias("n2"))
+        .select(
+            F.lit("semi_join_null_excl").alias("variant"),
+            F.lit(None).cast("string").alias("s1"),
+            "n1", "n2", null_d.alias("d1"),
+        )
+    )
+    return (
+        agg.unionByName(nsj).unionByName(o1).unionByName(o2)
+        .unionByName(scalars).unionByName(ej).unionByName(aj)
+        .unionByName(sj)
     )
 
 
