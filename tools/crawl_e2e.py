@@ -128,14 +128,15 @@ def main() -> None:
         "(the oversized-archive tier) instead of whole-file binaryFile",
     )
     ap.add_argument(
-        "--codec", default=None,
-        help="spark.io.compression.codec override (shuffle/spill/"
-        "broadcast blocks). Crawl text is highly redundant: zstd "
-        "packs the URL-dedup window's full-document shuffle ~2-3x "
-        "denser than the lz4 default — the difference between "
-        "fitting and exhausting local disk at the 20 GB decade "
-        "(measured r8: 41 GB of lz4 shuffle blocks + 20 GB input + "
-        "the at-rest materialize write overran a 66 GB volume)",
+        "--codec", default="zstd",
+        help="spark.io.compression.codec (shuffle/spill/broadcast "
+        "blocks). Default zstd since r9 (session.CRAWL_CONF): crawl "
+        "text is highly redundant and zstd packs the URL-dedup "
+        "window's full-document shuffle ~2-3x denser than lz4 — the "
+        "difference between fitting and exhausting local disk at the "
+        "20 GB decade (measured r8: 41 GB of lz4 shuffle blocks + "
+        "20 GB input + the at-rest materialize write overran a 66 GB "
+        "volume). Pass --codec lz4 to reproduce the old default.",
     )
     ap.add_argument("--out", default="CRAWL_E2E.json")
     args = ap.parse_args()
@@ -220,7 +221,7 @@ def main() -> None:
             f"ranged:{args.ranged_chunk_mb}MB" if args.ranged_chunk_mb
             else "binaryFile"
         ),
-        "codec": args.codec or "lz4",
+        "codec": args.codec,
         "heap_per_task_gb": 0.5,
         "resumed": resumed,
         "outcome": "ok",

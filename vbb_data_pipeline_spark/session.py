@@ -17,6 +17,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: Session conf for crawl-scale (E6) workloads — merge into
+#: ``get_spark(extra_conf=...)`` when the job shuffles full-document
+#: crawl text. spark.io.compression.codec is a JVM-start knob, so it
+#: lives here rather than inside e6_crawl_corpus (which receives an
+#: already-built session). zstd vs the lz4 default is not a tuning
+#: nicety at crawl scale: crawl text is highly redundant and the
+#: URL-dedup window moves full-document rows, so the SAME shuffle is
+#: ~2-3x smaller on disk — measured at the 20 GB decade as the
+#: difference between finishing and exhausting the local volume
+#: (CRAWL_E2E.json round-8 disk_full row; 41 GB of lz4 shuffle blocks
+#: vs a zstd run that fit). Default-on for the e6 tooling since r9.
+CRAWL_CONF = {"spark.io.compression.codec": "zstd"}
+
+
 def get_spark(
     app_name: str = "vbb-data-pipeline-spark",
     cpus: int | None = None,
