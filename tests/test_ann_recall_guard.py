@@ -206,3 +206,66 @@ def test_estimator_standalone_no_marker(spark, clustered, tmp_path):
     )
     assert out["curve"] and 0.0 <= out["curve"][0]["recall"] <= 1.0
     assert not os.path.exists(f"{path}/{ANN_RECALL_MARKER}")
+
+
+def test_auto_k_larger_than_certified_raises(spark, clustered, tmp_path):
+    """The marker certifies recall@MARKER_K. A probe asking a LARGER k
+    must refuse: for IVF-PQ the marker's recommended_candidates would
+    silently cap every query below k rows; a smaller k rides the
+    certification conservatively."""
+    path = str(tmp_path / "ivf_kcert")
+    cents = kmeans_centroids_numpy(
+        clustered, n_cells=40, iters=3, sample_n=N
+    ).localCheckpoint()
+    ivf_write_index(
+        clustered, cents, path, dim=DIM, target_recall=0.9,
+        recall_kwargs={"k": K, "n_queries": 16},
+    )
+    q = clustered.filter(F.col("vec_id") < 4)
+    with pytest.raises(ValueError, match="certified k="):
+        ivf_topk_from_index(
+            spark, path, q, cents, k=K + 11, nprobe="auto", dim=DIM
+        )
+    # smaller-k probes ride the certification
+    small = ivf_topk_from_index(
+        spark, path, q, cents, k=K - 4, nprobe="auto", dim=DIM
+    )
+    assert small.groupBy("query_id").count().agg(
+        F.max("count")
+    ).collect()[0][0] == K - 4
+    # integer nprobe bypasses certification entirely
+    assert ivf_topk_from_index(
+        spark, path, q, cents, k=K + 11, nprobe=8, dim=DIM
+    ).count() > 0
+
+
+def test_append_estimate_covers_full_index(spark, clustered, tmp_path):
+    """mode='append' + target_recall must estimate over the FULL
+    on-disk index: the ladder probes walk all of it, so ground truth
+    from the appended batch alone yields a bogus near-zero curve that
+    overwrites a valid whole-index marker with fallback:true."""
+    path = str(tmp_path / "ivf_append")
+    cents = kmeans_centroids_numpy(
+        clustered, n_cells=40, iters=3, sample_n=N
+    ).localCheckpoint()
+    first = clustered.filter(F.col("vec_id") % 2 == 0)
+    rest = clustered.filter(F.col("vec_id") % 2 == 1)
+    ivf_write_index(
+        first, cents, path, dim=DIM, target_recall=0.9,
+        recall_kwargs={"k": K, "n_queries": 16},
+    )
+    ivf_write_index(
+        rest, cents, path, dim=DIM, mode="append", target_recall=0.9,
+        recall_kwargs={"k": K, "n_queries": 16},
+    )
+    rec = json.loads(open(f"{path}/{ANN_RECALL_MARKER}").read())
+    # clustered data stays certifiable after the append — the batch-
+    # only estimate measured ~0 recall here (truth over half the
+    # corpus, probes over all of it) and recorded fallback:true
+    assert rec["fallback"] is False
+    q = clustered.filter(F.col("vec_id") < 8)
+    auto = ivf_topk_from_index(
+        spark, path, q, cents, k=K, nprobe="auto", dim=DIM
+    )
+    truth = brute_force_topk_arrow(clustered, q, k=K)
+    assert _recall(auto, truth) >= 0.9

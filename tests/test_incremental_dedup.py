@@ -174,6 +174,13 @@ def test_index_write_order_bands_fps_marker(spark, tmp_path, monkeypatch):
     )
     dedup_index_write(df, str(tmp_path / "idx"))
     assert events == ["bands", "fps", "marker"]
+    # an overwrite REBUILD over the now-marked index flips the marker
+    # to the 'rebuilding' sentinel BEFORE any table rewrite, then
+    # restores a real marker after both — so every crash window mid-
+    # rewrite is loud (see test_failed_build_never_flips_params_marker)
+    events.clear()
+    dedup_index_write(df, str(tmp_path / "idx"), mode="overwrite")
+    assert events == ["marker", "bands", "fps", "marker"]
 
 
 def test_failed_build_never_flips_params_marker(spark, tmp_path, monkeypatch):
@@ -206,11 +213,46 @@ def test_failed_build_never_flips_params_marker(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="injected"):
         dedup_index_write(df, path, num_hashes=8, bands=2, mode="overwrite")
     monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
-    # marker still records the params the ON-DISK tables carry
+    # an interrupted overwrite-rebuild leaves the 'rebuilding'
+    # SENTINEL, never a marker asserting either parameter set: the
+    # tables may mix state from both (bands rewritten, fps not), so
+    # neither the old-params nor the new-params record would be true
+    # of the disk. Every probe/append raises loudly until a re-run
+    # overwrite completes.
     assert json.loads(
         hadoop_read_text(spark, path + "/_dedup_params.json")
-    )["num_hashes"] == 16
-    # and the original-parameter probe path still validates
+    )["rebuilding"] is True
+    with pytest.raises(ValueError, match="mid-rebuild"):
+        dedup_incremental(df, path, num_hashes=16, bands=4).collect()
+    with pytest.raises(ValueError, match="mid-rebuild"):
+        dedup_index_write(df, path, num_hashes=8, bands=2, mode="append")
+    # recovery: re-running the overwrite completes the rebuild and
+    # restores a real marker; the new-params probe validates again
+    dedup_index_write(df, path, num_hashes=8, bands=2, mode="overwrite")
+    assert json.loads(
+        hadoop_read_text(spark, path + "/_dedup_params.json")
+    )["num_hashes"] == 8
+    dedup_incremental(df, path, num_hashes=8, bands=2).collect()
+
+    # the COMPLEMENTARY window — crash AFTER both table rewrites but
+    # BEFORE the final marker write — must also leave the sentinel
+    # (pre-sentinel, this window left the OLD marker validating
+    # probes whose band keys could never match the NEW tables)
+    import vbb_data_pipeline_spark.operators.dedup as dedup_mod
+
+    def crashing_marker(spark_, p, params):
+        raise RuntimeError("injected marker-write failure")
+
+    monkeypatch.setattr(dedup_mod, "_write_index_params", crashing_marker)
+    with pytest.raises(RuntimeError, match="injected marker"):
+        dedup_index_write(df, path, num_hashes=16, bands=4, mode="overwrite")
+    monkeypatch.undo()
+    assert json.loads(
+        hadoop_read_text(spark, path + "/_dedup_params.json")
+    )["rebuilding"] is True
+    with pytest.raises(ValueError, match="mid-rebuild"):
+        dedup_incremental(df, path, num_hashes=8, bands=2).collect()
+    dedup_index_write(df, path, num_hashes=16, bands=4, mode="overwrite")
     dedup_incremental(df, path, num_hashes=16, bands=4).collect()
 
 

@@ -1043,3 +1043,16 @@ def test_e6_resume_tolerates_legacy_marker(spark, tmp_path):
     # the legacy marker still refuses
     with pytest.raises(ValueError, match="min_chars"):
         e6_crawl_corpus(spark, str(d), resume=True, min_chars=999, **kw)
+    # ...and a legacy (null-hash_mode) marker whose run used
+    # max_per_host refuses outright: the per-host winners were
+    # elected under an UNKNOWABLE write-time hash family, so
+    # normalizing null to the current default would silently resume
+    # a frame this configuration might not produce
+    legacy_capped = dict(legacy, max_per_host=3)
+    hadoop_write_text(
+        spark, marker, json.dumps(legacy_capped, sort_keys=True)
+    )
+    with pytest.raises(ValueError, match="unknowable"):
+        e6_crawl_corpus(
+            spark, str(d), resume=True, max_per_host=3, **kw
+        )

@@ -144,13 +144,16 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from vbb_data_pipeline_spark.session import get_spark
+    from vbb_data_pipeline_spark.session import CRAWL_CONF, get_spark
 
     if args.resume and not (args.keep_dir and args.materialize_dir):
         ap.error("--resume requires --keep-dir and --materialize-dir")
-    extra = (
-        {"spark.io.compression.codec": args.codec} if args.codec else None
-    )
+    # start from the engine's crawl-scale conf so any future key added
+    # there reaches this tool automatically; --codec only overrides
+    # the codec knob
+    extra = dict(CRAWL_CONF)
+    if args.codec:
+        extra["spark.io.compression.codec"] = args.codec
     spark = get_spark("crawl-e2e", extra_conf=extra)
     tmp = args.keep_dir or tempfile.mkdtemp(prefix="crawl_e2e_")
     os.makedirs(tmp, exist_ok=True)

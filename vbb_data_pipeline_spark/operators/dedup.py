@@ -886,6 +886,17 @@ def _check_index_params(
     marker = path.rstrip("/") + "/_dedup_params.json"
     if hadoop_exists(spark, marker):
         recorded = _json.loads(hadoop_read_text(spark, marker))
+        if recorded.get("rebuilding"):
+            if require_match:
+                raise ValueError(
+                    f"dedup index at {path} is mid-rebuild (a "
+                    "mode='overwrite' rewrite started and did not "
+                    "complete) — its tables may mix state from two "
+                    "parameter sets, so probe/append results would be "
+                    "silently wrong. Re-run dedup_index_write(..., "
+                    "mode='overwrite') to finish the rebuild."
+                )
+            return  # the recovery rebuild itself proceeds
         if require_match and recorded != params:
             diff = sorted(
                 k for k in params if recorded.get(k) != params[k]
@@ -898,6 +909,27 @@ def _check_index_params(
                 "near-dup would silently classify 'new'; use the "
                 "index's parameters or rebuild with mode='overwrite'"
             )
+
+
+def _mark_index_rebuilding(spark, path: str, params: dict) -> None:
+    """Flip an EXISTING index marker to the mid-rebuild sentinel (see
+    :func:`dedup_index_write`'s write-order note). No-op when the path
+    has no marker yet — a fresh build that crashes leaves no marker,
+    the same (tolerated, legacy) state it started in."""
+    import json as _json
+
+    from vbb_data_pipeline_spark.sources.layout import (
+        hadoop_exists,
+        hadoop_write_text,
+    )
+
+    marker = path.rstrip("/") + "/_dedup_params.json"
+    if hadoop_exists(spark, marker):
+        hadoop_write_text(
+            spark, marker,
+            _json.dumps({"rebuilding": True, "target": params},
+                        sort_keys=True),
+        )
 
 
 def _write_index_params(spark, path: str, params: dict) -> None:
@@ -1016,6 +1048,16 @@ def dedup_index_write(
     # The params marker lands only after both tables succeed, so a
     # failed overwrite-with-new-params never leaves a marker
     # asserting parameters the on-disk tables were not built with.
+    # An overwrite REBUILD over an existing marked index additionally
+    # flips the marker to a 'rebuilding' sentinel FIRST: a crash at
+    # any point mid-rewrite leaves tables that may mix two parameter
+    # sets (bands overwritten, fps not yet), and with the old marker
+    # intact a same-params probe would validate against state the
+    # tables no longer hold. The sentinel makes every probe/append
+    # raise until a re-run overwrite completes and restores a real
+    # marker.
+    if mode == "overwrite":
+        _mark_index_rebuilding(df.sparkSession, path, params)
     melted.write.mode(mode).parquet(f"{path}/bands")
     fp.write.mode(mode).parquet(f"{path}/fps")
     _write_index_params(df.sparkSession, path, params)

@@ -979,8 +979,22 @@ def ivf_write_index(
         "cell_id"
     ).mode(mode).parquet(path)
     if target_recall is not None:
+        spark = embeddings.sparkSession
+        # the ladder probes walk the FULL on-disk index, so the query
+        # sample and the exact ground truth must too: on mode='append'
+        # estimating over just the appended batch would compare
+        # batch-only truth against whole-index probe results —
+        # got∩want collapses and a bogus low-recall curve (or
+        # fallback:true) overwrites a valid whole-index marker. Both
+        # layouts store the raw vectors, so the full corpus is the
+        # index read back.
+        src = (
+            spark.read.parquet(path).select(id_col, vec_col)
+            if mode == "append"
+            else embeddings
+        )
         ann_recall_estimate(
-            embeddings.sparkSession, path, embeddings, centroids, dim,
+            spark, path, src, centroids, dim,
             kind="ivf", target_recall=target_recall, id_col=id_col,
             vec_col=vec_col, round_digits=round_digits,
             **(recall_kwargs or {}),
@@ -1019,7 +1033,7 @@ def ivf_topk_from_index(
     instead of silent coin-flip recall.
     """
     if nprobe == "auto":
-        nprobe, _ = _resolve_auto_probe(spark, index_path, "ivf")
+        nprobe, _ = _resolve_auto_probe(spark, index_path, "ivf", k)
         if nprobe is None:
             return exact_topk_from_index(
                 spark, index_path, queries, k, id_col=id_col,
@@ -2623,8 +2637,16 @@ def ivf_pq_write_index(
         "cell_id"
     ).mode(mode).parquet(path)
     if target_recall is not None:
+        spark = embeddings.sparkSession
+        # see ivf_write_index: on append, estimate over the FULL index
+        # (probes walk all of it), never the appended batch alone
+        src = (
+            spark.read.parquet(path).select(id_col, vec_col)
+            if mode == "append"
+            else embeddings
+        )
         ann_recall_estimate(
-            embeddings.sparkSession, path, embeddings, centroids, dim,
+            spark, path, src, centroids, dim,
             kind="ivf_pq", codebooks=codebooks, n_subspaces=n_subspaces,
             target_recall=target_recall, id_col=id_col, vec_col=vec_col,
             round_digits=round_digits, **(recall_kwargs or {}),
@@ -2664,7 +2686,9 @@ def ivf_pq_topk_from_index(
     cosine on that path).
     """
     if nprobe == "auto":
-        nprobe, auto_cand = _resolve_auto_probe(spark, index_path, "ivf_pq")
+        nprobe, auto_cand = _resolve_auto_probe(
+            spark, index_path, "ivf_pq", k
+        )
         if nprobe is None:
             exact = exact_topk_from_index(
                 spark, index_path, queries, k, id_col=id_col,
@@ -3004,7 +3028,7 @@ def exact_topk_from_index(
 
 
 def _resolve_auto_probe(
-    spark, index_path: str, kind: str
+    spark, index_path: str, kind: str, k: int
 ) -> tuple[int | None, int | None]:
     """(nprobe, candidates) from the recall marker, or (None, None)
     meaning: take the exact-scan fallback."""
@@ -3014,6 +3038,21 @@ def _resolve_auto_probe(
             f"recall marker at {index_path} was estimated for kind="
             f"{rec.get('kind')!r}, probe is {kind!r} — re-run "
             "ann_recall_estimate for this probe path"
+        )
+    # the certification is recall@MARKER_K: a probe with a SMALLER k
+    # rides it conservatively (the certified candidate pool already
+    # covers k' < k, and fewer wanted neighbors can only sit deeper
+    # inside the same probed cells), but a LARGER k is a different
+    # measurement — and for IVF-PQ the marker's recommended_candidates
+    # (max(base, marker_k·nprobe)) would silently cap the result at
+    # fewer than k rows per query.
+    if int(k) > int(rec.get("k", 0)):
+        raise ValueError(
+            f"nprobe='auto' probe asks k={k} but the recall marker at "
+            f"{index_path} certified k={rec.get('k')} — re-run "
+            "ann_recall_estimate with recall_kwargs={'k': "
+            f"{k}}} (or pass an integer nprobe) so the certification "
+            "matches the probe"
         )
     if rec.get("fallback"):
         return None, None

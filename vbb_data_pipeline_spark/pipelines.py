@@ -654,13 +654,31 @@ def e6_crawl_corpus(
             # legacy-marker tolerance (mirrors crawl_e2e's optional
             # 'sf'): markers written before hash_mode/extractor were
             # RESOLVED into the record carry hash_mode null (meaning
-            # "the environment default") and, on WET runs, whatever
-            # extractor string the caller passed even though the WET
-            # path never consults it. Normalize those to the resolved
-            # form instead of forcing a full re-curation of a frame
-            # that IS valid.
+            # "the environment default AT WRITE TIME") and, on WET
+            # runs, whatever extractor string the caller passed even
+            # though the WET path never consults it. Normalizing null
+            # to the CURRENT default is only sound when the recorded
+            # run never consulted the hash at all — inside curation
+            # that is exclusively the host cap (url_dedup elects
+            # winners by min doc_id, hash-free) — because the writing
+            # environment's default is unknowable here, and resuming
+            # a frame whose per-host winners were elected under the
+            # other hash family is the exact silent reuse the
+            # resolved record exists to prevent.
             if recorded.get("hash_mode") is None:
-                recorded["hash_mode"] = default_hash_mode()
+                if recorded.get("max_per_host") is None:
+                    recorded["hash_mode"] = default_hash_mode()
+                else:
+                    raise ValueError(
+                        f"resume: the marker at {marker} predates "
+                        "hash_mode resolution (records null) and its "
+                        "run used max_per_host, so the hash family "
+                        "that elected the per-host winners is "
+                        "unknowable. Re-curate with resume=False (or "
+                        "a fresh materialize_dir); if the original "
+                        "environment's hash mode is known, rewrite "
+                        "the marker's hash_mode to it explicitly."
+                    )
             if recorded.get("input_format") == "wet":
                 recorded["extractor"] = None
             if recorded != curation_conf:
