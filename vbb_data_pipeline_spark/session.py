@@ -28,7 +28,24 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: difference between finishing and exhausting the local volume
 #: (CRAWL_E2E.json round-8 disk_full row; 41 GB of lz4 shuffle blocks
 #: vs a zstd run that fit). Default-on for the e6 tooling since r9.
-CRAWL_CONF = {"spark.io.compression.codec": "zstd"}
+#:
+#: shuffle.partitions: the engine default (= cpu count, 32 locally)
+#: sizes per-task post-shuffle state at corpus_rows/32 — at the 55M-
+#: doc decade point the curation line aggregate's partial hash map
+#: hit UNABLE_TO_ACQUIRE_MEMORY under the 0.5 GB/task envelope
+#: (CRAWL_E2E.json round-9 OOM row; 50M had squeaked through in r8).
+#: 256 puts per-task state back ~an order of magnitude under the
+#: envelope and is the posture rule stated in README's sizing notes:
+#: partitions are sized to the DATA, not the core count. memory
+#: fraction 0.8 (default 0.6): crawl curation holds almost nothing in
+#: the storage region (checkpoints are serialized and small), so the
+#: reclaimable-storage half of the default split is dead headroom
+#: better spent on execution.
+CRAWL_CONF = {
+    "spark.io.compression.codec": "zstd",
+    "spark.sql.shuffle.partitions": "256",
+    "spark.memory.fraction": "0.8",
+}
 
 
 def get_spark(
