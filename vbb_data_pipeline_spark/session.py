@@ -36,15 +36,21 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: (CRAWL_E2E.json round-9 OOM row; 50M had squeaked through in r8).
 #: 256 puts per-task state back ~an order of magnitude under the
 #: envelope and is the posture rule stated in README's sizing notes:
-#: partitions are sized to the DATA, not the core count. memory
-#: fraction 0.8 (default 0.6): crawl curation holds almost nothing in
-#: the storage region (checkpoints are serialized and small), so the
-#: reclaimable-storage half of the default split is dead headroom
-#: better spent on execution.
+#: partitions are sized to the DATA, not the core count. (Measured
+#: with this fix: the 40M-doc curation that OOMed at 32 partitions
+#: completed in ~37 min.)
+#:
+#: spark.memory.fraction stays at the DEFAULT 0.6 — an 0.8
+#: experiment at the 40M decade point let managed memory claim
+#: 12.8 GB of the 16 GB heap and E4's pack-stage sort died with a
+#: raw Java heap OOM mid-SPILL: spilling itself allocates unmanaged
+#: heap (serialization + compression buffers, 32 concurrent tasks),
+#: and the 0.2 fraction left for it was not enough. The unmanaged
+#: slice is load-bearing at crawl scale (CRAWL_E2E.json round-9 E4
+#: OOM row).
 CRAWL_CONF = {
     "spark.io.compression.codec": "zstd",
     "spark.sql.shuffle.partitions": "256",
-    "spark.memory.fraction": "0.8",
 }
 
 
