@@ -225,6 +225,12 @@ def main() -> None:
             else "binaryFile"
         ),
         "codec": args.codec,
+        # record the memory-sizing knobs alongside codec so timing /
+        # OOM comparisons across rounds are conf-attributable (r9
+        # moved shuffle.partitions 32->256 via CRAWL_CONF; pre-r9
+        # rows ran at 32)
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "memory_fraction": spark.conf.get("spark.memory.fraction", "0.6"),
         "heap_per_task_gb": 0.5,
         "resumed": resumed,
         "outcome": "ok",

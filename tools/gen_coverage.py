@@ -51,13 +51,36 @@ R7_FOLDS = [
 
 def driver_rows() -> dict[str, str]:
     """Per registry entry: the latest round whose driver CORRECTNESS
-    artifact contains a fully-green row under the entry's name."""
+    artifact contains a fully-green row under the entry's name.
+
+    Only GIT-TRACKED artifacts are considered (r9 verdict item 2):
+    the driver drops CORRECTNESS_r{N}.json at round close, AFTER the
+    builder's last commit, so an untracked artifact must not flip the
+    stamps under the committed COVERAGE.md — that design made
+    tests/test_coverage_doc.py structurally red at every judging run.
+    The new artifact is picked up the round after, once committed.
+    """
     import glob
     import json
     import os
+    import subprocess
+
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout.split()
+        paths = sorted(os.path.join("/root/repo", p) for p in tracked)
+    except (OSError, subprocess.SubprocessError):
+        # not a git checkout (e.g. an exported tree): fall back to all
+        paths = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
 
     latest: dict[str, str] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in paths:
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
         with open(path) as f:
             data = json.load(f)
