@@ -158,7 +158,9 @@ def test_auto_without_marker_raises(spark, clustered, tmp_path):
     cents = kmeans_centroids_numpy(
         clustered, n_cells=40, iters=2, sample_n=N
     ).localCheckpoint()
-    ivf_write_index(clustered, cents, path, dim=DIM)  # no target_recall
+    # target_recall=None is the r10 escape hatch: certification is
+    # the DEFAULT build posture now, skipping it must be explicit
+    ivf_write_index(clustered, cents, path, dim=DIM, target_recall=None)
     q = clustered.filter(F.col("vec_id") < 4)
     with pytest.raises(ValueError, match="recall marker"):
         ivf_topk_from_index(
@@ -168,6 +170,52 @@ def test_auto_without_marker_raises(spark, clustered, tmp_path):
     assert ivf_topk_from_index(
         spark, path, q, cents, k=K, nprobe=4, dim=DIM
     ).count() > 0
+
+
+def test_default_build_certifies_and_default_probe_consumes(
+    spark, clustered, tmp_path
+):
+    """r10: the DEFAULT API path is certified — ivf_write_index with
+    no target_recall argument writes the marker, and
+    ivf_topk_from_index with no nprobe argument resolves 'auto'
+    against it and delivers the certified recall."""
+    path = str(tmp_path / "ivf_default")
+    cents = kmeans_centroids_numpy(
+        clustered, n_cells=40, iters=3, sample_n=N
+    ).localCheckpoint()
+    ivf_write_index(
+        clustered, cents, path, dim=DIM,
+        recall_kwargs={"k": K, "n_queries": 16},
+    )
+    rec = json.loads(open(f"{path}/{ANN_RECALL_MARKER}").read())
+    assert rec["target_recall"] == 0.9
+    q = clustered.filter(F.col("vec_id") < 8)
+    auto = ivf_topk_from_index(spark, path, q, cents, k=K, dim=DIM)
+    truth = brute_force_topk_arrow(clustered, q, k=K)
+    assert _recall(auto, truth) >= 0.9
+
+
+def test_fallback_marker_serves_any_k(spark, uniform, tmp_path):
+    """r9 advice: a fallback-marked index routes auto probes to the
+    EXACT scan, which is exact for ANY k — the k>marker_k guard must
+    not fire on that path (it ran first and raised)."""
+    path = str(tmp_path / "ivf_u_bigk")
+    cents = kmeans_centroids_numpy(
+        uniform, n_cells=40, iters=3, sample_n=N
+    ).localCheckpoint()
+    ivf_write_index(
+        uniform, cents, path, dim=DIM, target_recall=0.95,
+        recall_kwargs={"k": K, "n_queries": 16, "nprobe_ladder": (2, 4, 8)},
+    )
+    rec = json.loads(open(f"{path}/{ANN_RECALL_MARKER}").read())
+    assert rec["fallback"] is True
+    q = uniform.filter(F.col("vec_id") < 4)
+    big_k = K + 11  # larger than the certified k: exact path must serve it
+    got = ivf_topk_from_index(
+        spark, path, q, cents, k=big_k, nprobe="auto", dim=DIM
+    )
+    truth = brute_force_topk_arrow(uniform, q, k=big_k)
+    assert _recall(got, truth) == 1.0
 
 
 def test_auto_kind_mismatch_raises(spark, clustered, tmp_path):
@@ -199,7 +247,7 @@ def test_estimator_standalone_no_marker(spark, clustered, tmp_path):
     cents = kmeans_centroids_numpy(
         clustered, n_cells=40, iters=2, sample_n=N
     ).localCheckpoint()
-    ivf_write_index(clustered, cents, path, dim=DIM)
+    ivf_write_index(clustered, cents, path, dim=DIM, target_recall=None)
     out = ann_recall_estimate(
         spark, path, clustered, cents, DIM, k=K, n_queries=8,
         target_recall=0.9, write_marker=False,

@@ -111,9 +111,17 @@ def measure(spark, kind: str) -> dict:
         emb, n_subspaces=N_SUBSPACES, n_codes=N_CODES, iters=4, dim=DIM,
         sample_n=1 << 17,
     ).localCheckpoint()
+    # DEFAULT API path (r10): the build certifies recall itself
+    # (target_recall=0.9 default) and writes the marker — no separate
+    # ann_recall_estimate call. The tool's knobs (K=10, N_QUERIES=32,
+    # CANDIDATES=100) coincide with the estimator defaults, so this is
+    # the same measurement the default-arg build performs.
     sim.ivf_pq_write_index(
         emb, centroids, codebooks, idx_path, dim=DIM,
         n_subspaces=N_SUBSPACES,
+        recall_kwargs={
+            "k": K, "n_queries": N_QUERIES, "candidates_base": CANDIDATES,
+        },
     )
     build_sec = time.perf_counter() - t0
 
@@ -142,21 +150,19 @@ def measure(spark, kind: str) -> dict:
             "scanned_fraction": round(np_ / n_cells, 5),
         }
 
-    # round-9 guard: build-time recall estimate + nprobe='auto'.
-    # Clustered corpora certify a small nprobe; uniform corpora record
-    # fallback and the auto probe takes the exact scan (recall 1.0 at
-    # full-scan cost) instead of silently returning coin-flip recall.
-    t0 = time.perf_counter()
-    est = sim.ann_recall_estimate(
-        spark, idx_path, emb, centroids, DIM, kind="ivf_pq",
-        codebooks=codebooks, n_subspaces=N_SUBSPACES, k=K,
-        n_queries=N_QUERIES, target_recall=0.9,
-        candidates_base=CANDIDATES,
+    # round-9 guard, now the r10 DEFAULT: the marker the build wrote
+    # is read back, and the probe's default nprobe ('auto') consumes
+    # it. Clustered corpora certify a small nprobe; uniform corpora
+    # record fallback and the auto probe takes the exact scan (recall
+    # 1.0 at full-scan cost) instead of silently returning coin-flip
+    # recall.
+    est = json.loads(
+        open(f"{idx_path}/{sim.ANN_RECALL_MARKER}").read()
     )
-    estimate_sec = time.perf_counter() - t0
+    estimate_sec = None  # folded into build_sec by the default API
     t0 = time.perf_counter()
     auto_rows = sim.ivf_pq_topk_from_index(
-        spark, idx_path, q, centroids, codebooks, k=K, nprobe="auto",
+        spark, idx_path, q, centroids, codebooks, k=K,
         n_subspaces=N_SUBSPACES, dim=DIM,
     ).collect()
     auto_sec = time.perf_counter() - t0
@@ -164,7 +170,7 @@ def measure(spark, kind: str) -> dict:
     auto = {
         "recall_at_k": round(len(got & want) / max(len(want), 1), 4),
         "probe_sec": round(auto_sec, 3),
-        "estimate_sec": round(estimate_sec, 2),
+        "estimate_sec": estimate_sec,  # None: folded into build_sec (default API)
         "fallback": est["fallback"],
         "recommended_nprobe": est["recommended_nprobe"],
         "recommended_candidates": est["recommended_candidates"],

@@ -1055,7 +1055,18 @@ def dedup_index_write(
     # intact a same-params probe would validate against state the
     # tables no longer hold. The sentinel makes every probe/append
     # raise until a re-run overwrite completes and restores a real
-    # marker.
+    # marker. Deliberate conservative trade (r9 advice): the sentinel
+    # lands BEFORE the rebuild's first Spark job, so a failure that
+    # dies before a single index byte is rewritten (e.g. a data-
+    # dependent error in the minhash/fingerprint plan) also locks a
+    # still-fully-consistent index behind mid-rebuild errors — an
+    # aborted-before-write rebuild requires a full re-run too. The
+    # alternative (flip after a pre-flight action proves the plan
+    # executes) narrows that spurious-lockout window but reopens a
+    # real one: anything the pre-flight didn't execute (a later
+    # stage's failure) crashes AFTER bands/ began rewriting with the
+    # old marker still asserting the old tables. Lockout is
+    # recoverable by re-running; a lying marker is silent data loss.
     if mode == "overwrite":
         _mark_index_rebuilding(df.sparkSession, path, params)
     melted.write.mode(mode).parquet(f"{path}/bands")

@@ -936,21 +936,28 @@ def ivf_write_index(
     vec_col: str = "embedding",
     round_digits: int = 5,
     mode: str = "overwrite",
-    target_recall: float | None = None,
+    target_recall: float | None = 0.9,
     recall_kwargs: dict | None = None,
 ) -> None:
     """Materialize the IVF inverted lists as storage layout: the
     corpus, assigned to cells, written hive-partitioned by
     ``cell_id``.
 
-    ``target_recall`` (opt-in) runs :func:`ann_recall_estimate` after
-    the write: sampled exact ground truth, an nprobe-ladder walk, and
-    an ``_ann_recall.json`` marker recording the nprobe this index
-    NEEDS for that recall — or ``fallback: true`` when no rung
-    reaches it (uniform / unclusterable embeddings, where IVF recall
-    degrades by construction of the data). ``nprobe="auto"`` probes
-    consume the marker; ``recall_kwargs`` forwards estimator knobs
-    (k, n_queries, nprobe_ladder, ...).
+    ``target_recall`` (DEFAULT 0.9 since r10 — certification is the
+    default build posture, not an opt-in) runs
+    :func:`ann_recall_estimate` after the write: sampled exact ground
+    truth, an nprobe-ladder walk, and an ``_ann_recall.json`` marker
+    recording the nprobe this index NEEDS for that recall — or
+    ``fallback: true`` when no rung reaches it (uniform /
+    unclusterable embeddings, where IVF recall degrades by
+    construction of the data). ``nprobe="auto"`` probes consume the
+    marker; ``recall_kwargs`` forwards estimator knobs
+    (k, n_queries, nprobe_ladder, ...). Pass ``target_recall=None``
+    to skip certification — the explicit escape hatch for builds
+    where the estimate's extra corpus pass is unaffordable (e.g. the
+    per-micro-batch append in ``streaming/ingest``, whose guard cost
+    must stay ∝ batch); an uncertified index rejects ``nprobe="auto"``
+    probes rather than guessing.
 
     This is the at-rest form of the "inverted lists = storage
     partitioning" claim: ``n_cells`` is bounded (a partition-count,
@@ -1007,14 +1014,21 @@ def ivf_topk_from_index(
     queries: DataFrame,
     centroids: DataFrame,
     k: int,
-    nprobe: int | str,
-    dim: int,
+    nprobe: int | str = "auto",
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
 ) -> DataFrame:
     """ANN top-k against a persisted IVF index
     (:func:`ivf_write_index`).
+
+    ``nprobe`` DEFAULTS to ``"auto"`` (r10): the certified probe
+    depth from the build-time recall marker, or the enforced exact
+    scan when certification found the corpus unclusterable. An
+    integer nprobe is the explicit uncertified override (required
+    for indexes built with ``target_recall=None``, and what the
+    oracle-replayed registry queries pin for determinism).
 
     Probe-cell selection runs on the broadcast centroid table exactly
     as in :func:`ivf_topk`; the union of probed cells (≤ nprobe·|Q|
@@ -2586,14 +2600,16 @@ def ivf_pq_write_index(
     vec_col: str = "embedding",
     round_digits: int = 5,
     mode: str = "overwrite",
-    target_recall: float | None = None,
+    target_recall: float | None = 0.9,
     recall_kwargs: dict | None = None,
 ) -> None:
     """Materialize the IVF-PQ index as storage layout: the corpus
     written hive-partitioned by ``cell_id``, each row carrying its
     ``pq_codes`` array (subspace-ordered) next to the raw vector.
 
-    ``target_recall`` (opt-in) runs :func:`ann_recall_estimate` after
+    ``target_recall`` (DEFAULT 0.9 since r10 — certify-on-build is
+    the default posture; ``None`` is the explicit skip) runs
+    :func:`ann_recall_estimate` after
     the write — see :func:`ivf_write_index`; the IVF-PQ ladder also
     scales the exact-re-rank pool with nprobe (a fixed pool drowns in
     ADC noise as probed cells grow), and ``nprobe="auto"`` probes
@@ -2660,9 +2676,9 @@ def ivf_pq_topk_from_index(
     centroids: DataFrame,
     codebooks: DataFrame,
     k: int,
-    nprobe: int | str,
-    n_subspaces: int,
-    dim: int,
+    nprobe: int | str = "auto",
+    n_subspaces: int = 8,
+    dim: int = 64,
     candidates: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2678,12 +2694,14 @@ def ivf_pq_topk_from_index(
     ``(id, pq_codes)`` columns of those partitions; candidate rows
     alone come back for the exact re-rank.
 
-    ``nprobe="auto"`` consumes the build-time recall marker (see
+    ``nprobe="auto"`` (the DEFAULT since r10) consumes the build-time
+    recall marker (see
     :func:`ivf_topk_from_index`): the recorded (nprobe, candidates)
     pair — ``candidates`` is then taken from the marker, not the
     argument — or the exact-scan fallback when the estimate showed no
     rung reaching the target (``approx_cosine`` equals the exact
-    cosine on that path).
+    cosine on that path). An integer nprobe is the explicit
+    uncertified override.
     """
     if nprobe == "auto":
         nprobe, auto_cand = _resolve_auto_probe(
@@ -3039,6 +3057,13 @@ def _resolve_auto_probe(
             f"{rec.get('kind')!r}, probe is {kind!r} — re-run "
             "ann_recall_estimate for this probe path"
         )
+    # fallback first: an exact scan is exact for ANY k — it never
+    # consumes the certified k or recommended_candidates, so the k
+    # guard below must not block it (r9 advice: the guard ran first
+    # and turned k>marker_k probes against fallback-marked indexes
+    # into errors where exact results were correct).
+    if rec.get("fallback"):
+        return None, None
     # the certification is recall@MARKER_K: a probe with a SMALLER k
     # rides it conservatively (the certified candidate pool already
     # covers k' < k, and fewer wanted neighbors can only sit deeper
@@ -3054,8 +3079,6 @@ def _resolve_auto_probe(
             f"{k}}} (or pass an integer nprobe) so the certification "
             "matches the probe"
         )
-    if rec.get("fallback"):
-        return None, None
     return int(rec["recommended_nprobe"]), (
         int(rec["recommended_candidates"])
         if rec.get("recommended_candidates") is not None

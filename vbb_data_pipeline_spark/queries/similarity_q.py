@@ -1207,6 +1207,10 @@ def semdedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(tempfile.gettempdir(), f"vbb_sdi_idx_{key}")
     sim.ivf_write_index(
         corpus, cents, idx, dim=DIM, round_digits=5,
+        # oracle harness: the probe below is cell-exact (no nprobe),
+        # so the builder's certify-on-build default would only add an
+        # estimator pass per gate/bench run — skipped explicitly
+        target_recall=None,
     )
     return sim.semdedup_incremental(
         batch, idx, cents, dim=DIM, threshold=_SDI_THRESHOLD,

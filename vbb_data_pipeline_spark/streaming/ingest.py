@@ -289,6 +289,12 @@ def corpus_ingest_batch(
             id_col=id_col,
             vec_col=vec_col,
             mode="append",
+            # the builder's certify-on-build default (target_recall
+            # =0.9) re-reads the FULL index per append — per-micro-
+            # batch that breaks this function's cost contract (guard
+            # cost ∝ batch, never ∝ corpus). Certify offline with
+            # ann_recall_estimate between ingest sessions instead.
+            target_recall=None,
         )
     # 5. audit every verdict (batch-scoped, append-only). Rejected
     # docs never enter the fps index, so the step-0 guard alone would
