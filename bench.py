@@ -201,6 +201,70 @@ def delta_report(prev_path: Path, times: dict, total: float, sf) -> str:
         return f"bench delta report skipped: {e}"
 
 
+def prev_total(prev_path: Path, sf) -> float | None:
+    """The prior artifact's recorded total at the same sf, or None.
+    Shape-tolerant like :func:`delta_report`; never raises."""
+    if not prev_path.exists():
+        return None
+    try:
+        prev = json.loads(prev_path.read_text())
+        if isinstance(prev, dict):
+            prev = prev.get("parsed") or prev
+        if not isinstance(prev, dict) or prev.get("sf") != sf:
+            return None
+        v = prev.get("value")
+        return float(v) if v is not None else None
+    except (ValueError, TypeError, AttributeError):
+        return None
+
+
+def drift_verdict(
+    prev: float | None, total: float, diag_q: dict
+) -> dict:
+    """Standing environment-drift guard (r9 verdict item 5: the r8
+    +33% 'regression' cost a round of forensics and turned out to be
+    machine drift — BENCH_AB_r09.json). Compares this run's total to
+    the prior artifact's against the NOISE BUDGET this run itself
+    measured: the summed per-query steady-run spread (max−min over
+    the 3 steady executions). A delta inside that budget is run-to-run
+    noise by this session's own measurement; a delta beyond it is
+    either a real plan change or cross-session environment drift —
+    the busy_cpu_fraction / per-query stage metrics in the same diag
+    say which. Pure function of its inputs so the computation is
+    pinned by a test."""
+    if prev is None or prev <= 0:
+        return {"verdict": "no_prior"}
+    budget = round(
+        sum(
+            (d.get("steady_max_sec") or 0) - (d.get("steady_min_sec") or 0)
+            for d in diag_q.values()
+        ),
+        3,
+    )
+    delta = round(total - prev, 3)
+    if abs(delta) <= budget:
+        verdict = "within_noise"
+    elif delta > 0:
+        verdict = "exceeds_noise:slower"
+    else:
+        verdict = "exceeds_noise:faster"
+    return {
+        "verdict": verdict,
+        "prev_total_sec": prev,
+        "total_sec": total,
+        "delta_sec": delta,
+        "noise_budget_sec": budget,
+        "note": (
+            "delta inside this run's own summed steady-run spread — "
+            "do not re-litigate as a regression"
+            if verdict == "within_noise"
+            else "delta exceeds the measured spread: check "
+            "busy_cpu_fraction + per-query stage metrics to attribute "
+            "plan change vs environment drift"
+        ),
+    }
+
+
 def main() -> None:
     # Bench measures the PRODUCTION hash path (JVM xxhash64); the
     # md5 oracle path exists only for cross-engine verification and
@@ -313,6 +377,12 @@ def main() -> None:
         out = json.dumps(line)
     diag["first_run"] = first_run
     diag["queries_steady"] = times
+    diag["drift"] = drift_verdict(
+        prev_total(Path(__file__).resolve().parent / PREV_BENCH, sf),
+        total,
+        diag_q,
+    )
+    diag["drift"]["vs"] = PREV_BENCH
     with open(Path(__file__).resolve().parent / "BENCH_DIAG.json", "w") as fh:
         json.dump(diag, fh, indent=2)
     print(json.dumps(diag), file=sys.stderr)

@@ -71,6 +71,48 @@ def test_garbage_shapes_never_raise(tmp_path):
         assert isinstance(out, str)
 
 
+DIAG_Q = {
+    "q1": {"steady_min_sec": 0.50, "steady_max_sec": 0.60},  # spread .10
+    "q2": {"steady_min_sec": 0.20, "steady_max_sec": 0.25},  # spread .05
+}
+
+
+def test_drift_within_noise():
+    """|delta| ≤ summed per-query steady spread → within_noise (the r8
+    +33% class would have been self-evident with this verdict)."""
+    v = bench.drift_verdict(1.0, 1.1, DIAG_Q)  # delta .10 ≤ budget .15
+    assert v["verdict"] == "within_noise"
+    assert v["noise_budget_sec"] == 0.15
+    assert v["delta_sec"] == 0.1
+
+
+def test_drift_exceeds_noise_slower_and_faster():
+    slow = bench.drift_verdict(1.0, 1.3, DIAG_Q)  # delta .30 > .15
+    assert slow["verdict"] == "exceeds_noise:slower"
+    fast = bench.drift_verdict(1.5, 1.0, DIAG_Q)  # delta -.50
+    assert fast["verdict"] == "exceeds_noise:faster"
+    assert fast["delta_sec"] == -0.5
+
+
+def test_drift_no_prior_and_missing_spread_keys():
+    assert bench.drift_verdict(None, 1.0, DIAG_Q)["verdict"] == "no_prior"
+    assert bench.drift_verdict(0.0, 1.0, DIAG_Q)["verdict"] == "no_prior"
+    # diag rows without spread keys (REST API unavailable) count as 0
+    v = bench.drift_verdict(1.0, 1.0, {"q1": {}})
+    assert v["verdict"] == "within_noise" and v["noise_budget_sec"] == 0.0
+
+
+def test_prev_total_shapes(tmp_path):
+    p = tmp_path / "BENCH_r08.json"
+    p.write_text(json.dumps({"parsed": {"sf": 0.1, "value": 6.494}}))
+    assert bench.prev_total(p, 0.1) == 6.494
+    assert bench.prev_total(p, 1.0) is None  # sf mismatch
+    p2 = tmp_path / "null.json"
+    p2.write_text(json.dumps({"parsed": None}))
+    assert bench.prev_total(p2, 0.1) is None
+    assert bench.prev_total(tmp_path / "absent.json", 0.1) is None
+
+
 def test_latest_prev_bench_sorts_numerically(tmp_path):
     """r100 must beat r99 — lexicographic sort would pick r99 forever
     once the round number outgrows the padded width."""
