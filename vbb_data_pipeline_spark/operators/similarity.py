@@ -860,7 +860,14 @@ def ivf_topk(
     :func:`kmeans_centroids`. Default: the ``n_cells`` lowest-id
     vectors (deterministic stand-in); the operator is agnostic to how
     centroids were produced.
+
+    NULL embeddings are dropped at the boundary on BOTH sides (r10
+    totality fix, same rationale as :func:`lsh_topk`): a NULL vector
+    has no cell assignment and no cosine — it cannot probe or be
+    probed.
     """
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = embeddings.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col)
@@ -1248,7 +1255,16 @@ def lsh_topk(
     round_digits: int = 5,
 ) -> DataFrame:
     """Approximate corpus×corpus top-k: candidates = same LSH bucket,
-    re-ranked by exact cosine. Bucket join replaces the cross join."""
+    re-ranked by exact cosine. Bucket join replaces the cross join.
+
+    NULL embeddings are dropped at the boundary (r10 totality fix): a
+    NULL vector hashes to the all-zero bucket in both engines but its
+    cosine is NULL, and NULL ordering under ``desc`` differs between
+    Spark (last) and SQL engines (first) — undefined rank semantics.
+    A crawl corpus WILL carry NULL embeddings; they cannot be
+    neighbors or queries here by definition.
+    """
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     b = hyperplane_lsh_buckets(embeddings, num_planes, dim, id_col, vec_col)
     a = b.select(
         F.col("bucket"),

@@ -30,6 +30,82 @@ COS_SQL = (
     "sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})), 1e-12)"
 )
 
+# ---------------------------------------------------------------------------
+# Adversarial gate rows (round 10): the embeddings fixtures are clean —
+# no NULL embedding, zero-norm vector, or duplicate vector ever reached
+# the driver's DuckDB hash-compare (the 1e-12 norm floor and the NULL
+# boundaries had pytest coverage only). These planted rows put those
+# classes INSIDE the sim_ann_battery / sim_embedding_neardup /
+# sim_pq_battery oracles, built identically in both engines (literal
+# union). Same recipe as queries/dedup_q.py's ADV_DOCS (round 9).
+#
+# Semantics pinned by the gate:
+#   * NULL embedding  — dropped at every ANN boundary (lsh_topk /
+#     ivf_topk filter r10; brute-force/PQ paths were already total);
+#     semantic_dedup instead emits its pass-through row (NULL cell/
+#     rank/cosine, dropped=false) — both mirrored in SQL.
+#   * zero-norm vector — cosine 0.0 via the 1e-12 floor in BOTH
+#     engines, never NaN/Inf; participates in k-means/PQ training.
+#   * exact duplicate pair — cosine 1.0; rank/keep decisions resolve
+#     on the id tie-break (9900003 < 9900004), and [semdedup] must
+#     drop exactly the higher id.
+# Components are 0.25-multiples: exactly representable in float32 and
+# in SQL literals, so no cross-engine parse drift.
+# ---------------------------------------------------------------------------
+
+_ADV_PAT = [float((i % 7 - 3)) * 0.25 for i in range(DIM)]
+ADV_VECS = [
+    (9_900_001, None),
+    (9_900_002, [0.0] * DIM),
+    (9_900_003, list(_ADV_PAT)),
+    (9_900_004, list(_ADV_PAT)),
+]
+
+
+def _adv_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    adv = spark.createDataFrame(
+        ADV_VECS, "vec_id long, embedding array<float>"
+    )
+    return base.unionByName(adv)
+
+
+def _vec_sql(v: list[float]) -> str:
+    return "CAST([" + ", ".join(repr(float(x)) for x in v) + "] AS FLOAT[])"
+
+
+ADV_EMB_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id, embedding FROM (VALUES "
+    "(CAST(9900001 AS BIGINT), CAST(NULL AS FLOAT[])), "
+    f"(9900002, {_vec_sql([0.0] * DIM)}), "
+    f"(9900003, {_vec_sql(_ADV_PAT)}), "
+    f"(9900004, {_vec_sql(_ADV_PAT)})"
+    ") t(vec_id, embedding))"
+)
+
+
+def _with_adv(sql: str) -> str:
+    """Swap every ``FROM embeddings`` scan for the base∪adversarial
+    source (NULL rows kept — for oracles that pin pass-through
+    semantics). str.replace never re-scans replaced text, so the
+    'FROM embeddings' inside ADV_EMB_SQL itself is safe."""
+    return sql.replace("FROM embeddings", f"FROM {ADV_EMB_SQL} embeddings")
+
+
+def _with_adv_nonnull(sql: str) -> str:
+    """Adversarial source for the ANN top-k oracles: NULL embeddings
+    dropped at the boundary, mirroring lsh_topk/ivf_topk/brute-force/
+    PQ operator semantics (a NULL vector cannot probe or be probed;
+    its NULL cosine has engine-specific rank placement)."""
+    src = (
+        f"(SELECT vec_id, embedding FROM {ADV_EMB_SQL} e "
+        "WHERE embedding IS NOT NULL)"
+    )
+    return sql.replace("FROM embeddings", f"FROM {src} embeddings")
+
 
 _BF_ORACLE = f"""
     WITH q AS (
@@ -64,7 +140,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression path at sf0.01 AND sf0.1 against this oracle. The
     # expression path remains the zero-Python baseline
     # (tests/test_similarity_arrow.py pins their equivalence).
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
     out = sim.brute_force_topk_arrow(e, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -104,7 +180,7 @@ _LSH_ORACLE = f"""
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     out = sim.lsh_topk(e, k=3, num_planes=N_PLANES, dim=DIM)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -196,7 +272,7 @@ def _kmeans_oracle() -> str:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.functions.hashing import default_hash_mode
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
     # FAISS-style split: coarse quantizer trained on a driver-side
     # sample; assignment + probing stay distributed. Sample size is
@@ -216,7 +292,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_IVF_CELLS,
         iters=_KMEANS_ITERS,
         sample_n=sample_n,
-        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}|{sample_n}",
+        cache_key=f"adv1|{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}|{sample_n}",
     )
     out = sim.ivf_topk(
         e,
@@ -234,9 +310,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_battery",
     oracle=tag_union_sql(
         [
-            ("bruteforce", _BF_ORACLE),
-            ("lsh", _LSH_ORACLE),
-            ("ivf", _kmeans_oracle()),
+            ("bruteforce", _with_adv_nonnull(_BF_ORACLE)),
+            ("lsh", _with_adv_nonnull(_LSH_ORACLE)),
+            ("ivf", _with_adv_nonnull(_kmeans_oracle())),
         ]
     ),
     survey="extension: ANN family battery (folded r5 so each variant "
@@ -333,6 +409,7 @@ def _semdedup_oracle() -> str:
     return f"""
     WITH corpus AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     cent0 AS (
         SELECT CAST(vec_id AS BIGINT) AS cell_id, v AS mv
@@ -358,23 +435,31 @@ def _semdedup_oracle() -> str:
            CAST(coalesce(b.max_cos_better, -2.0) >= {_SD_THRESHOLD}
                 AS BIGINT) AS dropped
     FROM ranked r LEFT JOIN best b USING (vec_id)
+    UNION ALL
+    -- semantic_dedup's NULL-vector pass-through contract: one row per
+    -- input doc even when it cannot be assigned or paired (NULL cell/
+    -- rank/cosine, dropped=false) — pinned by the adversarial NULL row
+    SELECT vec_id AS id, CAST(NULL AS BIGINT) AS k1,
+           CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BIGINT) AS rnk,
+           CAST(0 AS BIGINT) AS dropped
+    FROM embeddings WHERE embedding IS NULL
     """
 
 
 def sim_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     return sim.embedding_neardup_pairs(
         e, dim=DIM, num_planes=N_PLANES, threshold=0.35
     )
 
 
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     centroids = sim.kmeans_centroids_local(
         e,
         n_cells=_IVF_CELLS,
         iters=_KMEANS_ITERS,
-        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
+        cache_key=f"adv1|{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
     )
     # pinned constants (n_cells=16 quantizer, expression assignment)
     # for bit-for-bit DuckDB replay — the ORACLE configuration only.
@@ -389,8 +474,8 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_embedding_neardup",
     oracle=tag_union_sql(
         [
-            ("lsh_pairs", _NEARDUP_ORACLE),
-            ("semdedup", _semdedup_oracle()),
+            ("lsh_pairs", _with_adv_nonnull(_NEARDUP_ORACLE)),
+            ("semdedup", _with_adv(_semdedup_oracle())),
         ],
         tag="method",
     ),
@@ -561,7 +646,7 @@ def _pq_oracle() -> str:
 
 
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
     cb = sim.pq_train_local(
         e,
@@ -570,7 +655,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PQ_ITERS,
         dim=DIM,
         sample_n=_PQ_SAMPLE,
-        cache_key=f"pq|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
+        cache_key=f"pq|adv1|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
     )
     out = sim.pq_topk(
         e,
@@ -770,13 +855,13 @@ def _ivfpq_oracle() -> str:
 
 
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
     centroids = sim.kmeans_centroids_local(
         e,
         n_cells=_IVF_CELLS,
         iters=_KMEANS_ITERS,
-        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
+        cache_key=f"adv1|{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
     )
     cb = sim.pq_train_local(
         e,
@@ -785,7 +870,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PQ_ITERS,
         dim=DIM,
         sample_n=_PQ_SAMPLE,
-        cache_key=f"pq|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
+        cache_key=f"pq|adv1|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
     )
     out = sim.ivf_pq_topk(
         e,
@@ -1024,13 +1109,13 @@ def _ivfpq_res_oracle() -> str:
 
 
 def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _adv_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
     centroids = sim.kmeans_centroids_local(
         e,
         n_cells=_IVF_CELLS,
         iters=_KMEANS_ITERS,
-        cache_key=f"{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
+        cache_key=f"adv1|{sf_dir}|{_IVF_CELLS}|{_KMEANS_ITERS}|{DIM}",
     )
     cb = sim.pq_train_residual_local(
         e,
@@ -1040,7 +1125,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PQ_ITERS,
         dim=DIM,
         sample_n=_PQ_SAMPLE,
-        cache_key=f"pqres|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
+        cache_key=f"pqres|adv1|{sf_dir}|{_PQ_M}|{_PQ_CODES}|{_PQ_ITERS}|{DIM}",
     )
     out = sim.ivf_pq_residual_topk(
         e,
@@ -1063,9 +1148,9 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_battery",
     oracle=tag_union_sql(
         [
-            ("pq", _pq_oracle()),
-            ("ivfpq", _ivfpq_oracle()),
-            ("ivfpq_residual", _ivfpq_res_oracle()),
+            ("pq", _with_adv_nonnull(_pq_oracle())),
+            ("ivfpq", _with_adv_nonnull(_ivfpq_oracle())),
+            ("ivfpq_residual", _with_adv_nonnull(_ivfpq_res_oracle())),
         ]
     ),
     survey="extension: product-quantization ANN family (folded r5 so "
