@@ -123,6 +123,17 @@ def main() -> None:
         "warc_path is stable across invocations",
     )
     ap.add_argument(
+        "--reuse-corpus", action="store_true",
+        help="reuse an already-built archive corpus at --keep-dir "
+        "(matched against its _build_meta.json) but run the WHOLE "
+        "pipeline — parse, curation, E4 — in one uninterrupted pass. "
+        "Unlike --resume nothing of the previous pipeline run is "
+        "reused, so the recorded sec is a true end-to-end "
+        "measurement; only the synthetic archive build (which is "
+        "input preparation, recorded separately as build_sec) is "
+        "skipped. Requires --keep-dir.",
+    )
+    ap.add_argument(
         "--ranged-chunk-mb", type=int, default=None,
         help="read archives via read_warc_ranged with this chunk size "
         "(the oversized-archive tier) instead of whole-file binaryFile",
@@ -148,6 +159,8 @@ def main() -> None:
 
     if args.resume and not (args.keep_dir and args.materialize_dir):
         ap.error("--resume requires --keep-dir and --materialize-dir")
+    if args.reuse_corpus and not args.keep_dir:
+        ap.error("--reuse-corpus requires --keep-dir")
     # start from the engine's crawl-scale conf so any future key added
     # there reaches this tool automatically; --codec only overrides
     # the codec knob
@@ -185,6 +198,20 @@ def main() -> None:
             )
         build_sec = 0.0
         print(json.dumps({"resumed": True, "built": meta}), flush=True)
+    elif args.reuse_corpus and os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        want = {"reps": args.reps, "files": args.files}
+        if "sf" in meta:
+            want["sf"] = args.sf
+        have = {k: meta.get(k) for k in want}
+        if have != want:
+            raise SystemExit(
+                f"--reuse-corpus build-param mismatch: corpus at {tmp} "
+                f"was built with {have}, invocation asks {want} — drop "
+                "--reuse-corpus (or fix the args) to rebuild"
+            )
+        build_sec = 0.0
+        print(json.dumps({"reused_corpus": True, "built": meta}), flush=True)
     else:
         t0 = time.time()
         meta = build_crawl_parallel(
@@ -233,6 +260,7 @@ def main() -> None:
         "memory_fraction": spark.conf.get("spark.memory.fraction", "0.6"),
         "heap_per_task_gb": 0.5,
         "resumed": resumed,
+        "reused_corpus": bool(args.reuse_corpus),
         "outcome": "ok",
         "sec": sec,
         "docs_per_sec": round(meta["docs"] / sec),
