@@ -150,6 +150,14 @@ def main() -> None:
         "volume). Pass --codec lz4 to reproduce the old default.",
     )
     ap.add_argument("--out", default="CRAWL_E2E.json")
+    ap.add_argument(
+        "--conf", action="append", default=[], metavar="KEY=VALUE",
+        help="extra Spark conf, repeatable; applied LAST so it "
+        "overrides CRAWL_CONF / --codec / the auto-sized shuffle "
+        "partition count (e.g. --conf spark.sql.shuffle.partitions=256 "
+        "to reproduce a fixed-count run, --conf spark.ui.enabled=true "
+        "to watch stages live)",
+    )
     args = ap.parse_args()
 
     import shutil
@@ -167,6 +175,8 @@ def main() -> None:
     extra = dict(CRAWL_CONF)
     if args.codec:
         extra["spark.io.compression.codec"] = args.codec
+    cli_conf = dict(kv.split("=", 1) for kv in args.conf)
+    extra.update(cli_conf)
     spark = get_spark("crawl-e2e", extra_conf=extra)
     tmp = args.keep_dir or tempfile.mkdtemp(prefix="crawl_e2e_")
     os.makedirs(tmp, exist_ok=True)
@@ -223,6 +233,30 @@ def main() -> None:
             json.dump(meta, fh)
         print(
             json.dumps({"built": meta, "build_sec": build_sec}), flush=True
+        )
+
+    # Size shuffle partitions to the CORPUS, not the core count — the
+    # r9→r10 decade lesson, generalized. Validated boundary: 256
+    # partitions held through curation at 40M docs / 15.7 GB
+    # (61 MB of corpus per partition) and failed at 55M / 21.6 GB
+    # (84 MB/partition: stage-15 map-side UNABLE_TO_ACQUIRE_MEMORY —
+    # the partial line-stats hash agg + shuffle sorter of 32
+    # concurrent tasks exhausted the 9.6 GB unified pool). Target
+    # 48 MB/partition keeps ~25% headroom under the proven-good 61,
+    # rounded up to a power of two so AQE coalescing stays aligned;
+    # floor 256 (the r9 minimum), and an explicit
+    # --conf spark.sql.shuffle.partitions=N always wins.
+    if "spark.sql.shuffle.partitions" not in cli_conf:
+        auto_parts = max(
+            256, 1 << (max(1, meta["bytes"] // (48 << 20)) - 1).bit_length()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(auto_parts))
+        print(
+            json.dumps(
+                {"auto_shuffle_partitions": auto_parts,
+                 "corpus_bytes": meta["bytes"]}
+            ),
+            flush=True,
         )
 
     from vbb_data_pipeline_spark.pipelines import e6_crawl_corpus
