@@ -108,6 +108,39 @@ def build_crawl_parallel(
     return {"docs": docs, "bytes": total, "files": n_files, "reps": reps}
 
 
+def auto_shuffle_partitions(corpus_bytes: int) -> int:
+    """Size shuffle partitions to the CORPUS, not the core count — the
+    r9→r10 decade lesson, generalized. Validated boundary: 256
+    partitions held through curation at 40M docs / 15.7 GB (61 MB of
+    corpus per partition) and failed at 55M / 21.6 GB (84 MB/partition:
+    map-side UNABLE_TO_ACQUIRE_MEMORY — 32 concurrent tasks' partial
+    hash-agg state + shuffle sorter pages exhausted the unified pool).
+    Target 48 MB/partition keeps ~25% headroom under the proven-good
+    61, rounded up to a power of two; floor 256 (the r9 minimum). An
+    explicit --conf spark.sql.shuffle.partitions=N always wins.
+    NOTE: this count is only authoritative because CRAWL_CONF disables
+    AQE partition coalescing — with coalescing on, AQE re-merges these
+    to 64 MB of COMPRESSED bytes per partition, which on ~13x-
+    compressible crawl text is ~850 MB raw (the 55M OOM, PERF.md r10).
+    """
+    return max(
+        256, 1 << (max(1, corpus_bytes // (48 << 20)) - 1).bit_length()
+    )
+
+
+def _heap_per_task_gb(spark) -> float:
+    """Driver heap GB / local task slots, the per-task memory envelope
+    the decade rows are comparable across (0.5 = the original 16g/32)."""
+    mem = spark.conf.get("spark.driver.memory", "16g").lower()
+    gb = float(mem[:-1]) if mem.endswith("g") else float(mem[:-1]) / 1024
+    master = spark.conf.get("spark.master", "local[32]")
+    import re
+
+    m = re.search(r"local\[(\d+)\]", master)
+    slots = int(m.group(1)) if m else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return round(gb / slots, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5000)
@@ -235,21 +268,8 @@ def main() -> None:
             json.dumps({"built": meta, "build_sec": build_sec}), flush=True
         )
 
-    # Size shuffle partitions to the CORPUS, not the core count — the
-    # r9→r10 decade lesson, generalized. Validated boundary: 256
-    # partitions held through curation at 40M docs / 15.7 GB
-    # (61 MB of corpus per partition) and failed at 55M / 21.6 GB
-    # (84 MB/partition: stage-15 map-side UNABLE_TO_ACQUIRE_MEMORY —
-    # the partial line-stats hash agg + shuffle sorter of 32
-    # concurrent tasks exhausted the 9.6 GB unified pool). Target
-    # 48 MB/partition keeps ~25% headroom under the proven-good 61,
-    # rounded up to a power of two so AQE coalescing stays aligned;
-    # floor 256 (the r9 minimum), and an explicit
-    # --conf spark.sql.shuffle.partitions=N always wins.
     if "spark.sql.shuffle.partitions" not in cli_conf:
-        auto_parts = max(
-            256, 1 << (max(1, meta["bytes"] // (48 << 20)) - 1).bit_length()
-        )
+        auto_parts = auto_shuffle_partitions(meta["bytes"])
         spark.conf.set("spark.sql.shuffle.partitions", str(auto_parts))
         print(
             json.dumps(
@@ -292,7 +312,16 @@ def main() -> None:
         # rows ran at 32)
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "memory_fraction": spark.conf.get("spark.memory.fraction", "0.6"),
-        "heap_per_task_gb": 0.5,
+        "aqe_coalesce": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+        "auto_broadcast": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        # computed, not assumed: the envelope moved from the fixed
+        # 16g/32 (= 0.5) when the 55M decade showed 32-way unified-
+        # pool contention needs headroom (see PERF.md round 10)
+        "heap_per_task_gb": _heap_per_task_gb(spark),
         "resumed": resumed,
         "reused_corpus": bool(args.reuse_corpus),
         "outcome": "ok",

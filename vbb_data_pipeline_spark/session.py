@@ -51,6 +51,18 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_CONF = {
     "spark.io.compression.codec": "zstd",
     "spark.sql.shuffle.partitions": "256",
+    # r10, measured at the 55M decade (PERF.md round 10): crawl text
+    # compresses ~13x under zstd, so every size-STATISTIC-driven
+    # planner shortcut is off by an order of magnitude on this corpus
+    # class. AQE partition coalescing re-merges data-sized shuffle
+    # partitions up to advisoryPartitionSizeInBytes of COMPRESSED
+    # bytes (64 MB advisory -> ~850 MB raw per task: the curation
+    # OOM); auto-broadcast selects multi-GB-raw builds that look tiny
+    # compressed (the r7 defect class, new site). Both stay off for
+    # crawl-scale sessions; explicit broadcast()/hint() calls in the
+    # operators are unaffected by threshold=-1.
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
 }
 
 
