@@ -30,7 +30,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("SPARK_GRAFT_FAST_HASH", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _REP_OFFSET = 10_000_019  # prime stride keeps replica ids collision-free
@@ -142,6 +141,11 @@ def _heap_per_task_gb(spark) -> float:
 
 
 def main() -> None:
+    # CLI-only: tests import this module (test_crawl_conf), and a
+    # module-level setdefault would leak fast-hash mode into every
+    # later test in the pytest process (test_dsir's md5 replay broke
+    # exactly that way when the import landed before it alphabetically)
+    os.environ.setdefault("SPARK_GRAFT_FAST_HASH", "1")
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5000)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
