@@ -14,6 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vbb_data_pipeline_spark.functions.literals import literal_rows_df
 from vbb_data_pipeline_spark.schemas import FOREIGN_KEYS
 
 
@@ -51,8 +52,8 @@ def gtfs_integrity_report(tables: dict[str, DataFrame]) -> DataFrame:
             continue
         n = fk_violations(tables[child], tables[parent], ccols, pcols).count()
         rows.append((child, "->".join([child, parent]), n))
-    return spark.createDataFrame(
-        rows, "table string, constraint string, orphans long"
+    return literal_rows_df(
+        spark, rows, "table string, constraint string, orphans long"
     )
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from vbb_data_pipeline_spark.functions.literals import literal_rows_df
 from vbb_data_pipeline_spark.functions.text import tokens
 
 __all__ = [
@@ -95,7 +96,7 @@ def bm25_topk(
     qrows = sorted(
         {(int(qid), t) for qid, terms in queries for t in terms}
     )
-    qterms = spark.createDataFrame(qrows, "qid long, term string")
+    qterms = literal_rows_df(spark, qrows, "qid long, term string")
 
     toks = _token_stream(df, id_col, text_col)
     # corpus-wide per-doc length: map-side combinable
@@ -219,15 +220,15 @@ def bm25_topk_from_index(
     qrows = sorted(
         {(int(qid), t) for qid, terms in queries for t in terms}
     )
-    qterms = spark.createDataFrame(qrows, "qid long, term string")
+    qterms = literal_rows_df(spark, qrows, "qid long, term string")
     terms = sorted({t for _, t in qrows})
     # bucket ids for the query terms, computed with the SAME engine
     # hash expression the writer used (query-set-sized collect)
     buckets = sorted(
         {
             r["bucket"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
+            for r in literal_rows_df(
+                spark, [(t,) for t in terms], "term string"
             )
             .select(_term_bucket(F.col("term"), n_buckets).alias("bucket"))
             .collect()

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from vbb_data_pipeline_spark.functions.literals import literal_rows_df
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -160,8 +162,8 @@ def brute_force_topk_arrow(
     )
     if not q_rows:
         spark = embeddings.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
+        return literal_rows_df(
+            spark, [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     import numpy as np
 
@@ -692,9 +694,10 @@ def kmeans_centroids_local(
             )
             for cid in sorted(sums)
         ]
-    cent = spark.createDataFrame(
+    cent = literal_rows_df(
+        spark,
         [(cid, cv) for cid, cv in cents],
-        schema=f"cell_id long, {vec_col} array<double>",
+        f"cell_id long, {vec_col} array<double>",
     )
     _cache_put(spark, cache_key, cent, ns="kmeans_centroids_local")
     return cent
@@ -769,9 +772,10 @@ def kmeans_centroids_numpy(
         C = C.copy()
         C[live] = sums[live] / counts[live, None]
     live_cells = sorted(set(int(a) for a in assign))
-    cent = spark.createDataFrame(
+    cent = literal_rows_df(
+        spark,
         [(cid, C[cid].tolist()) for cid in live_cells],
-        schema=f"cell_id long, {vec_col} array<double>",
+        f"cell_id long, {vec_col} array<double>",
     )
     _cache_put(spark, cache_key, cent, ns="kmeans_centroids_numpy")
     return cent
@@ -829,8 +833,8 @@ def pq_train_numpy(
         out.extend(
             (j, c, C[c].tolist()) for c in range(n_codes)
         )
-    cb = spark.createDataFrame(
-        out, schema="subspace int, code long, subvec array<double>"
+    cb = literal_rows_df(
+        spark, out, "subspace int, code long, subvec array<double>"
     )
     _cache_put(spark, cache_key, cb, ns="pq_train_numpy")
     return cb
@@ -1476,7 +1480,8 @@ def semantic_dedup(
             # instead of the trainer raising.
             from pyspark.sql import types as T
 
-            centroids = embeddings.sparkSession.createDataFrame(
+            centroids = literal_rows_df(
+                embeddings.sparkSession,
                 [],
                 T.StructType(
                     [
@@ -1765,8 +1770,8 @@ def _pq_lloyd_from_vecs(
                 for c in sorted(sums)
             ]
         out.extend((j, c, cv) for c, cv in cents)
-    return spark.createDataFrame(
-        out, schema="subspace int, code long, subvec array<double>"
+    return literal_rows_df(
+        spark, out, "subspace int, code long, subvec array<double>"
     )
 
 

@@ -14,6 +14,7 @@ from vbb_data_pipeline_spark.functions.hashing import (
     md5_long_pair_sql,
     md5_long_sql,
 )
+from vbb_data_pipeline_spark.functions.literals import literal_rows_df
 from vbb_data_pipeline_spark.operators import dedup as dd
 from vbb_data_pipeline_spark.queries import (
     load_table,
@@ -177,7 +178,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .unionByName(
-            spark.createDataFrame(ADV_DOCS, "doc_id long, text string")
+            literal_rows_df(spark, ADV_DOCS, "doc_id long, text string")
         )
     )
     exact = d.groupBy(F.md5("text").alias("group_key")).agg(
@@ -552,8 +553,8 @@ def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "source")
         .unionByName(
-            spark.createDataFrame(
-                ADV_LINE_DOCS, "doc_id long, text string, source string"
+            literal_rows_df(
+                spark, ADV_LINE_DOCS, "doc_id long, text string, source string"
             )
         )
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vbb_data_pipeline_spark.functions.literals import literal_rows_df
 from vbb_data_pipeline_spark.operators import core as ops
 from vbb_data_pipeline_spark.operators.temporal import asof_join
 from vbb_data_pipeline_spark.queries import exact_sum, exact_sum_sql, load_table, register
@@ -164,7 +165,7 @@ _BANDS = [(f"band_{i}", float(i * 40), float(i * 40 + 40)) for i in range(9)]
 )
 def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(_BANDS, "label string, lo double, hi double")
+    bands = literal_rows_df(spark, _BANDS, "label string, lo double, hi double")
     joined = ops.range_bucket_join(
         e.select("event_id", "value"), bands, "value", "lo", "hi", bucket_width=25.0
     )

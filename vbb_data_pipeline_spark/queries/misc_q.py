@@ -17,6 +17,7 @@ from vbb_data_pipeline_spark.functions.hashing import (
     default_hash_mode,
     md5_long_sql,
 )
+from vbb_data_pipeline_spark.functions.literals import literal_rows_df
 from vbb_data_pipeline_spark.functions.temporal import date_int, event_timestamp
 from vbb_data_pipeline_spark.queries import (
     exact_sum,
@@ -1516,7 +1517,7 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     aj = (
         src.join(
-            spark.createDataFrame([("3-MEDIUM",)], "p string"),
+            literal_rows_df(spark, [("3-MEDIUM",)], "p string"),
             src["prio"] == F.col("p"),
             "left_anti",
         )

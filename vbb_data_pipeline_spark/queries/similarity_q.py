@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vbb_data_pipeline_spark.functions.literals import literal_rows_df
 from vbb_data_pipeline_spark.operators import similarity as sim
 from vbb_data_pipeline_spark.queries import (
     load_table,
@@ -66,8 +67,13 @@ def _adv_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    adv = spark.createDataFrame(
-        ADV_VECS, "vec_id long, embedding array<float>"
+    # literal_rows_df, not createDataFrame: this union appears 2-4×
+    # per ANN plan, and a Python-RDD-backed adversarial table was
+    # re-evaluated through a Python worker on every execution of each
+    # subtree (r10 bench: sim_ivf_topk spent more blocked time on
+    # these scans than on its actual compute)
+    adv = literal_rows_df(
+        spark, ADV_VECS, "vec_id long, embedding array<float>"
     )
     return base.unionByName(adv)
 
