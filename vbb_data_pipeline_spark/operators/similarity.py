@@ -840,6 +840,13 @@ def pq_train_numpy(
     return cb
 
 
+#: ivf_topk literal-assignment gate: max n_cells·dim before the
+#: unrolled centroid-literal expression tree would dominate plan
+#: analysis/codegen cost (the r6 35 s defect class). Above it the
+#: join+agg formulation runs instead.
+IVF_LITERAL_MAX_EXPRS = 8192
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -876,44 +883,137 @@ def ivf_topk(
         centroids = embeddings.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col)
         )
-    assigned = ivf_assign(
-        embeddings, centroids, dim, id_col, vec_col, round_digits,
-        cell_col="cell_id",
-    )
 
-    cent = centroids.select(
-        F.col("cell_id"),
-        F.col(vec_col).alias("_mv"),
-    ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-    ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
-    probe_scored = q.join(F.broadcast(cent)).select(
-        "query_id",
-        "_qv",
-        "_qn",
-        "cell_id",
-        F.round(
-            dot(F.col("_qv"), F.col("_mv"), dim)
-            / F.greatest(F.col("_qn") * F.col("_mn"), F.lit(1e-12)),
-            round_digits,
-        ).alias("_cos"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("cell_id").asc()
-    )
-    probes = (
-        probe_scored.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "_qn", "cell_id")
-    )
+    # r10 optimization (guide §2.4 — remove shuffles outright): with a
+    # bounded trained centroid set, both centroid-facing steps fold
+    # into literal expressions over the collected centroids —
+    #  * cell assignment becomes greatest(struct(cos_i, −cell_i, ...))
+    #    per corpus row: a pure map. The join+groupBy formulation
+    #    shuffled the WHOLE corpus (argmax partials carry the full
+    #    vector) — at 100 TB that exchange is the dominant cost of an
+    #    ad-hoc probe, and locally it was 2 of this plan's 6 stages.
+    #  * probe selection becomes explode(slice(array_sort(...))) per
+    #    query row, removing the q×cent join plus the row_number
+    #    window and ITS exchange.
+    # Bit-parity: the cosines are the same `dot`/`greatest(·,1e-12)`/
+    # `round` expression tree (centroid side as array literals);
+    # centroid norms are computed in driver Python with the identical
+    # left-to-right summation over the identical doubles and a
+    # correctly-rounded sqrt, so every rounded cosine — and therefore
+    # every argmax/ordering decision — is unchanged. Ordering ties:
+    # struct comparison on (cos, −cell_id) ≡ the old max(struct)/
+    # row_number(_cos desc, cell_id asc) rules. The expression form is
+    # gated on n_cells·dim (literal-plan size — the unrolled tree at
+    # thousands of cells would revive the r6 35 s analysis-cost
+    # defect); larger centroid sets keep the join+agg path, and
+    # at-rest corpora use ivf_topk_from_index which never re-assigns.
+    cent_rows = None
+    if n_cells * dim <= IVF_LITERAL_MAX_EXPRS:
+        cent_rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select("cell_id", vec_col).collect()
+        )  # bounded model-scale collect (n_cells rows), repo convention
+    if cent_rows:
+        from math import sqrt as _sqrt
 
-    cand = assigned.select(
-        "cell_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-    ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
+        def _cos_lit(vec: Column, vnorm: Column, cv: list[float]) -> Column:
+            carr = F.array(*[F.lit(x) for x in cv])
+            cn = _sqrt(sum(x * x for x in cv))  # bit-equal to l2_norm
+            return F.round(
+                dot(vec, carr, dim)
+                / F.greatest(vnorm * F.lit(cn), F.lit(1e-12)),
+                round_digits,
+            )
+
+        def _cell_structs(vec: Column, vnorm: Column) -> list[Column]:
+            return [
+                F.struct(
+                    _cos_lit(vec, vnorm, cv).alias("c"),
+                    F.lit(-cid).cast("long").alias("negid"),
+                )
+                for cid, cv in cent_rows
+            ]
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+        # ascending sort on (−cos, cell_id) ≡ (cos desc, cell_id asc);
+        # negate as 0.0 − c, not −c: the window SortOrder this replaces
+        # normalizes −0.0 = +0.0 before comparing, while array_sort's
+        # struct comparator sees raw doubles — 0.0 − c maps both zero
+        # signs to +0.0 and is an exact sign flip for every other value
+        probe_sorted = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (F.lit(0.0) - s.getField("c")).alias("nc"),
+                        (-s.getField("negid")).alias("cell_id"),
+                    )
+                    for s in _cell_structs(F.col("_qv"), F.col("_qn"))
+                ]
+            )
+        )
+        probes = q.select(
+            "query_id",
+            "_qv",
+            "_qn",
+            F.explode(
+                F.slice(probe_sorted, 1, min(nprobe, len(cent_rows)))
+            ).alias("_p"),
+        ).select(
+            "query_id", "_qv", "_qn", F.col("_p.cell_id").alias("cell_id")
+        )
+
+        cand = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            l2_norm(F.col(vec_col), dim).alias("_cn"),
+        ).withColumn(
+            "cell_id",
+            -F.greatest(
+                *_cell_structs(F.col("_cv"), F.col("_cn"))
+            ).getField("negid"),
+        )
+    else:
+        assigned = ivf_assign(
+            embeddings, centroids, dim, id_col, vec_col, round_digits,
+            cell_col="cell_id",
+        )
+
+        cent = centroids.select(
+            F.col("cell_id"),
+            F.col(vec_col).alias("_mv"),
+        ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        ).withColumn("_qn", l2_norm(F.col("_qv"), dim))
+        probe_scored = q.join(F.broadcast(cent)).select(
+            "query_id",
+            "_qv",
+            "_qn",
+            "cell_id",
+            F.round(
+                dot(F.col("_qv"), F.col("_mv"), dim)
+                / F.greatest(F.col("_qn") * F.col("_mn"), F.lit(1e-12)),
+                round_digits,
+            ).alias("_cos"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("_cos").desc(), F.col("cell_id").asc()
+        )
+        probes = (
+            probe_scored.withColumn("_rn", F.row_number().over(wp))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", "_qv", "_qn", "cell_id")
+        )
+
+        cand = assigned.select(
+            "cell_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+        ).withColumn("_cn", l2_norm(F.col("_cv"), dim))
     scored = (
         F.broadcast(probes)
         .join(cand, "cell_id")
