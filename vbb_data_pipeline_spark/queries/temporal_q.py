@@ -88,8 +88,20 @@ def flagship_expand_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # r10: enumerate only days that can survive the P5 validity filter
+    # below — service_day < valid_end ⇒ the last useful day is
+    # valid_end − 1, so cap the sequence end at
+    # least(end_day, valid_end − 1) BEFORE the explode (guide §2:
+    # don't compute rows you immediately throw away). Identical
+    # output (the filter still applies), ~30% fewer generated rows
+    # (avg days/order 5 → 3.6 under the %5/%3 surrogate windows);
+    # valid_end ≥ start_day + 2 by construction, so the capped end
+    # never drops below start_day.
     expanded = expand_days(
-        joined, F.col("start_day"), F.col("end_day"), out_col="service_day"
+        joined,
+        F.col("start_day"),
+        F.least(F.col("end_day"), F.date_sub(F.col("valid_end"), 1)),
+        out_col="service_day",
     )
 
     # P4 weekday-flag filter (priority-derived service pattern) and
