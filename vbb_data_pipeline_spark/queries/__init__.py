@@ -62,7 +62,37 @@ def register(name: str, oracle: str | None, survey: str, note: str = ""):
     return deco
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def fan_out_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose planned split count is
+    below the session's core count (optimization guide §2.5, "input
+    skew": parquet is only splittable at row-group boundaries, so a
+    small or single-row-group file scans as one task and serializes
+    the whole downstream chain — joins, explodes, regex projections,
+    Python stages — onto one core while the rest idle).
+
+    Scale-adaptive by construction, not a local[32] constant: the gate
+    compares Spark's OWN planned scan partitioning against the live
+    ``defaultParallelism``. At production scale a table scan has >=
+    cores splits and this is a no-op (no exchange is added); under the
+    driver's lower-core scaling runs both sides of the comparison
+    shrink together. The exchange this adds when it does fire moves
+    only the pruned scan columns (projection pushdown applies below a
+    Repartition), and the guide's warning about blanket
+    repartition-for-parallelism is respected by applying this only on
+    query paths whose post-scan work is measured to dominate the scan
+    itself (flagship explode chain, corpus text profiling, Python
+    image decode).
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Read one driver table.
 
     ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
@@ -93,8 +123,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # downstream streaming watermarks the TimestampType they
             # require (NTZ event time is rejected by Spark).
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return fan_out_scan(df) if fan_out else df
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return fan_out_scan(df) if fan_out else df
 
 
 def all_queries() -> dict[str, QuerySpec]:

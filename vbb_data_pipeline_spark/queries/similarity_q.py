@@ -148,6 +148,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tests/test_similarity_arrow.py pins their equivalence).
     e = _adv_embeddings(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
+    # fan_out measured and rejected here (r10): spreading the
+    # mapInPandas BLAS scorer over 33 tasks doubled steady time
+    # (0.30 -> 0.55 s) — per-task Python/Arrow overhead is ~15 ms even
+    # with warm workers, far above the ~4 ms of matmul each task
+    # would get at sf0.1. At scale the corpus scan has many splits
+    # and the scorer parallelizes without an added exchange.
     out = sim.brute_force_topk_arrow(e, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 

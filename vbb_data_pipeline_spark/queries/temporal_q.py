@@ -62,6 +62,12 @@ WHERE CASE
     "(corrected AND semantics); §2.7 F2 (>24h seconds); §2.5 O1",
 )
 def flagship_expand_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out measured and rejected here (r10): repartitioning orders
+    # ahead of the broadcast-join + explode chain tripled summed task
+    # time (3.5 s -> 11 s per 3 runs: shuffle write/fetch of every
+    # order row + per-task overheads) with NO wall-clock win — the
+    # chain is cheap enough per row that the single-split scan stage
+    # is not the bottleneck; the final range-sort exchange is.
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")

@@ -171,7 +171,11 @@ _DOC_PROFILE_ORACLE = f"""
 
 
 def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: the profile is a pure projection (zero exchanges), so
+    # on a single-split scan ALL of its regex/fingerprint CPU ran in
+    # one task (guide §2.5 input skew) — measured ~830 ms/run of
+    # single-core time at sf0.1 vs a sub-ms scan
+    d = load_table(spark, sf_dir, "documents", fan_out=True)
     base = d.select(
         "doc_id",
         "lang",
@@ -360,6 +364,13 @@ _JPEG_PRE = "FFD8FFC0001108"  # SOI + SOF0 + len 17 + precision 8
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vbb_data_pipeline_spark.operators.multimodal import decode_images
 
+    # fan_out measured and rejected here (r10): a 33-task Python stage
+    # costs ~15 ms/task of Arrow handshake + scheduling even with
+    # warm reused workers (measured: trivial 33-partition mapInPandas
+    # ~0.5 s/run vs 2-partition ~0.28 s), which swamps the ~100 ms of
+    # actual header-decode CPU at sf0.1 (bench regressed 0.28->0.41).
+    # At scale the scan has many splits and the stage parallelizes
+    # without an added exchange.
     d = load_table(spark, sf_dir, "documents")
     k = F.col("doc_id") % 4
     w = F.expr(_MM_W)

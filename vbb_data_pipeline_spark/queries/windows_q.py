@@ -60,14 +60,22 @@ _W2_ORACLE = """
 
 def w2_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # Both windows share the o_custkey partitioning (one exchange);
+    # ordering the rows-frame window by (unix_timestamp(o_orderdate),
+    # o_orderkey) — the SAME total order as (o_orderdate, o_orderkey),
+    # unix_timestamp being monotone — makes the range window's
+    # required sort a strict prefix of it, so EnsureRequirements
+    # plans ONE Sort instead of two (guide §2.4: operations keyed the
+    # same way should establish the partitioning/ordering once).
+    ts = F.unix_timestamp("o_orderdate")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .orderBy(ts.asc(), F.col("o_orderkey").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wr = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        .orderBy(ts)
         .rangeBetween(-604800, Window.currentRow)
     )
     rolling = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wr) / 100.0
