@@ -409,9 +409,16 @@ def line_dedup_corpus(
         if min_chars > 0
         else lines
     )
+    # xxhash64, not md5_long: the hash is a pure internal grouping key
+    # — the winner election only needs "same line <=> same group", the
+    # hash value never reaches the output, and the DuckDB oracle
+    # partitions by the line TEXT itself. One codegen expression per
+    # line instead of an md5 + hex + conv chain (guide §1.2 step 2);
+    # collision odds (2^-64 pairwise) are the same class as the md5
+    # 60-bit prefix this replaces.
     winners = (
         eligible.select(
-            md5_long(F.col("_line")).alias("_h"), id_col, "_line_no"
+            F.xxhash64(F.col("_line")).alias("_h"), id_col, "_line_no"
         )
         .groupBy("_h")
         .agg(
@@ -429,10 +436,14 @@ def line_dedup_corpus(
     else:
         keep_keys = winners
     kept = lines.join(keep_keys, [id_col, "_line_no"], "left_semi")
+    # sort_array ≡ array_sort here (_line_no is unique per doc, so the
+    # struct order is decided by the first field) but stays inside
+    # whole-stage codegen — array_sort's lambda comparator is
+    # CodegenFallback and forces the reassembly projection interpreted
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(
+                F.sort_array(
                     F.collect_list(F.struct(F.col("_line_no"), F.col("_line")))
                 ),
                 lambda s: s["_line"],
@@ -737,7 +748,8 @@ def span_removal(
         )
         .distinct()
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("_ci")).alias("_cov"))
+        # sort_array ≡ array_sort on non-null ints, but codegen-capable
+        .agg(F.sort_array(F.collect_list("_ci")).alias("_cov"))
     )
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     # linear excision: surviving positions = range \ covered (hash
