@@ -296,15 +296,21 @@ def test_index_walk_runs_once(spark, tmp_path):
     out = read_warc_ranged(
         spark, str(d), chunk_bytes=256, reader=CountingReader(str(log))
     )
-    n_chunks = out.rdd.getNumPartitions()
+    n_parts = out.rdd.getNumPartitions()
     assert out.count() == 45
     lines = log.read_text().splitlines()
     opens = [ln for ln in lines if ln.startswith("open\t")]
     ranges = [ln for ln in lines if ln.startswith("range\t")]
     # the decompression walk touched each archive exactly ONCE
     assert len(opens) == 3, opens
-    # and the parse stage issued exactly one ranged read per chunk
-    assert len(ranges) == n_chunks >= 6
+    # the parse stage still issues exactly one ranged read per chunk,
+    # but chunks may now SHARE a task: the partition count is capped
+    # at 2x parallelism so tiny-chunk indexes don't degenerate into
+    # per-chunk micro-tasks (r10; peak memory stays one chunk via the
+    # per-chunk yield in parse_ranges)
+    assert len(ranges) >= 6
+    cap = 2 * spark.sparkContext.defaultParallelism
+    assert n_parts == min(len(ranges), max(cap, 1))
 
 
 class _FakeArrowFile:

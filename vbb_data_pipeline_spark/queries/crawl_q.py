@@ -47,9 +47,18 @@ def _archive_bytes(bucket: int, doc_text_pairs) -> bytes:
     response are planted as decoys for the downstream filters.
     Deterministic bytes (sorted docs, ``mtime=0``) so both battery
     legs and repeated runs frame identical archives.
+
+    ``compresslevel=1``: the archive bytes are a transport detail —
+    the query's output is the parsed-back text, identical at any
+    level — and the whole-leg rebuilds every archive in-plan on every
+    execution, so the default level-9 deflate was the dominant cost
+    of the roundtrip (r10; guide §1.2 step 2: per-task work).
     """
+    import functools
     import gzip
     import html as _html
+
+    gz = functools.partial(gzip.compress, compresslevel=1, mtime=0)
 
     def record(payload: bytes, rtype: str, uri: str) -> bytes:
         head = (
@@ -72,41 +81,36 @@ def _archive_bytes(bucket: int, doc_text_pairs) -> bytes:
         "<body><p>{0}</p></body></html>"
     )
     members = [
-        gzip.compress(
-            record(b"builder: crawl_q", "warcinfo", "meta"), mtime=0
-        )
+        gz(record(b"builder: crawl_q", "warcinfo", "meta"))
     ]
     for did, text in sorted(doc_text_pairs, key=lambda r: int(r[0])):
         body = page.format(_html.escape(str(text))).encode()
         members.append(
-            gzip.compress(
+            gz(
                 record(
                     http(body, "200 OK", "text/html; charset=utf-8"),
                     "response",
                     f"http://corpus.example/doc/{int(did)}",
-                ),
-                mtime=0,
+                )
             )
         )
     # decoys: wrong content type, wrong status — must NOT survive
     members.append(
-        gzip.compress(
+        gz(
             record(
                 http(b'{"a":1}', "200 OK", "application/json"),
                 "response",
                 f"http://corpus.example/json/{bucket}",
-            ),
-            mtime=0,
+            )
         )
     )
     members.append(
-        gzip.compress(
+        gz(
             record(
                 http(b"<p>gone</p>", "404 Not Found", "text/html"),
                 "response",
                 f"http://corpus.example/gone/{bucket}",
-            ),
-            mtime=0,
+            )
         )
     )
     return b"".join(members)
