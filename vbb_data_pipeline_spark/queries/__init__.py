@@ -19,6 +19,7 @@ Cross-engine determinism rules (every query here follows them):
 from __future__ import annotations
 
 import importlib
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -82,12 +83,31 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     query paths whose post-scan work is measured to dominate the scan
     itself (flagship explode chain, corpus text profiling, Python
     image decode).
+
+    The fan-out WIDTH is sized to the data, not the core count
+    (guide §2.2 "fewer, larger partitions", same posture rule as
+    CRAWL_CONF's shuffle sizing): ``ceil(scan_bytes /
+    FAN_OUT_TARGET_BYTES)`` capped at ``defaultParallelism``. An r10
+    experiment on the sf0.1 corpus measured a blanket
+    ``repartition(32)`` at 156 rows/task: per-task constants
+    (scheduling, generated-code warm-up, shuffle-block fetch) dominated
+    — wall 0.54 s and ~820 ms steady CPU vs 0.29 s wall / ~600 ms CPU
+    at 8 data-sized tasks, with identical plans otherwise. 64 KB of
+    compressed parquet text is ~100-200 ms of regex-density CPU — big
+    enough to amortize the constants, small enough to spread. At
+    production bytes the cap keeps this = cores (and the gate above
+    already makes it a no-op once scans have natural splits).
     """
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= cores:
         return df
-    return df.repartition(cores)
+    stats_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    target = int(os.environ.get("SPARK_GRAFT_FANOUT_TARGET_BYTES", 64 << 10))
+    n = min(cores, max(2, -(-stats_bytes // max(target, 1))))
+    return df.repartition(n)
 
 
 def load_table(
