@@ -10,14 +10,23 @@ centroid tables appearing 2-4× per plan. It also splits whole-stage
 codegen around the scan and can't participate in LocalRelation
 optimizations (constant propagation, broadcast-from-driver shortcuts).
 
-:func:`literal_rows_df` builds the same rows as a literal expression
-tree instead — ``explode(array(struct(...), ...))`` over a one-row
-range — so execution is JVM-only: zero Python processes, codegen-able,
-and eligible for Catalyst's eager local-relation evaluation.
+:func:`literal_rows_df` builds the rows as ONE SQL inline table
+(``SELECT ... FROM VALUES ...``) submitted with a single ``spark.sql``
+py4j call. The first r10 formulation built the same values as a py4j
+expression tree (``explode(array(struct(F.lit(...), ...)))``) — each
+``F.lit``/``F.array``/``F.struct`` is a py4j round trip, and a 16×64
+centroid table cost ~5-6 s of driver-side socket latency per QUERY
+CONSTRUCTION (cProfile: 21k ``send_command`` calls, 6.8 s in
+``recv_into``, vs 0.08 s of k-means math — the actual work). The SQL
+string for the same table parses in the JVM in ~10 ms. Inline tables
+also analyze straight to a ``LocalRelation`` (eager, size-known,
+broadcastable), strictly better than the range+explode plan.
 
-Value fidelity matches ``createDataFrame``'s converters: Python floats
-ARE IEEE doubles and ``F.lit`` ships them bit-exactly over py4j;
-``float`` target fields truncate double→float32 in the JVM exactly as
+Value fidelity matches ``createDataFrame``'s converters: doubles are
+emitted as ``CAST('<repr>' AS DOUBLE)`` — Python ``repr`` produces the
+shortest round-trip decimal and Java's ``Double.parseDouble`` inverts
+it bit-exactly (including Infinity/NaN spellings); ``float`` target
+fields truncate double→float32 in the JVM exactly as
 ``FloatType.toInternal`` does on the Python side; ints/longs/strings/
 bools/NULLs are exact. Intended for MODEL/FIXTURE-scale data (tens to
 a few thousand literals); anything larger belongs in a real scan.
@@ -25,6 +34,7 @@ a few thousand literals); anything larger belongs in a real scan.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,14 +44,40 @@ from pyspark.sql import types as T
 __all__ = ["literal_rows_df"]
 
 
-def _lit_value(v, dt: T.DataType):
+def _sql_str(s: str) -> str:
+    # Spark's default lexer (escapedStringLiterals=false) interprets
+    # backslash escapes, so escape the backslash itself and the quote;
+    # raw newlines/tabs/unicode inside a literal pass through intact.
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_value(v, dt: T.DataType) -> str:
+    """One SQL literal expression reproducing ``v`` at ``dt``
+    bit-exactly (foldable, so inline-table analysis evaluates it)."""
     if v is None:
-        return F.lit(None).cast(dt)
+        return f"CAST(NULL AS {dt.simpleString()})"
     if isinstance(dt, T.ArrayType):
-        return F.array(
-            *[_lit_value(x, dt.elementType) for x in v]
-        ).cast(dt)
-    return F.lit(v).cast(dt)
+        inner = ", ".join(_sql_value(x, dt.elementType) for x in v)
+        # empty arrays still need the element type
+        return f"CAST(array({inner}) AS {dt.simpleString()})"
+    if isinstance(dt, T.BooleanType):
+        return "TRUE" if v else "FALSE"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        # string→double cast = Double.parseDouble: exact inverse of
+        # Python repr's shortest round-trip form; float fields then
+        # truncate in the JVM like FloatType.toInternal would
+        return f"CAST('{float(v)!r}' AS {dt.simpleString()})"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return f"CAST({int(v)} AS {dt.simpleString()})"
+    if isinstance(dt, T.StringType):
+        return _sql_str(str(v))
+    if isinstance(dt, T.BinaryType):
+        return f"X'{bytes(v).hex()}'"
+    if isinstance(dt, T.TimestampType) and isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(dt, T.DateType) and isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    raise TypeError(f"unsupported literal type {type(v)} for {dt}")
 
 
 def literal_rows_df(
@@ -64,17 +100,13 @@ def literal_rows_df(
         return spark.range(0, 0, 1, 1).select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields]
         )
-    structs = [
-        F.struct(
-            *[
-                _lit_value(row[i], f.dataType).alias(f.name)
-                for i, f in enumerate(fields)
-            ]
+    values = ",\n".join(
+        "("
+        + ", ".join(
+            _sql_value(row[i], f.dataType) for i, f in enumerate(fields)
         )
+        + ")"
         for row in rows
-    ]
-    return (
-        spark.range(0, 1, 1, 1)
-        .select(F.explode(F.array(*structs)).alias("_r"))
-        .select(*[F.col(f"_r.{f.name}").alias(f.name) for f in fields])
     )
+    names = ", ".join(f"`{f.name}`" for f in fields)
+    return spark.sql(f"SELECT * FROM VALUES\n{values}\nAS t({names})")

@@ -916,21 +916,34 @@ def ivf_topk(
     if cent_rows:
         from math import sqrt as _sqrt
 
-        def _cos_lit(vec: Column, vnorm: Column, cv: list[float]) -> Column:
-            carr = F.array(*[F.lit(x) for x in cv])
+        # The literal trees are generated as SQL TEXT and parsed with
+        # ONE F.expr call per consumer (r10 follow-up): composing them
+        # through the py4j column API issued one driver round trip per
+        # F.lit/F.struct/F.array node — n_cells·(dim+6)·2 ≈ 2-3k
+        # blocking socket calls, measured as tens of seconds of query
+        # CONSTRUCTION on a loaded host (cProfile: the time sat in
+        # py4j recv_into, not in Spark). The parsed trees are
+        # node-for-node the trees the column API built — doubles are
+        # embedded as CAST('<repr>' AS DOUBLE), whose Double.parseDouble
+        # round-trips Python repr's shortest form bit-exactly — so
+        # every rounded cosine and tie-break is unchanged.
+        def _d(x: float) -> str:
+            return f"CAST('{x!r}' AS DOUBLE)"
+
+        def _cos_lit_sql(vec: str, vnorm: str, cv: list[float]) -> str:
+            carr = "array(" + ", ".join(_d(x) for x in cv) + ")"
             cn = _sqrt(sum(x * x for x in cv))  # bit-equal to l2_norm
-            return F.round(
-                dot(vec, carr, dim)
-                / F.greatest(vnorm * F.lit(cn), F.lit(1e-12)),
-                round_digits,
+            return (
+                f"round(aggregate(zip_with({vec}, {carr}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                f"(acc, x) -> acc + x) / greatest({vnorm} * {_d(cn)}, "
+                f"{_d(1e-12)}), {int(round_digits)})"
             )
 
-        def _cell_structs(vec: Column, vnorm: Column) -> list[Column]:
+        def _cell_structs_sql(vec: str, vnorm: str) -> list[str]:
             return [
-                F.struct(
-                    _cos_lit(vec, vnorm, cv).alias("c"),
-                    F.lit(-cid).cast("long").alias("negid"),
-                )
+                f"named_struct('c', {_cos_lit_sql(vec, vnorm, cv)}, "
+                f"'negid', CAST({-cid} AS BIGINT))"
                 for cid, cv in cent_rows
             ]
 
@@ -943,23 +956,23 @@ def ivf_topk(
         # normalizes −0.0 = +0.0 before comparing, while array_sort's
         # struct comparator sees raw doubles — 0.0 − c maps both zero
         # signs to +0.0 and is an exact sign flip for every other value
-        probe_sorted = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (F.lit(0.0) - s.getField("c")).alias("nc"),
-                        (-s.getField("negid")).alias("cell_id"),
-                    )
-                    for s in _cell_structs(F.col("_qv"), F.col("_qn"))
-                ]
-            )
+        probe_structs = ", ".join(
+            f"named_struct('nc', 0.0D - {_cos_lit_sql('_qv', '_qn', cv)}, "
+            f"'cell_id', CAST({cid} AS BIGINT))"
+            for cid, cv in cent_rows
+        )
+        probe_sorted = (
+            f"array_sort(array({probe_structs}))"
         )
         probes = q.select(
             "query_id",
             "_qv",
             "_qn",
             F.explode(
-                F.slice(probe_sorted, 1, min(nprobe, len(cent_rows)))
+                F.expr(
+                    f"slice({probe_sorted}, 1, "
+                    f"{min(nprobe, len(cent_rows))})"
+                )
             ).alias("_p"),
         ).select(
             "query_id", "_qv", "_qn", F.col("_p.cell_id").alias("cell_id")
@@ -971,9 +984,11 @@ def ivf_topk(
             l2_norm(F.col(vec_col), dim).alias("_cn"),
         ).withColumn(
             "cell_id",
-            -F.greatest(
-                *_cell_structs(F.col("_cv"), F.col("_cn"))
-            ).getField("negid"),
+            F.expr(
+                "-(greatest("
+                + ", ".join(_cell_structs_sql("_cv", "_cn"))
+                + ").negid)"
+            ),
         )
     else:
         assigned = ivf_assign(
