@@ -85,20 +85,49 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> None:
     """Drive a streaming DataFrame to completion into an in-memory
-    table (local test harness)."""
+    table (local test harness).
+
+    ``state_partitions``: number of shuffle (= state store) partitions
+    for THIS query, restored after the query stops. Stateful streaming
+    operators create one state store per shuffle partition, and every
+    micro-batch pays per-store commit I/O regardless of row counts —
+    the r10 measure-first pass clocked the identical 1-micro-batch
+    tumbling leg at sf0.01 at ~14 s with 32 state partitions vs ~3.6 s
+    with 8 (interleaved A/B; the cost is store open/commit latency,
+    not compute). Same posture rule as CRAWL_CONF/fan_out_scan:
+    partitions are sized to the DATA, not the core count — callers
+    derive the value from their source's size (see
+    queries/streaming_q._stream_state_partitions). Streaming disables
+    AQE, so nothing coalesces these at runtime. ``None`` keeps the
+    session's setting.
+    """
     from vbb_data_pipeline_spark.plans import capture
 
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    # audit hook (no-op in production): the micro-batch plan is the
-    # one this query actually executed — the memory-sink scan a caller
-    # gets back never shows it
-    capture.note_streaming_query(q, name)
-    q.stop()
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        # audit hook (no-op in production): the micro-batch plan is the
+        # one this query actually executed — the memory-sink scan a
+        # caller gets back never shows it
+        capture.note_streaming_query(q, name)
+        q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, prev)
