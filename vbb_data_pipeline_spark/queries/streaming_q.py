@@ -23,7 +23,7 @@ from vbb_data_pipeline_spark.streaming.windows import (
     tumbling,
 )
 
-def _stream_state_partitions(sf_dir: str) -> int:
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     """State-store partition count sized to the replayed source's
     bytes (ceil(bytes / 64 KB), capped at the env core count) — the
     fan_out_scan sizing rule applied to streaming state. Every state
@@ -32,13 +32,21 @@ def _stream_state_partitions(sf_dir: str) -> int:
     wall in store commits (measured r10: 14 s -> 3.6 s per leg at
     sf0.01, interleaved A/B). Grows back to the core cap at real
     stream volumes; values identical either way (grouping keys decide
-    results, not partition count)."""
+    results, not partition count). Sized from a batch scan's plan
+    statistic, not a driver-local stat call — the path may be an
+    object-store URI (fs-portability gate)."""
     import os
 
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
-        nbytes = os.path.getsize(f"{sf_dir}/events.parquet")
-    except OSError:
+        nbytes = int(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:
         return cores
     return min(cores, max(2, -(-nbytes // (64 << 10))))
 
@@ -108,7 +116,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
     ).select("window_start", "event_type", "n", "sum_value")
     name = f"tumble_{uuid.uuid4().hex[:8]}"
-    run_to_memory(agg, name, output_mode="complete", state_partitions=_stream_state_partitions(sf_dir))
+    run_to_memory(agg, name, output_mode="complete", state_partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name)
 
 
@@ -123,7 +131,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id", "event_type"], "ts", "1 hour"
     ).select("user_id", "event_type")
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    run_to_memory(deduped, name, output_mode="append", state_partitions=_stream_state_partitions(sf_dir))
+    run_to_memory(deduped, name, output_mode="append", state_partitions=_stream_state_partitions(spark, sf_dir))
     # append-mode may emit a key more than once across micro-batches at
     # the watermark edge; the semantic result is the key set
     return spark.table(name).distinct()
@@ -176,7 +184,7 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"state_{uuid.uuid4().hex[:8]}"
-    run_to_memory(out, name, output_mode="update", state_partitions=_stream_state_partitions(sf_dir))
+    run_to_memory(out, name, output_mode="update", state_partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name)
 
 
@@ -239,7 +247,7 @@ def stream_geo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_m", F.round(dist).cast("long")
     )
     name = f"geo_{uuid.uuid4().hex[:8]}"
-    run_to_memory(out, name, output_mode="append", state_partitions=_stream_state_partitions(sf_dir))
+    run_to_memory(out, name, output_mode="append", state_partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name)
 
 
@@ -360,7 +368,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
     ).select("window_start", "n", "sum_value")
     name = f"slide_{uuid.uuid4().hex[:8]}"
-    run_to_memory(agg, name, output_mode="complete", state_partitions=_stream_state_partitions(sf_dir))
+    run_to_memory(agg, name, output_mode="complete", state_partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name)
 
 
@@ -418,7 +426,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    run_to_memory(joined, name, output_mode="append", state_partitions=_stream_state_partitions(sf_dir))
+    run_to_memory(joined, name, output_mode="append", state_partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name)
 
 
@@ -458,7 +466,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="10 minutes",
     ).select("window_start", "c_mktsegment", "n", "sum_value")
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    run_to_memory(agg, name, output_mode="complete", state_partitions=_stream_state_partitions(sf_dir))
+    run_to_memory(agg, name, output_mode="complete", state_partitions=_stream_state_partitions(spark, sf_dir))
     return spark.table(name)
 
 
