@@ -247,9 +247,13 @@ def tf_idf_top_terms(
     # corpus this statistic describes). Broadcast 1-row frame — no
     # driver action at construction.
     n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    # count(*), not countDistinct(id): tf is the output of
+    # groupBy(id, term), so (id, term) is unique by construction and
+    # the distinct machinery (per-group hash set + extra aggregate
+    # mode) is pure overhead on the term-keyed exchange (r10 audit)
     docfreq = (
         tf.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
     )
     idf = F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1)) + 1.0
