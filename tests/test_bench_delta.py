@@ -113,6 +113,37 @@ def test_prev_total_shapes(tmp_path):
     assert bench.prev_total(tmp_path / "absent.json", 0.1) is None
 
 
+def test_core_contract_reports_env_and_parallelism(spark, monkeypatch):
+    """r10 verdict item 1: the stdout line must self-identify the
+    session width — the raw $SPARK_GRAFT_CPUS value and the live
+    defaultParallelism — so the driver's c8/c32 scaling probe can
+    verify the contract instead of flagging suspect_cpus_ignored."""
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    c = bench.core_contract(spark)
+    assert c["cpus_env"] == "8"
+    assert (
+        c["default_parallelism"] == spark.sparkContext.defaultParallelism
+    )
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+    assert bench.core_contract(spark)["cpus_env"] is None
+
+
+def test_needs_more_warmup_policy():
+    """r10 verdict item 8: warm-up continues while run-over-run
+    improvement exceeds 20%, needs two runs to compare, caps at
+    WARMUP_MAX."""
+    assert bench.needs_more_warmup([])  # always probe at least twice
+    assert bench.needs_more_warmup([1.0])
+    # improved 4.3 -> 0.8 (the measured r10 JIT cliff): keep warming
+    assert bench.needs_more_warmup([4.3, 0.8])
+    # flat (0.8 -> 0.79, < 20% better): stop
+    assert not bench.needs_more_warmup([4.3, 0.8, 0.79])
+    # got slower: stop
+    assert not bench.needs_more_warmup([0.5, 0.6])
+    # cap regardless of trend
+    assert not bench.needs_more_warmup([5.0, 2.0, 1.0, 0.5, 0.2])
+
+
 def test_latest_prev_bench_sorts_numerically(tmp_path):
     """r100 must beat r99 — lexicographic sort would pick r99 forever
     once the round number outgrows the padded width."""
