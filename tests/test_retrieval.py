@@ -167,3 +167,24 @@ def test_bm25_plan_posture(spark, docs):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert count_exchanges(df) <= 6
+
+
+def test_bm25_shared_tf_parity(spark, docs):
+    """The tf_all-derived form (tokens_retrieval_battery's shared
+    frame, r11) returns EXACTLY the source-derived answer: doc lengths
+    as sum(tf) and matched postings as a semi-join are row-identical
+    to the original token-stream constructions."""
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("term")
+    ).filter(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
+    tf_all = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    want = sorted(map(tuple, bm25_topk(spark, docs, QUERIES, k=10).collect()))
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk(spark, docs, QUERIES, k=10, tf_all=tf_all).collect(),
+        )
+    )
+    assert got == want

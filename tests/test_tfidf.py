@@ -69,3 +69,28 @@ def test_tfidf_no_driver_action_at_construction(spark):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before), "plan construction launched a job"
     assert df.columns == ["doc_id", "term", "tf", "tfidf", "rank"]
+
+
+def test_tfidf_precomputed_tf_parity(spark):
+    """Passing the (id, term, tf) frame (tokens_retrieval_battery's
+    shared frame, r11) returns EXACTLY the internal construction's
+    answer."""
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, SF, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("term")
+    ).filter(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    want = sorted(
+        map(tuple, tf_idf_top_terms(d, "text", "doc_id", k=3).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            tf_idf_top_terms(d, "text", "doc_id", k=3, tf=tf).collect(),
+        )
+    )
+    assert got == want

@@ -223,6 +223,7 @@ def tf_idf_top_terms(
     id_col: str,
     k: int = 5,
     round_digits: int = 6,
+    tf: "DataFrame | None" = None,
 ):
     """Top-``k`` TF-IDF terms per document — corpus keyword profiling.
 
@@ -236,12 +237,22 @@ def tf_idf_top_terms(
 
     Returns ``(id_col, term, tf, tfidf, rank)``. Deterministic:
     ties break on the term string.
+
+    ``tf``: optional precomputed ``(id_col, term, tf)`` frame (the
+    explode + groupBy below, verbatim). Callers that need the same
+    term-frequency table for another scorer (tokens_retrieval_battery
+    shares it with BM25) pass it here so the corpus is tokenized once
+    and the (doc, term) exchange is shared (guide §2.4); the scoring
+    math is unchanged either way.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        toks = df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # N = documents contributing at least one term (zero-token docs
     # have no tf rows and no tfidf output, so they are outside the
     # corpus this statistic describes). Broadcast 1-row frame — no

@@ -80,6 +80,7 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    tf_all: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 matches per query → (qid, rank, doc_id, score).
 
@@ -92,24 +93,42 @@ def bm25_topk(
     documents: doc lengths derive from the token stream, so a
     zero-token document contributes to neither (it can never match a
     query anyway).
+
+    ``tf_all``: optional precomputed all-term frequency frame
+    ``(doc_id, term, tf)`` — the output shape of
+    ``toks.groupBy(doc_id, term).count()``. When a caller computes
+    this frame anyway (tokens_retrieval_battery shares it with
+    TF-IDF), deriving doc lengths (``dl = Σ tf``) and matched postings
+    (semi-join to query terms — same rows, same tf) from it lets the
+    corpus be tokenized ONCE for the whole battery, and Spark's
+    exchange reuse executes the shared (doc, term) aggregate a single
+    time (guide §2.4). Standalone callers leave it None and keep the
+    original query-term-filtered shape, where only MATCHING tokens
+    ever reach an exchange — derived and source forms are
+    row-identical (proof: tf over matched tokens == all-term tf
+    filtered to matching terms; Σ_terms tf per doc == token count).
     """
     qrows = sorted(
         {(int(qid), t) for qid, terms in queries for t in terms}
     )
     qterms = literal_rows_df(spark, qrows, "qid long, term string")
+    qterm_set = qterms.select("term").distinct()
 
-    toks = _token_stream(df, id_col, text_col)
-    # corpus-wide per-doc length: map-side combinable
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    if tf_all is not None:
+        doclen = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        tf = tf_all.join(F.broadcast(qterm_set), "term", "left_semi")
+    else:
+        toks = _token_stream(df, id_col, text_col)
+        # corpus-wide per-doc length: map-side combinable
+        doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        # filter the token stream to query terms BEFORE aggregating
+        matched = toks.join(F.broadcast(qterm_set), "term", "left_semi")
+        tf = matched.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
-    )
-    # filter the token stream to query terms BEFORE aggregating
-    qterm_set = qterms.select("term").distinct()
-    matched = toks.join(F.broadcast(qterm_set), "term", "left_semi")
-    tf = matched.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf")
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 

@@ -319,6 +319,12 @@ _TFIDF_ORACLE = """
     "leg the generic qid column carries the term frequency)",
 )
 def tokens_retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vbb_data_pipeline_spark.functions.text import (
+        tf_idf_top_terms,
+        tokens,
+    )
+    from vbb_data_pipeline_spark.operators.retrieval import bm25_topk
+
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
@@ -330,7 +336,28 @@ def tokens_retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("qid"),
         null_d.alias("score"),
     )
-    bm = bm25_search(spark, sf_dir).select(
+    # Shared all-term frequency frame (guide §2.4, r10 verdict item 4):
+    # the BM25 and TF-IDF legs each tokenized the full corpus and
+    # aggregated their own (doc, term) counts. ONE tf frame now feeds
+    # both — BM25 derives doc lengths (Σ tf per doc) and matched
+    # postings (broadcast semi-join to its query terms) from it;
+    # row-for-row equal to the legs' own constructions (bm25_topk
+    # docstring has the proof, per-leg oracle re-run green). The
+    # explicit isnotnull pre-filter is a semantic no-op (explode never
+    # emits NULL terms, doc_id is a key) that keeps every consumer's
+    # pre-exchange subtree IDENTICAL — downstream joins would otherwise
+    # push inferred isnotnull filters below the exchange in some
+    # branches only, which defeats Spark's runtime exchange reuse
+    # (observed: the reused exchange executes the tokenize+aggregate
+    # once per battery run instead of twice).
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("term")
+    ).filter(F.col("doc_id").isNotNull() & F.col("term").isNotNull())
+    tf_all = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    bm = bm25_topk(spark, d, _BM25_QUERIES, k=_BM25_K, tf_all=tf_all).select(
         F.lit("bm25").alias("variant"),
         "doc_id",
         F.col("rank").alias("pos"),
@@ -338,10 +365,8 @@ def tokens_retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "score",
     )
-    from vbb_data_pipeline_spark.functions.text import tf_idf_top_terms
-
     ti = tf_idf_top_terms(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=3
+        d, "text", "doc_id", k=3, tf=tf_all
     ).select(
         F.lit("tfidf").alias("variant"),
         "doc_id",
