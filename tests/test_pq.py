@@ -318,3 +318,57 @@ def test_ivfpq_index_write_is_cell_aligned(spark, emb, tmp_path):
     for d in cell_dirs:
         files = [f for f in d.iterdir() if f.suffix == ".parquet"]
         assert len(files) == 1, f"{d.name}: {len(files)} files"
+
+
+def test_shared_codes_and_assignment_parity(emb, codebooks):
+    """r11 rung sharing: passing precomputed codes/assigned frames
+    (sim_pq_battery's shared exchanges) returns EXACTLY the answers of
+    the self-contained constructions, for all three PQ rungs."""
+    queries = emb.filter(F.col("vec_id") < 6)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("cell_id"), "embedding"
+    )
+    codes = (
+        sim.pq_encode_arrow(emb, codebooks, M, DIM)
+        .filter(
+            F.col("vec_id").isNotNull()
+            & F.col("subspace").isNotNull()
+            & F.col("code").isNotNull()
+        )
+        .repartition("vec_id")
+    )
+    assigned = sim.ivf_assign(
+        emb.filter(F.col("vec_id").isNotNull()), cents, DIM,
+        cell_col="cell_id",
+    )
+
+    want = sorted(map(tuple, sim.pq_topk(
+        emb, queries, k=4, n_subspaces=M, n_codes=K, dim=DIM,
+        codebooks=codebooks).collect()))
+    got = sorted(map(tuple, sim.pq_topk(
+        emb, queries, k=4, n_subspaces=M, n_codes=K, dim=DIM,
+        codebooks=codebooks, codes=codes).collect()))
+    assert got == want
+
+    want = sorted(map(tuple, sim.ivf_pq_topk(
+        emb, queries, k=4, n_cells=8, nprobe=3, n_subspaces=M,
+        n_codes=K, dim=DIM, centroids=cents,
+        codebooks=codebooks).collect()))
+    got = sorted(map(tuple, sim.ivf_pq_topk(
+        emb, queries, k=4, n_cells=8, nprobe=3, n_subspaces=M,
+        n_codes=K, dim=DIM, centroids=cents, codebooks=codebooks,
+        codes=codes, assigned=assigned).collect()))
+    assert got == want
+
+    cb_res = sim.pq_train_residual_local(
+        emb, cents, n_subspaces=M, n_codes=K, iters=2, dim=DIM
+    )
+    want = sorted(map(tuple, sim.ivf_pq_residual_topk(
+        emb, queries, k=4, n_cells=8, nprobe=3, n_subspaces=M,
+        n_codes=K, dim=DIM, centroids=cents,
+        codebooks=cb_res).collect()))
+    got = sorted(map(tuple, sim.ivf_pq_residual_topk(
+        emb, queries, k=4, n_cells=8, nprobe=3, n_subspaces=M,
+        n_codes=K, dim=DIM, centroids=cents, codebooks=cb_res,
+        assigned=assigned).collect()))
+    assert got == want

@@ -2131,6 +2131,7 @@ def pq_topk(
     vec_col: str = "embedding",
     round_digits: int = 5,
     cache_key: str | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC (asymmetric-distance) top-k over PQ codes + exact re-rank.
 
@@ -2151,6 +2152,13 @@ def pq_topk(
     C×|Q| candidate rows; at billion-vector scale the ADC scan touches
     M bytes per vector instead of dim×4.
 
+    ``codes``: optional precomputed ``(id_col, subspace, code)`` frame
+    — the :func:`pq_encode_arrow` output for the SAME corpus and
+    codebooks. sim_pq_battery encodes once and shares the frame with
+    its ivfpq rung (guide §2.4: one materialized exchange replaces a
+    second full-corpus encode pass); results are unchanged by
+    construction (same codes feed the same ADC arithmetic).
+
     Returns ``(query_id, neighbor_id, cosine, approx_cosine, rank)``.
     """
     if codebooks is None:
@@ -2166,13 +2174,15 @@ def pq_topk(
             cache_key=cache_key,
         )
     sub = dim // n_subspaces
-    # Arrow/BLAS encode (18x the expression path at sf10: 50.6 s ->
-    # 2.8 s, PERF.md) — code-identical by the parity contract pinned
-    # in tests/test_pq.py; the expression encoder remains the
-    # zero-Python baseline.
-    codes = pq_encode_arrow(
-        embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
-    )
+    if codes is None:
+        # Arrow/BLAS encode (18x the expression path at sf10: 50.6 s ->
+        # 2.8 s, PERF.md) — code-identical by the parity contract pinned
+        # in tests/test_pq.py; the expression encoder remains the
+        # zero-Python baseline.
+        codes = pq_encode_arrow(
+            embeddings, codebooks, n_subspaces, dim, id_col, vec_col,
+            round_digits,
+        )
     cb = codebooks.select("subspace", "code", F.col("subvec").alias("_cv"))
     qex = (
         queries.filter(F.col(vec_col).isNotNull())
@@ -2291,6 +2301,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    codes: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the canonical billion-vector ANN layout (FAISS
     ``IVFx,PQy``; Jégou et al. 2011) — IVF cell pruning bounds WHICH
@@ -2313,6 +2325,12 @@ def ivf_pq_topk(
     query vectors); the only wide exchanges are the encode argmin and
     the per-(query, vector) ADC sum, both map-side combinable.
 
+    ``codes`` / ``assigned``: optional precomputed frames (the
+    :func:`pq_encode_arrow` / :func:`ivf_assign` outputs for the same
+    corpus, codebooks and centroids). sim_pq_battery shares one codes
+    frame with its flat-PQ rung and one assignment frame with its
+    residual rung (guide §2.4); results are unchanged by construction.
+
     Returns ``(query_id, neighbor_id, cosine, approx_cosine, rank)``.
     """
     if centroids is None:
@@ -2330,17 +2348,20 @@ def ivf_pq_topk(
             vec_col=vec_col,
             round_digits=round_digits,
         )
-    assigned = ivf_assign(
-        embeddings, centroids, dim, id_col, vec_col, round_digits,
-        cell_col="cell_id",
-    )
-    # Arrow/BLAS encode (18x the expression path at sf10: 50.6 s ->
-    # 2.8 s, PERF.md) — code-identical by the parity contract pinned
-    # in tests/test_pq.py; the expression encoder remains the
-    # zero-Python baseline.
-    codes = pq_encode_arrow(
-        embeddings, codebooks, n_subspaces, dim, id_col, vec_col, round_digits
-    )
+    if assigned is None:
+        assigned = ivf_assign(
+            embeddings, centroids, dim, id_col, vec_col, round_digits,
+            cell_col="cell_id",
+        )
+    if codes is None:
+        # Arrow/BLAS encode (18x the expression path at sf10: 50.6 s ->
+        # 2.8 s, PERF.md) — code-identical by the parity contract pinned
+        # in tests/test_pq.py; the expression encoder remains the
+        # zero-Python baseline.
+        codes = pq_encode_arrow(
+            embeddings, codebooks, n_subspaces, dim, id_col, vec_col,
+            round_digits,
+        )
 
     # per-query nprobe cell probes (identical construction to ivf_topk)
     cent = centroids.select(
@@ -2487,6 +2508,7 @@ def ivf_pq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the full FAISS ``IVFx,PQy``
     construction: each vector is quantized as ``x ≈ c_cell + r̃`` where
@@ -2510,6 +2532,17 @@ def ivf_pq_residual_topk(
     wide exchanges (encode argmin, per-(query, vector) ADC sum)
     combine map-side.
 
+    ``assigned``: optional precomputed :func:`ivf_assign` output for
+    the same corpus and centroids (sim_pq_battery shares one
+    assignment frame with its ivfpq rung, guide §2.4 — the battery's
+    Spark plan then materializes the assignment exchange once and
+    ReusedExchange serves the other consumers); results are unchanged
+    by construction. When built here, the corpus is pre-filtered to
+    non-NULL ids — a semantic no-op (every output path inner-joins on
+    the id) that keeps this function's own two ``assigned`` consumers
+    (residual encode, probe scan) byte-identical below the exchange so
+    the reuse also fires standalone.
+
     Returns ``(query_id, neighbor_id, cosine, approx_cosine, rank)``.
     """
     if centroids is None:
@@ -2528,10 +2561,12 @@ def ivf_pq_residual_topk(
             vec_col=vec_col,
             round_digits=round_digits,
         )
-    assigned = ivf_assign(
-        embeddings, centroids, dim, id_col, vec_col, round_digits,
-        cell_col="cell_id",
-    )
+    if assigned is None:
+        assigned = ivf_assign(
+            embeddings.filter(F.col(id_col).isNotNull()),
+            centroids, dim, id_col, vec_col, round_digits,
+            cell_col="cell_id",
+        )
     cent = centroids.select(
         F.col("cell_id"), F.col(vec_col).alias("_mv")
     ).withColumn("_mn", l2_norm(F.col("_mv"), dim))
