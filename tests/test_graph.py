@@ -64,8 +64,9 @@ def test_pagerank_one_action_per_round(spark, monkeypatch):
     (the eager localCheckpoint of the new ranks): dangling mass rides
     that same job as a broadcast one-row aggregate, not a second
     collect(). Counted at the API layer (job counts are AQE-dependent):
-    zero collect()s inside pagerank, and localCheckpoints == 3 setup
-    (nodes, out_deg, rank init) + one per round."""
+    zero collect()s inside pagerank, and localCheckpoints == 4 setup
+    (edges — checkpointed once so rounds never re-scan the source,
+    r11 — nodes, out_deg, rank init) + one per round."""
     import pyspark.sql.classic.dataframe as dfmod
 
     counts = {"collect": 0, "ckpt": 0}
@@ -86,7 +87,35 @@ def test_pagerank_one_action_per_round(spark, monkeypatch):
     iters = 4
     result = pagerank(df, iters=iters)
     assert counts["collect"] == 0, "pagerank ran a driver collect() mid-loop"
-    assert counts["ckpt"] == 3 + iters, (
-        f"expected 3 setup + {iters} per-round checkpoints, got {counts['ckpt']}"
+    assert counts["ckpt"] == 4 + iters, (
+        f"expected 4 setup + {iters} per-round checkpoints, got {counts['ckpt']}"
     )
     assert result.count() == 4
+
+
+def test_pagerank_rounds_never_rescan_the_source(spark):
+    """r11 edge-partition reuse: the edge list is checkpointed once,
+    so no per-round plan may contain a source scan — before the fix
+    every round re-derived the edge frame (source re-scan plus the
+    upstream distinct's exchange)."""
+    from pyspark.sql import functions as F
+
+    from vbb_data_pipeline_spark.plans import capture
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    ).distinct()
+    capture.enable()
+    try:
+        capture.drain()
+        pagerank(edges, iters=3)
+        caps = capture.drain()
+    finally:
+        capture.disable()
+    assert caps, "expected captured checkpoint plans"
+    # exactly one captured plan (the edge checkpoint itself) scans the
+    # source; every round plan reads checkpointed RDDs only
+    scans = ["Scan parquet" in p for _, p in caps]
+    assert sum(scans) == 1, f"source re-scanned: {scans}"
