@@ -1029,26 +1029,6 @@ def dedup_index_write(
     # identical for every such doc and would band-bucket them all
     # together (see the matching batch-side skip in dedup_incremental).
     fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-    sig = minhash_signatures(
-        df.join(
-            fp.filter(F.col("fp").isNotNull()).select(id_col),
-            id_col,
-            "left_semi",
-        ),
-        text_col, id_col, num_hashes, shingle_n, hash_mode,
-    )
-    banded = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
-        *_band_buckets(id_col, num_hashes, bands, hash_mode),
-    )
-    melted = banded.select(
-        F.col(id_col),
-        "sig",
-        F.explode(
-            F.array(*[F.col(f"band_{b}") for b in range(bands)])
-        ).alias("bucket"),
-    )
     # WRITE ORDER is load-bearing: bands first, fps last, marker
     # after both. The streaming replay guard reads fps/, so fps must
     # be the COMMIT POINT — a crash after bands but before fps means
@@ -1081,6 +1061,36 @@ def dedup_index_write(
     # recoverable by re-running; a lying marker is silent data loss.
     if mode == "overwrite":
         _mark_index_rebuilding(df.sparkSession, path, params)
+    # fp is checkpointed so ONE tokenize+fingerprint pass over the
+    # corpus serves both tables (r11; before, the bands job recomputed
+    # every fingerprint for its semi-join and the fps job ran the
+    # whole pass again — two extra full-corpus text passes per build).
+    # The checkpoint is (id, 32-char fp) per doc — constant bytes/doc,
+    # MEMORY_AND_DISK, and it sits AFTER the rebuilding sentinel so
+    # the sentinel still lands before the rebuild's first Spark job
+    # (the crash-ordering contract above is unchanged: bands first,
+    # fps last as the commit point, marker after both).
+    fp = fp.localCheckpoint()
+    sig = minhash_signatures(
+        df.join(
+            fp.filter(F.col("fp").isNotNull()).select(id_col),
+            id_col,
+            "left_semi",
+        ),
+        text_col, id_col, num_hashes, shingle_n, hash_mode,
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        *_band_buckets(id_col, num_hashes, bands, hash_mode),
+    )
+    melted = banded.select(
+        F.col(id_col),
+        "sig",
+        F.explode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
     melted.write.mode(mode).parquet(f"{path}/bands")
     fp.write.mode(mode).parquet(f"{path}/fps")
     _write_index_params(df.sparkSession, path, params)
