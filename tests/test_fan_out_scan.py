@@ -37,3 +37,55 @@ def test_fan_out_caps_at_default_parallelism(spark, monkeypatch):
     d = load_table(spark, SF_DIR, "documents")
     cores = spark.sparkContext.defaultParallelism
     assert fan_out_scan(d).rdd.getNumPartitions() == cores
+
+
+def test_fan_out_fires_on_large_single_split_scan(spark, tmp_path):
+    """r11 (verdict item 6): the gate must fire on a scale-shape input
+    — ONE parquet file big enough that the bytes-derived width hits
+    the core cap, but written as a single file so Spark plans a
+    sub-core number of splits (the 100 TB failure mode this gate
+    exists for: a large unsplittable input serializing the downstream
+    chain onto a few cores)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "one_big_file")
+    # ~2 MB of high-entropy strings in ONE file / one row group —
+    # 32 × 64 KB, so width-by-bytes ≥ any test core count
+    (
+        spark.range(40_000)
+        .select(F.md5(F.col("id").cast("string")).alias("s"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    d = spark.read.parquet(path)
+    cores = spark.sparkContext.defaultParallelism
+    assert d.rdd.getNumPartitions() < cores, "fixture must under-split"
+    stats = _stats_bytes(d)
+    assert stats >= cores * (64 << 10), "fixture must be scale-shaped"
+    out = fan_out_scan(d)
+    assert out is not d, "gate must fire on an under-split scan"
+    # bytes-derived width saturates the cap = live core count
+    assert out.rdd.getNumPartitions() == cores
+    # and the fan-out changes no rows
+    assert out.count() == 40_000
+
+
+def test_fan_out_noop_on_multi_split_scan(spark, tmp_path):
+    """r11: no-op assertion on a REAL multi-split parquet scan (the
+    existing no-op test used an in-plan repartition, which does not
+    prove the gate reads Spark's planned scan partitioning)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "many_files")
+    cores = spark.sparkContext.defaultParallelism
+    (
+        spark.range(40_000)
+        .select(F.md5(F.col("id").cast("string")).alias("s"))
+        .repartition(cores)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    d = spark.read.parquet(path)
+    assert d.rdd.getNumPartitions() >= cores
+    assert fan_out_scan(d) is d
