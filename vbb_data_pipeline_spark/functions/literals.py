@@ -26,9 +26,10 @@ Value fidelity matches ``createDataFrame``'s converters: doubles are
 emitted as ``CAST('<repr>' AS DOUBLE)`` — Python ``repr`` produces the
 shortest round-trip decimal and Java's ``Double.parseDouble`` inverts
 it bit-exactly (including Infinity/NaN spellings); ``float`` target
-fields truncate double→float32 in the JVM exactly as
-``FloatType.toInternal`` does on the Python side; ints/longs/strings/
-bools/NULLs are exact. Intended for MODEL/FIXTURE-scale data (tens to
+fields emit ``CAST(CAST('<repr>' AS DOUBLE) AS FLOAT)`` so the JVM
+performs the same double→float narrowing as ``FloatType.toInternal``
+(a direct string→float parse differs by 1 ULP on exact
+float-rounding midpoints); ints/longs/strings/bools/NULLs are exact. Intended for MODEL/FIXTURE-scale data (tens to
 a few thousand literals); anything larger belongs in a real scan.
 """
 
@@ -44,40 +45,93 @@ from pyspark.sql import types as T
 __all__ = ["literal_rows_df"]
 
 
-def _sql_str(s: str) -> str:
+def _sql_str(s: str, escaped_literals: bool = False) -> str:
     # Spark's default lexer (escapedStringLiterals=false) interprets
     # backslash escapes, so escape the backslash itself and the quote;
     # raw newlines/tabs/unicode inside a literal pass through intact.
+    # With spark.sql.parser.escapedStringLiterals=true (probed on
+    # Spark 4.1) every character inside a string token is kept
+    # LITERALLY — '' doubling is not an escape, '\\' stays two
+    # backslashes — but the lexer still pairs backslash+next-char, so
+    # a quote cannot be embedded and a trailing backslash cannot even
+    # be written. literal_rows_df reads the conf and, in legacy mode,
+    # emits strings containing either character as a foldable CONCAT
+    # of plain single-quoted runs and CHR(39)/CHR(92) pieces; the
+    # inline-table analyzer folds it back to one constant.
+    if escaped_literals:
+        if "'" not in s and "\\" not in s:
+            return "'" + s + "'"
+        args: list[str] = []
+        run: list[str] = []
+
+        def flush() -> None:
+            if run:
+                args.append("'" + "".join(run) + "'")
+                run.clear()
+
+        for ch in s:
+            if ch == "'":
+                flush()
+                args.append("CHR(39)")
+            elif ch == "\\":
+                flush()
+                args.append("CHR(92)")
+            else:
+                run.append(ch)
+        flush()
+        return "CONCAT(" + ", ".join(args) + ")"
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _sql_value(v, dt: T.DataType) -> str:
+def _sql_value(v, dt: T.DataType, escaped_literals: bool = False) -> str:
     """One SQL literal expression reproducing ``v`` at ``dt``
-    bit-exactly (foldable, so inline-table analysis evaluates it)."""
+    bit-exactly (foldable, so inline-table analysis evaluates it).
+
+    Supported-type contract (everything else raises TypeError):
+    ``array<…>`` (nested), boolean, float/double, byte/short/int/long,
+    string, binary, timestamp (datetime values), date (date values),
+    and NULL at any supported type. DecimalType, MapType, StructType
+    fields and string-valued timestamp/date inputs are NOT supported —
+    callers needing those belong on ``spark.createDataFrame``.
+    """
     if v is None:
         return f"CAST(NULL AS {dt.simpleString()})"
     if isinstance(dt, T.ArrayType):
-        inner = ", ".join(_sql_value(x, dt.elementType) for x in v)
+        inner = ", ".join(
+            _sql_value(x, dt.elementType, escaped_literals) for x in v
+        )
         # empty arrays still need the element type
         return f"CAST(array({inner}) AS {dt.simpleString()})"
     if isinstance(dt, T.BooleanType):
         return "TRUE" if v else "FALSE"
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
+    if isinstance(dt, T.FloatType):
+        # match FloatType.toInternal (double→float narrowing in the
+        # JVM): parse to DOUBLE first, then narrow. A direct
+        # CAST('<repr>' AS FLOAT) would parse the decimal straight to
+        # float (Float.parseFloat, correctly rounded from the decimal
+        # string) — on exact float-rounding midpoints the two differ
+        # by 1 ULP (e.g. 1 + 2^-24).
+        return f"CAST(CAST('{float(v)!r}' AS DOUBLE) AS FLOAT)"
+    if isinstance(dt, T.DoubleType):
         # string→double cast = Double.parseDouble: exact inverse of
-        # Python repr's shortest round-trip form; float fields then
-        # truncate in the JVM like FloatType.toInternal would
-        return f"CAST('{float(v)!r}' AS {dt.simpleString()})"
+        # Python repr's shortest round-trip form
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return f"CAST({int(v)} AS {dt.simpleString()})"
     if isinstance(dt, T.StringType):
-        return _sql_str(str(v))
+        return _sql_str(str(v), escaped_literals)
     if isinstance(dt, T.BinaryType):
         return f"X'{bytes(v).hex()}'"
     if isinstance(dt, T.TimestampType) and isinstance(v, _dt.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(dt, T.DateType) and isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
-    raise TypeError(f"unsupported literal type {type(v)} for {dt}")
+    raise TypeError(
+        f"unsupported literal type {type(v)} for {dt} — _sql_value "
+        "supports (nested) arrays, boolean, float/double, integral "
+        "types, string, binary, datetime-valued timestamp and "
+        "date-valued date only"
+    )
 
 
 def literal_rows_df(
@@ -100,10 +154,14 @@ def literal_rows_df(
         return spark.range(0, 0, 1, 1).select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields]
         )
+    esc = (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
     values = ",\n".join(
         "("
         + ", ".join(
-            _sql_value(row[i], f.dataType) for i, f in enumerate(fields)
+            _sql_value(row[i], f.dataType, esc) for i, f in enumerate(fields)
         )
         + ")"
         for row in rows

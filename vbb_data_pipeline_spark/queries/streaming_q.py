@@ -23,6 +23,13 @@ from vbb_data_pipeline_spark.streaming.windows import (
     tumbling,
 )
 
+#: memo for :func:`_stream_state_partitions` — all eight stream legs
+#: size from the same events file, and each construction otherwise
+#: pays a fresh driver-side parquet listing/footer read (r10 advice).
+#: Keyed on the session UUID so a stop/recreate cycle is a clean miss.
+_STATE_PARTITIONS_MEMO: dict[tuple[str, str], int] = {}
+
+
 def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     """State-store partition count sized to the replayed source's
     bytes (ceil(bytes / 64 KB), capped at the env core count) — the
@@ -34,10 +41,18 @@ def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     stream volumes; values identical either way (grouping keys decide
     results, not partition count). Sized from a batch scan's plan
     statistic, not a driver-local stat call — the path may be an
-    object-store URI (fs-portability gate)."""
+    object-store URI (fs-portability gate). Memoized per
+    (session, sf_dir); only a missing/unreadable source path
+    (AnalysisException) falls back to the core count — anything else
+    surfaces instead of silently mis-sizing state stores."""
     import os
 
+    from pyspark.errors import AnalysisException
+
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    key = (spark._jsparkSession.sessionUUID(), sf_dir)
+    if key in _STATE_PARTITIONS_MEMO:
+        return _STATE_PARTITIONS_MEMO[key]
     try:
         nbytes = int(
             spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -46,9 +61,11 @@ def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
             .stats()
             .sizeInBytes()
         )
-    except Exception:
+    except AnalysisException:
         return cores
-    return min(cores, max(2, -(-nbytes // (64 << 10))))
+    n = min(cores, max(2, -(-nbytes // (64 << 10))))
+    _STATE_PARTITIONS_MEMO[key] = n
+    return n
 
 
 def _events_raw_schema(ts_type: str) -> T.StructType:

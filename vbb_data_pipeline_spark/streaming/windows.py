@@ -107,6 +107,16 @@ def run_to_memory(
     queries/streaming_q._stream_state_partitions). Streaming disables
     AQE, so nothing coalesces these at runtime. ``None`` keeps the
     session's setting.
+
+    SINGLE-THREADED ASSUMPTION (r10 advice): setting
+    ``state_partitions`` mutates the session-global
+    ``spark.sql.shuffle.partitions`` for the duration of the run
+    (restored in the ``finally``); any batch or streaming query
+    CONSTRUCTED concurrently on the same SparkSession during that
+    window silently inherits the fixture-sized value. The bench /
+    correctness harness is sequential, so this is latent; if a caller
+    ever parallelizes query construction, scope the setting to a
+    cloned session (``spark.newSession()``) instead.
     """
     from vbb_data_pipeline_spark.plans import capture
 
