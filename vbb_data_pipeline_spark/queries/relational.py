@@ -1029,12 +1029,32 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who were the sole late supplier on a
     finished multi-supplier order.
 
-    Decorrelation: both correlated predicates become joins against the
-    SAME distinct (orderkey, suppkey) pair sets — EXISTS → LEFT SEMI,
-    NOT EXISTS → LEFT ANTI — each an equi-join on the order key with
-    the supplier inequality in the join condition, so the only wide
-    exchanges hash on l_orderkey and carry 16-byte pairs. The supplier/
-    nation/region dim chain broadcasts; the final rollup is tiny.
+    Decorrelation (r11 rewrite, guide §2.4): both correlated
+    predicates are answered from ONE distinct (orderkey, suppkey) pair
+    table with a per-pair late flag — ``groupBy(pair).agg(max(late))``
+    — instead of two separate ``distinct()``s over the same
+    lineitem⋈orders join (two full fact scans, two joins, two
+    pair-keyed exchanges) fed into a semi + an anti join:
+
+    * a pair is late iff ANY of its lines is late, so
+      ``filter(max(late))`` IS the distinct of the filtered rows
+      (set equality);
+    * EXISTS(other supplier on the order)      ⇔ the order has ≥ 2
+      distinct supplier pairs — the counted pair is itself one;
+    * NOT EXISTS(other LATE supplier)          ⇔ the order has exactly
+      1 late pair — the counted pair is late by construction.
+
+    So per-order counts over the pair table replace the semi/anti
+    joins outright, and the pair exchange is materialized once and
+    served to both consumers (late pairs, per-order counts) by
+    runtime exchange reuse — their pre-exchange subtrees are kept
+    identical by the no-op isnotnull key filter (a NULL-key pair can
+    match no equi-join). One fact scan, one orders join, one wide
+    exchange carrying 17-byte pair rows; the supplier/nation/region
+    dim chain broadcasts; the per-order stats join hashes on
+    l_orderkey; the final rollup is tiny. Output bit-identical to the
+    semi/anti form (oracle re-checked; the oracle still replays the
+    literal EXISTS/NOT EXISTS SQL).
     """
     o_f = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -1044,14 +1064,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_f.select("o_orderkey", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
     )
-    all_pairs = lo.select("l_orderkey", "l_suppkey").distinct()
-    late_pairs = (
-        lo.filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    pair_late = (
+        lo.select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+            ).alias("_late"),
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("_late"))
+    )
+    late_pairs = pair_late.filter(F.col("_late")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    order_stats = pair_late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum(F.col("_late").cast("int")).alias("_n_late"),
     )
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -1064,25 +1097,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = late_pairs.join(
         F.broadcast(asia), late_pairs.l_suppkey == F.col("s_suppkey")
     )
-    ap = all_pairs.select(
-        F.col("l_orderkey").alias("ap_orderkey"),
-        F.col("l_suppkey").alias("ap_suppkey"),
-    )
-    lp2 = late_pairs.select(
-        F.col("l_orderkey").alias("lp2_orderkey"),
-        F.col("l_suppkey").alias("lp2_suppkey"),
-    )
-    l2 = l1.join(
-        ap,
-        (l1.l_orderkey == ap.ap_orderkey)
-        & (l1.l_suppkey != ap.ap_suppkey),
-        "left_semi",
-    )
-    l3 = l2.join(
-        lp2,
-        (l2.l_orderkey == lp2.lp2_orderkey)
-        & (l2.l_suppkey != lp2.lp2_suppkey),
-        "left_anti",
+    l3 = l1.join(order_stats, "l_orderkey").filter(
+        (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
     )
     return (
         l3.groupBy("s_name")
