@@ -272,6 +272,27 @@ _STATS_ORACLE = """
 # Spark's are the population moments (g1/g2). The Spark side converts
 # g→G with the exact n-dependent factors so both engines express the
 # same statistic.
+#
+# PLAN-SHAPE RULE (r11, measured): never mix a DISTINCT aggregate with
+# large-buffer imperative aggregates (exact percentile's value map,
+# approx_count_distinct at rsd 0.01 = 2^14-register HLL) in ONE
+# groupBy. Spark plans multi-distinct via Expand + multi-phase
+# aggregation, and the imperative buffers are then merged per
+# EXPANDED ROW — at sf0.1 the fused form burned 1,866 s of executor
+# CPU (208 s GC) in its final aggregate stage vs ~6 s total for the
+# split form (this battery went from 179 s wall/steady-run to ~2 s).
+# The distinct counts therefore aggregate in their OWN pass and
+# null-safe-join back on the (tiny, one row per group) key — two
+# clean scans instead of one pathological merge; both scans'
+# aggregates combine map-side.
+def _join_group_stats(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Inner null-safe join of two one-row-per-group aggregate frames
+    — exactly the rows the single fused aggregate would emit (same
+    group sets by construction; eqNullSafe so a NULL group key joins
+    itself rather than vanishing)."""
+    return a.join(F.broadcast(b), a[key].eqNullSafe(b[key])).drop(b[key])
+
+
 def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1)).cast("double")
@@ -279,7 +300,7 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = F.kurtosis("l_extendedprice")
     sample_skew = g1 * F.sqrt(n * (n - 1)) / (n - 2)
     sample_kurt = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
-    return li.groupBy("l_returnflag").agg(
+    core = li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_covar"),
         F.round(sample_skew, 4).alias("price_skew"),
@@ -289,11 +310,30 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+    )
+    distincts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+    return _join_group_stats(core, distincts, "l_returnflag").select(
+        "l_returnflag",
+        "price_qty_corr",
+        "price_qty_covar",
+        "price_skew",
+        "price_kurt",
+        "disc_sd_pop",
+        "tax_var",
+        "median_price",
+        "p95_price",
+        "q1_qty",
+        "n_orders",
+        "n_suppliers",
+        "min_price",
+        "max_price",
+        "sd_discount",
     )
 
 
@@ -309,14 +349,22 @@ _APPROX_ORACLE = """
 
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    # sketches + exact percentile in one DISTINCT-FREE pass; the exact
+    # distinct count in its own pass (see the plan-shape rule above —
+    # fusing them put the 2^14-register HLL and the percentile value
+    # map through per-expanded-row merges: 209 s wall for THIS frame
+    # alone at sf0.1, ~3 s split)
+    sketches = li.groupBy("l_returnflag").agg(
         # rsd 0.01 → the 5% assertion sits 5 standard deviations out
         # (default rsd 0.05 would make the bound a coin flip)
         F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_median"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("_exact_median"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    agg = _join_group_stats(sketches, exact, "l_returnflag")
     within = lambda approx, exact: (  # noqa: E731
         F.abs(approx.cast("double") - exact.cast("double"))
         / F.greatest(F.abs(exact.cast("double")), F.lit(1e-12))
